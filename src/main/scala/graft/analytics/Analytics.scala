@@ -1,0 +1,218 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics re-expressing the reference's Part3 SQL surface
+  * (stop.sql trip_full_view; Visualizations/q1..q5) plus the general
+  * join/agg/window breadth a user of that warehouse needs.
+  *
+  * Scale notes (100 TB):
+  *  - every dimension join (region/nation/customer/supplier/part) is an
+  *    explicit `broadcast()` — no shuffle of the fact side;
+  *  - monetary aggregates use exact integer cents (order-independent,
+  *    no FP accumulation drift across 1000 executors);
+  *  - per-key window queries partition once on the key and reuse the
+  *    sort for every derived column.
+  */
+object Analytics {
+
+  /** SUM(round(expr*100)) as exact integer cents — deterministic and
+    * associative, so map-side partial aggregation is lossless. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship: pricing summary (TPC-H Q1 shape) over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** trip_full_view (stop.sql:49-81): trip ⟕ breadcrumb ⟕ stop_events
+    * ⇒ orders ⟕ customer ⟕ lineitem. Customer is a broadcast dim. */
+  def tripView(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("l_linenumber"), col("l_quantity"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy(col("o_orderkey"), col("l_linenumber").asc_nulls_first)
+
+  /** q1.py: latest key observed inside a value "bounding box" → that
+    * key's full trace. The 1-row driver subquery broadcasts into the
+    * trace join. */
+  def latestTrace(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val target = ev
+      .filter(col("value").between(200.0, 300.0) && col("event_type") === "purchase")
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(1)
+      .select(col("user_id").as("target_user"))
+    ev.join(broadcast(target), col("user_id") === col("target_user"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** q2/q3/q4.py: hour-of-day + calendar-date + day-of-week slice. */
+  def timeWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(hour(col("ts")).between(16, 18)
+        && to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-21"))
+        && dayofweek(col("ts")) === 1) // Sunday (q3.py EXTRACT(DOW)=0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        hour(col("ts")).as("event_hour"), col("value"))
+      .orderBy("event_id")
+
+  /** q5_3.py: threshold scan (speed > 25 on a date). */
+  def thresholdScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value") > 250.0
+        && to_date(col("ts")) === lit("2024-01-15"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** visualize_map.py: join to the key dimension, order each key's
+    * points by time, number them — the polyline trace. */
+  def tripTrace(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("seq", row_number().over(w))
+      .orderBy("user_id", "seq")
+  }
+
+  /** TPC-H Q3 shape: segment customers' unshipped-order revenue, top 10. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5 shape: revenue by nation through the full star —
+    * region/nation/supplier broadcast, customer-supplier co-nation. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+
+  /** EXISTS: customers having at least one high-value order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** NOT EXISTS: customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy("c_custkey")
+
+  /** Top-3 parts by retail price per brand (rank window). */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"),
+        cents(col("p_retailprice")).as("price_cents"))
+      .orderBy("p_brand", "rn")
+  }
+
+  /** ROLLUP over (priority, status) with exact cents totals. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_cents"))
+      .orderBy("priority", "status")
+
+  /** Conditional-aggregation pivot: order counts per priority × status. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Running per-key cumulative total over time (exact cents). */
+  def runningAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+      .withColumn("running_cents", sum(col("value_cents")).over(w))
+      .select("event_id", "user_id", "running_cents")
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: a >30-min silence starts a new session; flag with
+    * lag, then a cumulative sum assigns session ids — two window ops,
+    * one shuffle. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byTs) > 1800L * 1000000L, 1L)
+          .when(lag("ts_us", 1).over(byTs).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        sum("value_cents").as("sum_cents"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** 10-minute tumbling-window aggregation — the batch twin of the
+    * Structured Streaming pipeline in graft.streaming. */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .orderBy("bucket_us", "event_type")
+}

