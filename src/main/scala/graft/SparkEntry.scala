@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Analytics
 import graft.etl.EventsEtl
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+import graft.vector.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -37,6 +40,22 @@ object SparkEntry {
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_windowed_agg" -> ((s, d) => Analytics.windowedAgg(s, d)),
+    // LLM-data-pipeline: dedup / text analysis (graft.text)
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => TextOps.dedupMinhash(s, d)),
+    "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    "text_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "text_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // Similarity search / vector stats (graft.vector)
+    "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
+    "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+    "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
+    // Multimodal binary-column plumbing (graft.multimodal)
+    "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -185,7 +204,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_topn_pergroup" ->
@@ -241,5 +261,107 @@ object SparkEntry {
         | event_type, COUNT(*) AS n,
         | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),
+        |m AS (SELECT h.*, MIN(doc_id) OVER (PARTITION BY text_hash) AS canonical_id FROM h)
+        |SELECT doc_id, text_hash, canonical_id, doc_id <> canonical_id AS is_dup
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+        |SELECT a_id, b_id, round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard
+        |FROM p WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS c_en,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' le ', ''))) / 4 AS BIGINT) AS c_fr,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' el ', ''))) / 4 AS BIGINT) AS c_es,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5 AS BIGINT) AS c_de,
+        |   CAST((length(lower(text)) - length(replace(lower(text), '的', ''))) / 1 AS BIGINT) AS c_zh
+        |  FROM documents),
+        |g AS (SELECT c.*, greatest(c_en, c_fr, c_es, c_de, c_zh) AS best FROM c)
+        |SELECT doc_id, actual_lang, c_en, c_fr, c_es, c_de, c_zh,
+        | CASE WHEN best = 0 THEN 'und'
+        |      WHEN c_en = best THEN 'en' WHEN c_fr = best THEN 'fr'
+        |      WHEN c_es = best THEN 'es' WHEN c_de = best THEN 'de'
+        |      ELSE 'zh' END AS pred_lang
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> '')) AS BIGINT) AS n_words,
+        |   CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT b.*,
+        |   round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
+        |   round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        |   round(n_stop / CAST(n_words AS DOUBLE), 6) AS stop_ratio
+        |  FROM b)
+        |SELECT doc_id, n_chars, n_words, n_punct, n_stop, avg_word_len, punct_ratio, stop_ratio,
+        | round(least(1.0, n_words / 100.0) * 0.5 + (1.0 - punct_ratio) * 0.3 +
+        |   least(1.0, stop_ratio * 5.0) * 0.2, 6) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |      x -> x <> ''))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        | COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_key
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT p.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "vec_stats" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |   CAST(round(sqrt(list_sum(list_transform(embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0) AS BIGINT) AS norm_micro
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, MAX(dim) AS dim,
+        | round(SUM(norm_micro) / COUNT(*) / 1000000.0, 3) AS avg_norm,
+        | MIN(norm_micro) AS min_norm_micro, MAX(norm_micro) AS max_norm_micro
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS digest, doc_id % 32 AS batch_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -134,10 +134,12 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
-  /** NOT EXISTS: customers with no orders at all. */
+  /** NOT EXISTS: customers with no recent (2001+) orders. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy("c_custkey")
 

@@ -33,7 +33,7 @@ object EventsEtl {
       .when(dayofweek(ts) === 1, "Sunday")
       .otherwise("Weekday")
 
-  private def validPred: Column =
+  private[graft] def validPred: Column =
     col("ts").isNotNull && col("user_id") >= 0 &&
       col("value") >= 0 && col("value") <= MaxValue &&
       col("event_type").isin(ValidTypes: _*)

@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in
+  * this environment): it derives deterministic fake features from the
+  * bytes. The Spark-side plumbing — binary schema, digesting, batch
+  * partitioning, typed mapPartitions signature — is real, and is what
+  * carries over to a cluster: decode happens executor-side, one codec
+  * init per partition, never on the driver.
+  */
+object Multimodal {
+
+  /** Metadata extraction over a binary media column: size, digest,
+    * deterministic batch assignment (the decode work unit). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("media")) // stand-in media payload
+      .select(col("doc_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        sha2(col("media"), 256).as("digest"),
+        (col("doc_id") % 32).as("batch_id"))
+      .orderBy("doc_id")
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedRow(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, feature: Array[Double])
+
+  /** STUB decode: a real deployment would decode image/audio bytes here
+    * (one codec/model init per partition, batch-local). The fake
+    * decode is a deterministic function of the payload bytes so tests
+    * are reproducible. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // STUB: per-partition "codec init" would go here.
+        rows.map { r =>
+          var h = 1125899906842597L
+          var i = 0
+          while (i < r.media.length) { h = 31 * h + r.media(i); i += 1 }
+          val w = 64 + (math.abs(h) % 192).toInt        // fake width
+          val ht = 64 + (math.abs(h >> 8) % 192).toInt  // fake height
+          val frames = 1 + (math.abs(h >> 16) % 16).toInt
+          val feat = Array.tabulate(8)(j =>
+            ((h >> (j * 7)) & 0xFF).toDouble / 255.0)
+          DecodedRow(r.doc_id, w, ht, frames, feat)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

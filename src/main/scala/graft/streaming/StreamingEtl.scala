@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.etl.EventsEtl
+
+/** Structured Streaming twin of the reference's pub/sub pipeline
+  * (Part1 subscriber_project.py, Part2 subscriber.py, Part3
+  * stop_event_subscriber.py): subscribe → validate → derive → load
+  * becomes readStream → filter → watermark/window or stateful map →
+  * writeStream.
+  *
+  * The same validation predicate and window semantics as the batch
+  * path (EventsEtl / Analytics.windowedAgg) — one set of business
+  * rules, two execution modes.
+  */
+object StreamingEtl {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based stream source over an events-shaped parquet directory —
+    * the stand-in for the pub/sub subscription. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Streaming validation — identical predicate to the batch clean. */
+  def validate(df: DataFrame): DataFrame = df.filter(EventsEtl.validPred)
+
+  /** Watermarked 10-minute tumbling aggregation (streaming twin of
+    * Analytics.windowedAgg): late data beyond 30 min is dropped and
+    * state is bounded, so this runs indefinitely at cluster scale. */
+  def windowedCounts(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+  final case class SpeedState(lastTsUs: Long, lastValue: Double)
+  final case class SpeedOut(event_id: Long, user_id: Long, speed: Option[Double])
+
+  /** Stateful per-key speed derivation (streaming twin of
+    * EventsEtl.deriveSpeed): keyed state holds the previous
+    * (ts, value); each arriving event emits Δvalue/Δt against it.
+    * State is one tuple per key — bounded regardless of stream length. */
+  def statefulSpeed(ds: Dataset[EventRow]): Dataset[SpeedOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpeedState, SpeedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[SpeedState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var prev = state.getOption
+          val out = sorted.map { r =>
+            val tsUs = r.ts.getTime * 1000L
+            val speed = prev.flatMap { p =>
+              val dtUs = tsUs - p.lastTsUs
+              if (dtUs > 0) Some(math.max(0.0,
+                (r.value - p.lastValue) / (dtUs / 1000000.0)))
+              else None
+            }
+            prev = Some(SpeedState(tsUs, r.value))
+            SpeedOut(r.event_id, r.user_id, speed)
+          }
+          state.update(prev.get)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis and deduplication operators over the `documents`
+  * table — the LLM-training-data side of the engine.
+  *
+  * Scale design: every operator is a hash/shuffle-partitionable plan
+  * over (doc_id, derived columns); nothing collects to the driver. The
+  * exact shingle-join Jaccard is the small-scale verifier; MinHash+LSH
+  * is the 100 TB path (candidates bounded per band bucket instead of
+  * per shared shingle).
+  */
+object TextOps {
+
+  /** Lowercased a-z words of a document, empties removed — the shared
+    * canonicalization for shingling/fingerprinting/quality. */
+  private def wordsCol: Column =
+    filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+      w => w =!= "")
+
+  /** Distinct 3-word shingles (empty array for docs under 3 words). */
+  private def shinglesCol(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ",
+          element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact duplicate detection: md5 over trimmed/lowercased text,
+    * canonical doc = min(doc_id) within each hash group. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via an
+    * inverted-index join on shared shingles: explode → self-join on
+    * shingle → count(distinct shared) per pair. Exact, so it doubles as
+    * the verifier for the MinHash path; at 100 TB a document-frequency
+    * cap on shingles bounds the join fan-out. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesCol(wordsCol).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val a = ex.toDF("a_id", "a_n", "sh")
+    val b = ex.toDF("b_id", "b_n", "sh")
+    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // MinHash parameters: 128 permutations h_i(x) = (a_i*x + b_i) mod p
+  // with p = 2^31-1 (Mersenne), banded 32×4. Inputs are first reduced
+  // mod p so a*h + b stays well inside int64 under ANSI arithmetic.
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private val minhashParams: Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33 }
+    Seq.fill(128)((next() % (MinhashPrime - 1) + 1, next() % MinhashPrime))
+  }
+
+  /** MinHash(128) + LSH banding (32 bands × 4 rows) candidate pairs,
+    * verified with exact shingle Jaccard ≥ 0.5. The scale path for
+    * near-dup detection: candidate generation is a shuffle on
+    * (band_id, band_hash) buckets, never an all-pairs join. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val permAB = array(minhashParams.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesCol(wordsCol).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hashes", transform(col("shingles"), s => pmod(xxhash64(s), lit(MinhashPrime))))
+      .withColumn("sig", transform(permAB, p =>
+        array_min(transform(col("hashes"), h =>
+          pmod(p.getField("a") * h + p.getField("b"), lit(MinhashPrime))))))
+    val banded = docs.select(col("doc_id"), col("shingles"),
+        explode(array((0 until 32).map(i =>
+          struct(lit(i).as("band_id"),
+            hash(slice(col("sig"), i * 4 + 1, 4)).as("band_hash"))): _*)).as("band"))
+      .select(col("doc_id"), col("shingles"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val l = banded.toDF("a_id", "a_sh", "band_id", "band_hash")
+    val r = banded.toDF("b_id", "b_sh", "band_id", "band_hash")
+    l.join(r, Seq("band_id", "band_hash")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash near-dup candidates: per-word hash votes per bit,
+    * 4×16-bit chunk LSH (pigeonhole: hamming ≤ 3 ⇒ one identical
+    * chunk), final filter with the codegen'd hamming64 expression. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    // one aggregation computes all 64 bit-votes; recombine into int64
+    val bitSums = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
+    val sigs = tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", (0 until 64)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)))
+      .select("doc_id", "simhash")
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_id"),
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    val l = chunked.toDF("a_id", "a_sim", "chunk_id", "chunk")
+    val r = chunked.toDF("b_id", "b_sim", "chunk_id", "chunk")
+    l.join(r, Seq("chunk_id", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", expr("hamming64(a_sim, b_sim)"))
+      .filter(col("hamming") <= 6)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(expr(s"replace(lower(text), '$marker', '')")))
+      / lit(marker.length)).cast("long")
+
+  /** Marker-word language scoring — deterministic n-gram heuristic:
+    * count per-language stopword occurrences, argmax with a fixed
+    * priority order for ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        occurrences(t, " the ").as("c_en"),
+        occurrences(t, " le ").as("c_fr"),
+        occurrences(t, " el ").as("c_es"),
+        occurrences(t, " der ").as("c_de"),
+        occurrences(t, "的").as("c_zh"))
+      .withColumn("best", greatest(col("c_en"), col("c_fr"), col("c_es"), col("c_de"), col("c_zh")))
+      .withColumn("pred_lang",
+        when(col("best") === 0, "und")
+          .when(col("c_en") === col("best"), "en")
+          .when(col("c_fr") === col("best"), "fr")
+          .when(col("c_es") === col("best"), "es")
+          .when(col("c_de") === col("best"), "de")
+          .otherwise("zh"))
+      .select("doc_id", "actual_lang", "c_en", "c_fr", "c_es", "c_de", "c_zh", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Document quality scoring: length, word stats, punctuation ratio,
+    * stopword ratio, composite score — deterministic arithmetic only. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordsCol
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(words).cast("long").as("n_words"),
+        (length(col("text")) -
+          length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("long").as("n_punct"),
+        occurrences(lower(col("text")), " the ").as("n_stop"))
+      .withColumn("avg_word_len", round((col("n_chars") - col("n_words") + 1) /
+        col("n_words").cast("double"), 6))
+      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars").cast("double"), 6))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_words").cast("double"), 6))
+      .withColumn("quality_score", round(
+        least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(lit(1.0), col("stop_ratio") * 5.0) * 0.2, 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, a BPE-ish regex token count
+    * (letter runs / digit runs / single symbols), and a chars/4
+    * subword estimate. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_re_tokens"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_subword_est"))
+      .orderBy("doc_id")
+
+  /** Key-collision fingerprint (sorted distinct words → md5): catches
+    * reordered/duplicated-content docs that exact hashing misses. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(wordsCol)))).as("fingerprint"))
+      .withColumn("n_same_key", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+}

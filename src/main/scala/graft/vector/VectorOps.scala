@@ -1,0 +1,96 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Scale design: brute-force cosine is a broadcast of the (small)
+  * query set against a full corpus scan — linear, no shuffle of the
+  * corpus. The LSH variant buckets the corpus by random-hyperplane
+  * signature so each query only probes its bucket — the 100 TB path.
+  */
+object VectorOps {
+
+  /** element-wise double view of the float vector */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-5 per query vector (queries = vec_id < 10),
+    * exact baseline for the ANN path. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
+    val c = vecs.toDF("neighbor_id", "ce", "cn")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  // Deterministic random hyperplanes (LCG seed 7) over 64 dims. Bucket
+  // count 2^6 suits the test corpus (~8 vectors/bucket); at cluster
+  // scale raise the plane count so buckets stay executor-memory-sized.
+  private val planes: Seq[Array[Double]] = {
+    var s = 7L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(6)(Array.fill(64)(next()))
+  }
+
+  /** Random-hyperplane LSH ANN: signature-bit buckets, probe only
+    * the query's bucket, top-3 by exact cosine within it. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(col("e"), planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
+    val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn", "bucket")
+    val c = vecs.toDF("neighbor_id", "ce", "cn", "bucket")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-label embedding stats. Norms are summed as exact integer
+    * micro-units so the aggregate is order-independent across
+    * partitions (no FP accumulation drift). */
+  def vecStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(norm(asDouble(col("embedding"))) * 1e6).cast("long").as("norm_micro"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        max("dim").as("dim"),
+        sum("norm_micro").as("sum_norm_micro"),
+        min("norm_micro").as("min_norm_micro"),
+        max("norm_micro").as("max_norm_micro"))
+      .withColumn("avg_norm", round(col("sum_norm_micro") / col("n") / lit(1e6), 3))
+      .select("label", "n", "dim", "avg_norm", "min_norm_micro", "max_norm_micro")
+      .orderBy("label")
+}

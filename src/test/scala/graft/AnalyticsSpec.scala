@@ -1,0 +1,59 @@
+package graft
+
+import graft.analytics.Analytics
+import graft.etl.EventsEtl
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1_agg groups by flag+status with positive exact-cents sums") {
+    val rows = Analytics.q1Agg(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_base_price_cents") > 0)
+      assert(r.getAs[Long]("sum_disc_price_cents") <= r.getAs[Long]("sum_base_price_cents"))
+    }
+  }
+
+  test("trip view keeps every order (left join semantics)") {
+    val orders = graft.sources.Tables.orders(spark, sfDir).count()
+    val viewOrders = Analytics.tripView(spark, sfDir)
+      .select("o_orderkey").distinct().count()
+    assert(viewOrders == orders)
+  }
+
+  test("sessionize: session ids are dense per user and gaps respected") {
+    val df = Analytics.sessionize(spark, sfDir)
+    val perUser = df.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("session_id").as("max_s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_s"))
+      .collect()
+    perUser.foreach(r => assert(r.getAs[Long]("max_s") == r.getAs[Long]("n_s")))
+  }
+
+  test("running agg is monotone per user for nonnegative values") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.runningAgg(spark, sfDir)
+    val bad = df.join(graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us")), "event_id")
+      .withColumn("prev", lag("running_cents", 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts_us")))
+      .filter(col("prev").isNotNull && col("running_cents") < col("prev"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("speed derivation backfills group head and never goes negative") {
+    val df = EventsEtl.deriveSpeed(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("speed") < 0).count() == 0)
+    // every user's first event has a (backfilled) non-null speed
+    assert(df.filter(col("speed").isNull).count() == 0)
+  }
+
+  test("clean + quarantine partition the input exactly") {
+    val total = graft.sources.Tables.events(spark, sfDir).count()
+    val clean = EventsEtl.cleanEvents(spark, sfDir).count()
+    val quar = EventsEtl.quarantine(spark, sfDir).count()
+    assert(clean + quar == total)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class HammingDistanceSpec extends SparkSpec {
+
+  test("hamming64 matches Long.bitCount over random pairs (codegen path)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val got = pairs.toDF("a", "b")
+      .select(expr("hamming64(a, b)").as("h")).as[Long].collect()
+    val want = pairs.map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }
+    assert(got.toSeq == want)
+  }
+
+  test("hamming64 null propagation and type check") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq((Some(5L), Option.empty[Long])).toDF("a", "b")
+      .selectExpr("hamming64(a, b)").collect()
+    assert(r.head.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(("x", 1L)).toDF("a", "b").selectExpr("hamming64(a, b)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("hamming64") ||
+      err.getMessage.toLowerCase.contains("bigint"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamingEtl
+import graft.streaming.StreamingEtl.{EventRow, SpeedOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def row(id: Long, tsMs: Long, uid: Long, typ: String, v: Double) =
+    EventRow(id, new Timestamp(tsMs), uid, typ, v, s"""{"k": $id}""")
+
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z
+
+  test("windowed counts match the batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      row(1, base + 60_000, 1, "click", 10.0),
+      row(2, base + 120_000, 1, "click", 20.0),
+      row(3, base + 660_000, 2, "view", 30.0),   // next 10-min bucket
+      row(4, base + 700_000, 1, "click", 40.0))
+    val stream = MemoryStream[EventRow]
+    stream.addData(events)
+    val q = StreamingEtl.windowedCounts(StreamingEtl.validate(stream.toDF()))
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wincounts")
+      .select("bucket_start", "event_type", "n", "sum_cents")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = events.toDF()
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(round($"value" * 100).cast("long")).as("sum_cents"))
+      .select($"w.start", $"event_type", $"n", $"sum_cents")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("stateful speed derivation carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.statefulSpeed(stream.toDS())
+      .writeStream.format("memory").queryName("speeds")
+      .outputMode("append").start()
+    // batch 1: first observation per user -> no speed
+    stream.addData(row(1, base, 7, "click", 100.0))
+    q.processAllAvailable()
+    // batch 2: 10 seconds later, +50 value -> 5.0 units/sec
+    stream.addData(row(2, base + 10_000, 7, "click", 150.0))
+    q.processAllAvailable()
+    // batch 3: 20 seconds later, value drops -> clipped to 0
+    stream.addData(row(3, base + 30_000, 7, "click", 100.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("speeds").as[SpeedOut].collect()
+      .map(s => s.event_id -> s.speed).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains(5.0))
+    assert(got(3L).contains(0.0))
+  }
+
+  test("streaming validation drops the same rows as batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      row(1, base, 1, "click", 10.0),
+      row(2, base, 1, "bogus_type", 10.0), // invalid type
+      row(3, base, 1, "view", 500.0))      // over max value
+    val stream = MemoryStream[EventRow]
+    stream.addData(events)
+    val q = StreamingEtl.validate(stream.toDF())
+      .writeStream.format("memory").queryName("validated")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("validated").select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("minhash LSH recovers the exact-jaccard pairs at tau=0.5") {
+    val exact = TextOps.dedupNgramJaccard(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = TextOps.dedupMinhash(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes minhash precise; 128 perms ⇒ near-total recall
+    assert(mh.subsetOf(exact))
+    assert(mh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("simhash pairs respect the hamming threshold") {
+    val rows = TextOps.dedupSimhash(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
+    assert(rows.nonEmpty)
+  }
+
+  test("exact dedup canonical ids are minimal in group") {
+    val df = TextOps.dedupExact(spark, sfDir)
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+  }
+
+  test("quality scores are in [0,1] and ratios sane") {
+    val rows = TextOps.quality(spark, sfDir).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("punct_ratio") >= 0.0 && r.getAs[Double]("punct_ratio") <= 1.0)
+    }
+  }
+
+  test("token counts: regex tokens >= whitespace tokens") {
+    val bad = TextOps.tokenCounts(spark, sfDir)
+      .filter(col("n_re_tokens") < col("n_ws_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint is order-insensitive (bag-of-words collision)") {
+    import spark.implicits._
+    // reordered words must collide; different words must not
+    val probe = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta beta alpha"))
+      .toDF("doc_id", "text")
+    val fps = probe.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(
+        filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "), w => w =!= ""))))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}

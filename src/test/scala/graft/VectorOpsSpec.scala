@@ -1,0 +1,43 @@
+package graft
+
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+
+  test("brute-force ANN: 5 ranked neighbors per query, cos in [-1,1]") {
+    val df = VectorOps.annBruteForce(spark, sfDir)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10)
+    perQuery.foreach(r => assert(r.getAs[Long]("count") == 5))
+    df.collect().foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+  }
+
+  test("brute-force ranks are ordered by descending cosine") {
+    val rows = VectorOps.annBruteForce(spark, sfDir)
+      .orderBy("query_id", "rank").collect()
+    rows.grouped(5).foreach { g =>
+      val cs = g.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN neighbors are a subset of brute-force candidates' space") {
+    val lsh = VectorOps.annLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
+  test("vec stats: dims uniform at 64, norms positive") {
+    val rows = VectorOps.vecStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64)
+      assert(r.getAs[Long]("min_norm_micro") > 0)
+      assert(r.getAs[Double]("avg_norm") > 0)
+    }
+  }
+}
