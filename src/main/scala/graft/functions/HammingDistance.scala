@@ -35,8 +35,14 @@ case class HammingDistance(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Register graft SQL functions on a session (idempotent); afterwards
-    * `expr("hamming64(a, b)")` resolves to the codegen'd expression. */
-  def register(spark: SparkSession): Unit =
+    * `expr("hamming64(a, b)")` / `expr("word_shingles3(text)")` resolve
+    * to the codegen'd expressions. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming64", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_tokens", exprs => WordTokens(exprs.head), "built-in")
+  }
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression producing the distinct n-word shingles
+  * of a document in one compiled pass (lowercase → strip non [a-z ] →
+  * split → sliding-n → distinct).
+  *
+  * Replaces a chain of interpreted higher-order functions
+  * (filter/transform/element_at lambdas) that evaluated per-element
+  * through the expression interpreter — ~100× slower per row. The
+  * generated code calls a static helper, so the operator stays inside
+  * WholeStageCodegen.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native tokenizer: lowercase a-z words (all occurrences, in order) —
+  * the compiled twin of filter(split(regexp_replace(...)), _ != ''). */
+case class WordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.tokens($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  def tokens(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || c == ' ') sb.append(c)
+      i += 1
+    }
+    val words = sb.toString.split(" ")
+    var n = 0
+    i = 0
+    while (i < words.length) { if (words(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) { out(k) = UTF8String.fromString(words(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** static entry point shared by interpreted and generated code */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || c == ' ') sb.append(c)
+      i += 1
+    }
+    val words = sb.toString.split(" ").filter(_.nonEmpty)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    i = 0
+    while (i <= words.length - n) {
+      val b = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) b.append(' ')
+        b.append(words(i + j))
+        j += 1
+      }
+      seen.add(b.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+}

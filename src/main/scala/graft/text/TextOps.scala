@@ -22,14 +22,6 @@ object TextOps {
     filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
       w => w =!= "")
 
-  /** Distinct 3-word shingles (empty array for docs under 3 words). */
-  private def shinglesCol(words: Column): Column =
-    when(size(words) >= 3,
-      array_distinct(transform(sequence(lit(0), size(words) - 3),
-        i => concat_ws(" ",
-          element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Exact duplicate detection: md5 over trimmed/lowercased text,
     * canonical doc = min(doc_id) within each hash group. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -46,10 +38,18 @@ object TextOps {
     * shingle → count(distinct shared) per pair. Exact, so it doubles as
     * the verifier for the MinHash path; at 100 TB a document-frequency
     * cap on shingles bounds the join fan-out. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesCol(wordsCol).as("shingles"))
+  /** (doc_id, shingles) with the codegen'd shingler, repartitioned so
+    * the compute parallelizes even off a single small file split. */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr("word_shingles3(text)").as("shingles"))
       .filter(size(col("shingles")) > 0)
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
     val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("sh"))
     val a = ex.toDF("a_id", "a_n", "sh")
@@ -79,25 +79,18 @@ object TextOps {
     * near-dup detection: candidate generation is a shuffle on
     * (band_id, band_hash) buckets, never an all-pairs join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val permAB = array(minhashParams.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesCol(wordsCol).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hashes", transform(col("shingles"), s => pmod(xxhash64(s), lit(MinhashPrime))))
-      .withColumn("sig", transform(permAB, p =>
-        array_min(transform(col("hashes"), h =>
-          pmod(p.getField("a") * h + p.getField("b"), lit(MinhashPrime))))))
-    val banded = docs.select(col("doc_id"), col("shingles"),
-        explode(array((0 until 32).map(i =>
-          struct(lit(i).as("band_id"),
-            hash(slice(col("sig"), i * 4 + 1, 4)).as("band_hash"))): _*)).as("band"))
-      .select(col("doc_id"), col("shingles"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    val l = banded.toDF("a_id", "a_sh", "band_id", "band_hash")
-    val r = banded.toDF("b_id", "b_sh", "band_id", "band_hash")
-    l.join(r, Seq("band_id", "band_hash")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+    val (shingled, banded) = minhashPiecesInternal(spark, dir)
+    val l = banded.toDF("a_id", "band_id", "band_hash")
+    val r = banded.toDF("b_id", "band_id", "band_hash")
+    // dedupe candidate id-pairs BEFORE touching shingle arrays: the
+    // band join can emit the same pair up to 32×, and shuffling the
+    // arrays through that distinct would dominate the query
+    val cand = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(broadcast(shingled.toDF("a_id", "a_sh")), Seq("a_id"))
+      .join(broadcast(shingled.toDF("b_id", "b_sh")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
@@ -106,13 +99,35 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** MinHash signature as 128 codegen'd min-aggregates over the
+    * exploded shingle hashes (one hash-aggregate, no interpreted
+    * lambdas), then 32×4 banding via multi-arg hash() — every operator
+    * stays inside WholeStageCodegen. */
+  private[graft] def minhashPiecesInternal(spark: SparkSession, dir: String) = {
+    val shingled = shingledDocs(spark, dir)
+    val hashed = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashPrime)))
+    val minAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"s$i") }
+    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until 32).map(i =>
+          struct(lit(i).as("band_id"),
+            hash((i * 4 until i * 4 + 4).map(j => col(s"s$j")): _*).as("band_hash"))): _*)).as("band"))
+      .select(col("doc_id"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    (shingled, banded)
+  }
+
   /** 64-bit SimHash near-dup candidates: per-word hash votes per bit,
     * 4×16-bit chunk LSH (pigeonhole: hamming ≤ 3 ⇒ one identical
     * chunk), final filter with the codegen'd hamming64 expression. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val tokens = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(expr("word_tokens(text)")).as("word"))
       .withColumn("h", xxhash64(col("word")))
     // one aggregation computes all 64 bit-votes; recombine into int64
     val bitSums = (0 until 64).map(b =>
