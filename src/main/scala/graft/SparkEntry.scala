@@ -40,6 +40,8 @@ object SparkEntry {
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_windowed_agg" -> ((s, d) => Analytics.windowedAgg(s, d)),
+    "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -261,6 +263,24 @@ object SparkEntry {
         | event_type, COUNT(*) AS n,
         | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type IN ('click','error')),
+        |c AS (SELECT user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |e AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.ts_us, c.ts_us AS last_click_us,
+        | e.ts_us - c.ts_us AS gap_us
+        |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),

@@ -208,6 +208,42 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join: align each 'error' event with the user's most recent
+    * 'click' at-or-before it — the temporal correlation the reference
+    * needs between breadcrumbs and stop events (trip_full_view joins
+    * only on trip_id; the time dimension is this).
+    *
+    * Spark-first formulation: no per-row subquery and no range join —
+    * union both streams, one shuffle+sort per user, and a running
+    * last_value(ignoreNulls) carries the latest click forward. Scales
+    * as a single window over the combined stream.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_ts").as("last_click_us"),
+        (col("ts_us") - col("click_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated percentiles of event value per type (p50/p90). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** 10-minute tumbling-window aggregation — the batch twin of the
     * Structured Streaming pipeline in graft.streaming. */
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =
