@@ -24,6 +24,8 @@ object SparkEntry {
     "etl_dedup_keyfirst" -> ((s, d) => EventsEtl.dedupKeyFirst(s, d)),
     "etl_service_key" -> ((s, d) => EventsEtl.serviceKeyCounts(s, d)),
     "etl_json_props" -> ((s, d) => EventsEtl.jsonProps(s, d)),
+    "etl_cross_validate" -> ((s, d) => EventsEtl.crossValidate(s, d)),
+    "q_approx_stats" -> ((s, d) => Analytics.approxStats(s, d)),
     // Analytics (reference Part3 queries + relational breadth)
     "q_trip_view" -> ((s, d) => Analytics.tripView(s, d)),
     "q_latest_trace" -> ((s, d) => Analytics.latestTrace(s, d)),
@@ -135,6 +137,14 @@ object SparkEntry {
         | SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         | round(AVG(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_cross_validate" ->
+      """SELECT COUNT(*) AS n_rows,
+        | SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS n_ship_before_order,
+        | SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS n_discount_range,
+        | SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS n_quantity_range,
+        | SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS n_negative_tax
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q_trip_view" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus,

@@ -234,6 +234,20 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Sketch aggregates (HLL++ distinct, quantile sketch): the
+    * constant-memory path for 100 TB cardinality/quantile questions.
+    * Approximate by design → rows-only gate, with the exact twins
+    * (`q_percentiles`, `etl_service_key.n_users`) as cross-checks. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Exact interpolated percentiles of event value per type (p50/p90). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

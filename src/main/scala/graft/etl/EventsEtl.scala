@@ -109,6 +109,28 @@ object EventsEtl {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("service_key")
 
+  /** Stop-events-style cross-field validation (reference
+    * stop_event_subscriber.py:213-218 validate_arrive_before_leave and
+    * friends), re-expressed on lineitem⋈orders: a line item "leaves"
+    * (ships) no earlier than its order "arrives" (is placed), plus
+    * domain checks. Emits per-rule violation counts — the audit view a
+    * warehouse actually wants from assert-and-drop. */
+  def crossValidate(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .join(graft.sources.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+    li.select(
+        when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L).as("v_ship_before_order"),
+        when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L).as("v_discount_range"),
+        when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L).as("v_quantity_range"),
+        when(col("l_tax") < 0, 1L).otherwise(0L).as("v_negative_tax"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("v_ship_before_order").as("n_ship_before_order"),
+        sum("v_discount_range").as("n_discount_range"),
+        sum("v_quantity_range").as("n_quantity_range"),
+        sum("v_negative_tax").as("n_negative_tax"))
+  }
+
   /** Pub/sub payload parse: pull the numeric `k` field out of the raw
     * JSON message body and aggregate — the subscriber's
     * json.loads(message.data) step (updated_subscriber.py:22-28). */

@@ -80,14 +80,18 @@ object TextOps {
     * (band_id, band_hash) buckets, never an all-pairs join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val (shingled, banded) = minhashPiecesInternal(spark, dir)
-    val l = banded.toDF("a_id", "band_id", "band_hash")
-    val r = banded.toDF("b_id", "band_id", "band_hash")
-    // dedupe candidate id-pairs BEFORE touching shingle arrays: the
-    // band join can emit the same pair up to 32×, and shuffling the
-    // arrays through that distinct would dominate the query
-    val cand = l.join(r, Seq("band_id", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // one aggregation per band bucket, pairs expanded inside the bucket
+    // — the signature subtree is computed once (a self-join would
+    // recompute it per side), and pairs are deduped on bare ids before
+    // the shingle arrays are re-joined for verification
+    val cand = banded.groupBy("band_id", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
     cand
       .join(broadcast(shingled.toDF("a_id", "a_sh")), Seq("a_id"))
       .join(broadcast(shingled.toDF("b_id", "b_sh")), Seq("b_id"))
