@@ -26,6 +26,7 @@ object SparkEntry {
     "etl_json_props" -> ((s, d) => EventsEtl.jsonProps(s, d)),
     "etl_cross_validate" -> ((s, d) => EventsEtl.crossValidate(s, d)),
     "q_approx_stats" -> ((s, d) => Analytics.approxStats(s, d)),
+    "q_typed_agg" -> ((s, d) => graft.typed.TypedOps.userSummaries(s, d)),
     // Analytics (reference Part3 queries + relational breadth)
     "q_trip_view" -> ((s, d) => Analytics.tripView(s, d)),
     "q_latest_trace" -> ((s, d) => Analytics.latestTrace(s, d)),
@@ -137,6 +138,13 @@ object SparkEntry {
         | SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         | round(AVG(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_typed_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+        | MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        | MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_cross_validate" ->
       """SELECT COUNT(*) AS n_rows,

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: lets a deployment register graft's
+  * SQL functions at session build time instead of calling
+  * GraftFunctions.register —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("hamming64"),
+      info("hamming64", "hamming64(a, b) - popcount(a XOR b) over two int64 signatures"),
+      (exprs: Seq[Expression]) => HammingDistance(
+        GraftFunctions.asLong(exprs(0)), GraftFunctions.asLong(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("word_shingles3"),
+      info("word_shingles3", "word_shingles3(text) - distinct 3-word shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, 3)))
+    e.injectFunction((FunctionIdentifier("word_tokens"),
+      info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
+      (exprs: Seq[Expression]) => WordTokens(exprs.head)))
+  }
+}

@@ -37,9 +37,15 @@ object GraftFunctions {
   /** Register graft SQL functions on a session (idempotent); afterwards
     * `expr("hamming64(a, b)")` / `expr("word_shingles3(text)")` resolve
     * to the codegen'd expressions. */
+  /** widen integral args so int literals work ergonomically */
+  private[functions] def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming64", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+      "hamming64", exprs => HammingDistance(asLong(exprs(0)), asLong(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
