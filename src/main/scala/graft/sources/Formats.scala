@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion formats the reference pipeline consumes (reference:
+  * Part1/data_gather.py JSON breadcrumbs, Part1 vehicle_ids.csv,
+  * Part3/stop_event_publisher.py parse_html) — re-expressed as
+  * schema'd, quarantine-aware Spark readers.
+  */
+object Formats {
+
+  val eventJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** JSON-lines event reader: explicit schema (no inference pass over
+    * 100 TB), PERMISSIVE mode with corrupt records captured in a column
+    * instead of killing the load — the subscriber's try/except
+    * json.loads, auditable. */
+  def readJsonEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventJsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Headerless single-column key list (vehicle_ids.csv analog). */
+  def readKeyList(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(StructField("key", LongType))))
+      .option("header", "false")
+      .csv(path)
+
+  final case class HtmlRow(cells: Seq[String])
+
+  /** Executor-side HTML-table parser (the publisher's BeautifulSoup
+    * step, dependency-free): each input string is one fetched page;
+    * emits one row per <tr>, cells in order. Runs in mapPartitions so
+    * 100 TB of raw pages parse where they live. */
+  def parseHtmlTables(pages: Dataset[String]): Dataset[Seq[String]] = {
+    import pages.sparkSession.implicits._
+    val tr = "(?is)<tr[^>]*>(.*?)</tr>".r
+    val cell = "(?is)<t[dh][^>]*>(.*?)</t[dh]>".r
+    val tag = "(?s)<[^>]*>".r
+    pages.flatMap { html =>
+      tr.findAllMatchIn(html).map { row =>
+        cell.findAllMatchIn(row.group(1))
+          .map(m => tag.replaceAllIn(m.group(1), "").trim)
+          .toSeq
+      }.filter(_.nonEmpty)
+    }
+  }
+
+  /** Header+rows HTML table → DataFrame with the header as columns
+    * (stop-event pages: first row is <th> names). */
+  def htmlTableToDf(spark: SparkSession, pages: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    val rows = parseHtmlTables(pages)
+    val header = rows.head()
+    rows.filter(r => r != header && r.length == header.length)
+      .map(r => r.toArray)
+      .toDF("cells")
+      .select(header.zipWithIndex.map { case (name, i) =>
+        col("cells").getItem(i).as(name.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+      }: _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class FormatsSpec extends SparkSpec {
+
+  test("json events: valid rows parse, corrupt rows are quarantined not dropped") {
+    val d = Files.createTempDirectory("graft_json")
+    Files.writeString(d.resolve("part-0.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":7,"event_type":"click","value":10.5,"props":"{}"}
+        |{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":8,"event_type":"view","value":3.25,"props":"{}"}
+        |this is not json at all
+        |""".stripMargin)
+    // corrupt-column-only queries require materialized parse results
+    val df = Formats.readJsonEvents(spark, d.toString).cache()
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    val ok = df.filter(col("event_id") === 1).collect().head
+    assert(ok.getAs[Long]("user_id") == 7L && ok.getAs[Double]("value") == 10.5)
+  }
+
+  test("csv key list reads headerless single column") {
+    val d = Files.createTempDirectory("graft_csv")
+    Files.writeString(d.resolve("keys.csv"), "3001\n3002\n3003\n")
+    val keys = Formats.readKeyList(spark, d.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == Set(3001L, 3002L, 3003L))
+  }
+
+  test("html table parses header + rows into a typed DataFrame") {
+    import spark.implicits._
+    val html =
+      """<html><body><table>
+        |<tr><th>Vehicle Number</th><th>Trip ID</th><th>Dwell</th></tr>
+        |<tr><td> 3001 </td><td>555</td><td>10</td></tr>
+        |<tr><td>3002</td><td><b>556</b></td><td>0</td></tr>
+        |<tr><td>bad</td></tr>
+        |</table></body></html>""".stripMargin
+    val df = Formats.htmlTableToDf(spark, Seq(html).toDS())
+    assert(df.columns.toSeq == Seq("vehicle_number", "trip_id", "dwell"))
+    val rows = df.orderBy("vehicle_number").collect()
+    assert(rows.length == 2) // ragged row dropped
+    assert(rows(0).getString(0) == "3001" && rows(0).getString(1) == "555")
+    assert(rows(1).getString(1) == "556") // nested tags stripped
+  }
+}
