@@ -30,5 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - sequential double dot product of two vectors"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a vector"),
+      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
   }
 }

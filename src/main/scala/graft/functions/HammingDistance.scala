@@ -50,5 +50,9 @@ object GraftFunctions {
       "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_tokens", exprs => WordTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => VecNorm(exprs.head), "built-in")
   }
 }

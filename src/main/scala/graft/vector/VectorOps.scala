@@ -12,29 +12,30 @@ import graft.sources.Tables
   * query set against a full corpus scan — linear, no shuffle of the
   * corpus. The LSH variant buckets the corpus by random-hyperplane
   * signature so each query only probes its bucket — the 100 TB path.
+  * Dot products / norms run in the codegen'd vec_dot / vec_norm
+  * kernels (sequential sums, bit-identical to a fold), not in
+  * interpreted higher-order-function lambdas.
   */
 object VectorOps {
 
-  /** element-wise double view of the float vector */
+  /** element-wise double view of the float vector (for plane dots) */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
   /** Brute-force cosine top-5 per query vector (queries = vec_id < 10),
     * exact baseline for the ANN path. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
     val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
     val c = vecs.toDF("neighbor_id", "ce", "cn")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -57,19 +58,20 @@ object VectorOps {
   /** Random-hyperplane LSH ANN: signature-bit buckets, probe only
     * the query's bucket, top-3 by exact cosine within it. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(col("e"), planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(hofDot(asDouble(col("e")), planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
       .withColumn("bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
     val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn", "bucket")
     val c = vecs.toDF("neighbor_id", "ce", "cn", "bucket")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cos"))
@@ -79,11 +81,12 @@ object VectorOps {
   /** Per-label embedding stats. Norms are summed as exact integer
     * micro-units so the aggregate is order-independent across
     * partitions (no FP accumulation drift). */
-  def vecStats(spark: SparkSession, dir: String): DataFrame =
+  def vecStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(norm(asDouble(col("embedding"))) * 1e6).cast("long").as("norm_micro"))
+        round(expr("vec_norm(embedding)") * 1e6).cast("long").as("norm_micro"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         max("dim").as("dim"),
@@ -93,4 +96,5 @@ object VectorOps {
       .withColumn("avg_norm", round(col("sum_norm_micro") / col("n") / lit(1e6), 3))
       .select("label", "n", "dim", "avg_norm", "min_norm_micro", "max_norm_micro")
       .orderBy("label")
+  }
 }
