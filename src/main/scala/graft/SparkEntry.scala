@@ -27,6 +27,8 @@ object SparkEntry {
     "etl_cross_validate" -> ((s, d) => EventsEtl.crossValidate(s, d)),
     "q_approx_stats" -> ((s, d) => Analytics.approxStats(s, d)),
     "q_typed_agg" -> ((s, d) => graft.typed.TypedOps.userSummaries(s, d)),
+    "q13_custdist" -> ((s, d) => Analytics.custDist(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
     // Analytics (reference Part3 queries + relational breadth)
     "q_trip_view" -> ((s, d) => Analytics.tripView(s, d)),
     "q_latest_trace" -> ((s, d) => Analytics.latestTrace(s, d)),
@@ -138,6 +140,26 @@ object SparkEntry {
         | SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
         | round(AVG(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
 
     "q_typed_agg" ->
       """SELECT user_id, COUNT(*) AS n,

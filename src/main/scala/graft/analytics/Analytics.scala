@@ -234,6 +234,35 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): left outer
+    * join so zero-order customers count, then a histogram over the
+    * per-customer counts — two aggregation levels, one shuffle each. */
+  def custDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Large-volume orders (TPC-H Q18 shape): HAVING-style subquery on
+    * the aggregate, joined back to the order/customer detail. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 150L)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        cents(col("o_totalprice")).as("total_cents"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
   /** Sketch aggregates (HLL++ distinct, quantile sketch): the
     * constant-memory path for 100 TB cardinality/quantile questions.
     * Approximate by design → rows-only gate, with the exact twins

@@ -44,6 +44,14 @@ object StreamingEtl {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Streaming keep-first dedup (the trip-dimension build of the
+    * reference, streaming mode): watermark bounds the dedup state so
+    * it runs indefinitely; within the watermark a key's first arrival
+    * wins and later duplicates are dropped. */
+  def dedupStream(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class SpeedState(lastTsUs: Long, lastValue: Double)
