@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
+    "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
@@ -407,6 +408,14 @@ object SparkEntry {
         |       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin,
 
     "vec_stats" ->
       """WITH v AS (

@@ -78,6 +78,25 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45): the
+    * semantic twin of the text dedup family. Exact all-pairs here (the
+    * corpus side streams once against a broadcast copy); at 100 TB the
+    * LSH-bucketed variant (annLsh) generates the candidates and this
+    * cosine is the verifier. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+    val a = vecs.toDF("a_id", "ae", "an")
+    val b = vecs.toDF("b_id", "be", "bn")
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Per-label embedding stats. Norms are summed as exact integer
     * micro-units so the aggregate is order-independent across
     * partitions (no FP accumulation drift). */
