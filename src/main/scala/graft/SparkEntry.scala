@@ -56,6 +56,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "text_rollhash" -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),

@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a vector"),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
   }
 }

@@ -54,5 +54,7 @@ object GraftFunctions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VecNorm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 }

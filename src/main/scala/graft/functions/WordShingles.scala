@@ -43,7 +43,48 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Karp-Rabin rolling fingerprint of the normalized text: polynomial
+  * hash acc = acc*B + c (mod 2^61-1) over the lowercase a-z/space
+  * stream. One compiled pass; order-sensitive (unlike the bag-of-words
+  * fingerprint), so it distinguishes reorderings while ignoring
+  * punctuation/case noise. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object WordShingles {
+  // two independent 31-bit polynomial rolls packed into one long —
+  // stays in plain long arithmetic (no 128-bit ops) with 62 effective bits
+  private val P1 = 2147483647L // 2^31 - 1
+  private val P2 = 2147483629L
+  private val B1 = 131L
+  private val B2 = 137L
+
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    var lastSpace = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val keep = (c >= 'a' && c <= 'z') || c == ' '
+      if (keep && !(c == ' ' && lastSpace)) { // collapse space runs
+        a1 = (a1 * B1 + c.toLong) % P1
+        a2 = (a2 * B2 + c.toLong) % P2
+        lastSpace = c == ' '
+      }
+      i += 1
+    }
+    (a1 << 32) | a2
+  }
+
   def tokens(text: UTF8String): ArrayData = {
     val s = text.toString.toLowerCase
     val sb = new java.lang.StringBuilder(s.length)

@@ -231,4 +231,17 @@ object TextOps {
       .withColumn("n_same_key", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
+
+  /** Karp-Rabin rolling fingerprint (order-sensitive, punctuation- and
+    * case-insensitive) via the codegen'd rolling_hash expression, with
+    * collision groups — the streaming-friendly doc fingerprint. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("roll_fp")
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr("rolling_hash(text)").as("roll_fp"))
+      .withColumn("n_same_key", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
 }

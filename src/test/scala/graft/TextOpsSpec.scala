@@ -41,6 +41,24 @@ class TextOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("rolling hash: noise-insensitive, order-sensitive, known vector") {
+    import graft.functions.WordShingles
+    import org.apache.spark.unsafe.types.UTF8String
+    def rh(s: String) = WordShingles.rollingHash(UTF8String.fromString(s))
+    // punctuation/case/space-run noise collapses to the same stream
+    assert(rh("Hello,  World!") == rh("hello world"))
+    // but word order matters (unlike the bag-of-words fingerprint)
+    assert(rh("world hello") != rh("hello world"))
+    // fixed test vector: 'ab' -> a1 = ('a'*131+'b'), a2 = ('a'*137+'b')
+    val a1 = ('a'.toLong * 131 + 'b') % 2147483647L
+    val a2 = ('a'.toLong * 137 + 'b') % 2147483629L
+    assert(rh("ab") == ((a1 << 32) | a2))
+    // SQL surface works end-to-end
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT rolling_hash('Hello,  World!') AS h").collect().head.getLong(0)
+    assert(got == rh("hello world"))
+  }
+
   test("fingerprint is order-insensitive (bag-of-words collision)") {
     import spark.implicits._
     // reordered words must collide; different words must not
