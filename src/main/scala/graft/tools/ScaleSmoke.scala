@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: synthesize ~Nx the sf0.1 data in /tmp (ids
+  * offset per replica so keys stay distinct where it matters) and run
+  * the heavy queries. Verifies the plans' shuffle/partition behavior
+  * holds beyond the bench scale — not a correctness gate.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val out = s"/tmp/graft_scale_${reps}x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    def replicate(name: String, idCols: Seq[String]): Unit = {
+      val base = graft.sources.Tables.load(spark, src, name)
+      val maxIds = idCols.map(c => c -> (base.agg(max(col(c))).head.getLong(0) + 1L)).toMap
+      val parts = (0 until reps).map { r =>
+        idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(r * maxIds(c))) }
+      }
+      parts.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    time("replicate") {
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("orders", Seq("o_orderkey"))
+      // events: ts stays, user_id offset per replica → 10x keys
+      val ev = graft.sources.Tables.events(spark, src)
+      (0 until reps).map(r => ev.withColumn("user_id", col("user_id") + lit(r * 1000L))
+          .withColumn("event_id", col("event_id") + lit(r * 10000000L)))
+        .reduce(_ unionAll _)
+        .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw long nanos-ish
+        .write.mode("overwrite").parquet(s"$out/events_us.parquet")
+      // documents / embeddings / dims: copy as-is
+      Seq("customer", "supplier", "part", "nation", "region", "documents", "embeddings")
+        .foreach(t => graft.sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet"))
+    }
+    // events loader expects nanos long; we wrote micros*1000 (ns) ✓
+    println("[scale] rows: lineitem=" +
+      spark.read.parquet(s"$out/lineitem.parquet").count() +
+      " events=" + spark.read.parquet(s"$out/events_us.parquet").count())
+
+    // re-point events file name for Tables.events
+    new java.io.File(s"$out/events.parquet").delete()
+    spark.read.parquet(s"$out/events_us.parquet").write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    for (q <- Seq("q1_agg", "q3_shipping", "q_sessionize", "etl_derive_speed",
+        "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist")) {
+      time(q)(graft.SparkEntry.queries(q)(spark, out).count())
+    }
+    spark.stop()
+  }
+}
