@@ -60,6 +60,7 @@ object SparkEntry {
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+    "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)

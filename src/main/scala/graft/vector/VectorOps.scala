@@ -78,6 +78,34 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into KMeans cells
+    * (deterministic seed), probe only the query's cell, rank by exact
+    * cosine — the classic coarse-quantizer scale path alongside LSH.
+    * At 100 TB the centroids train on a sample and the cell assignment
+    * is a broadcast-apply over the corpus scan. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"),
+        array_to_vector(col("embedding")).as("fv"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+    val model = new KMeans().setK(16).setSeed(7).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.select("fv"))
+    val assigned = model.transform(base).drop("fv")
+    val q = assigned.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn", "cell")
+    val c = assigned.toDF("neighbor_id", "ce", "cn", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell")).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45): the
     * semantic twin of the text dedup family. Exact all-pairs here (the
     * corpus side streams once against a broadcast copy); at 100 TB the

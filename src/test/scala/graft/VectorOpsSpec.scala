@@ -31,6 +31,16 @@ class VectorOpsSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
   }
 
+  test("IVF ANN: per-cell neighbors ranked by descending cosine") {
+    val rows = VectorOps.annIvf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val cs = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
   test("vec stats: dims uniform at 64, norms positive") {
     val rows = VectorOps.vecStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
