@@ -66,6 +66,8 @@ object SparkEntry {
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under

@@ -30,6 +30,9 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class DecodedRow(doc_id: Long, width: Int, height: Int,
       n_frames: Int, feature: Array[Double])
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale: Double)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long)
 
   /** STUB decode: a real deployment would decode image/audio bytes here
     * (one codec/model init per partition, batch-local). The fake
@@ -56,5 +59,38 @@ object Multimodal {
       }
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** STUB resize: computes the aspect-preserving scale plan for each
+    * media item toward a 224×224 target (the tensor-pipeline contract);
+    * a real deployment applies the scale with an image library in the
+    * same partition-local pass. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        val scale = math.min(224.0 / w, 224.0 / h)
+        ResizedRow(id, w, h, math.round(w * scale).toInt,
+          math.round(h * scale).toInt, scale)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** STUB frame sampling: emits one row per sampled frame (every other
+    * frame, capped at 4) with a deterministic fake timestamp — the
+    * explode shape a video pipeline hands to per-frame featurizers. */
+  def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir)
+      .select(col("doc_id"), col("n_frames"))
+      .as[(Long, Int)]
+      .flatMap { case (id, n) =>
+        (0 until n by 2).take(4).map(i => FrameRow(id, i, i * 40L))
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decode stub is deterministic and covers every doc") {
+    val a = Multimodal.decodeFeatures(spark, sfDir).collect()
+    val b = Multimodal.decodeFeatures(spark, sfDir).collect()
+    assert(a.length == 500 && a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
+      assert(r.getAs[scala.collection.Seq[Double]]("feature").length == 8)
+    }
+  }
+
+  test("resize plan preserves aspect ratio within rounding") {
+    Multimodal.resizePlan(spark, sfDir).collect().foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("target_w"), r.getAs[Int]("target_h"))
+      assert(tw <= 224 && th <= 224 && (tw == 224 || th == 224))
+      assert(math.abs(tw.toDouble / th - w.toDouble / h) < 0.05)
+    }
+  }
+
+  test("frame sampling: stride 2, capped at 4 frames") {
+    val df = Multimodal.sampleFrames(spark, sfDir)
+    val perDoc = df.groupBy("doc_id").count().agg(max("count")).head.getLong(0)
+    assert(perDoc <= 4)
+    df.filter(col("frame_idx") % 2 =!= 0).count() == 0
+    assert(df.filter(col("frame_ts_ms") =!= col("frame_idx") * 40).count() == 0)
+  }
+
+  test("media metadata digests match sha2 of the payload") {
+    val r = Multimodal.mediaMeta(spark, sfDir).filter(col("doc_id") === 0).collect().head
+    assert(r.getAs[String]("digest").matches("[0-9a-f]{64}"))
+    assert(r.getAs[Long]("batch_id") == 0L)
+  }
+}
