@@ -1,0 +1,44 @@
+package graft
+
+import graft.analytics.Analytics
+import graft.etl.EventsEtl
+
+/** Plan-shape regression guards: these properties are what make the
+  * queries scale; losing one is a perf bug even while results stay
+  * correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("validation predicate pushes into the events parquet scan") {
+    val plan = executed(EventsEtl.cleanEvents(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"expected parquet pushdown in:\n${plan.take(2000)}")
+  }
+
+  test("q5_region joins all dimensions via broadcast") {
+    val plan = executed(Analytics.q5Region(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    // and no sort-merge join anywhere in the star
+    assert(!plan.contains("SortMergeJoin"), s"star join fell back to SMJ:\n${plan.take(1500)}")
+  }
+
+  test("q1_agg reads only the needed columns") {
+    val plan = executed(Analytics.q1Agg(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("sessionize shares one hash exchange across windows and aggregation") {
+    val plan = executed(Analytics.sessionize(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+  }
+
+  test("driver entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
