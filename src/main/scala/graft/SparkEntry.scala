@@ -57,6 +57,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_rollhash" -> ((s, d) => TextOps.rollingFingerprint(s, d)),
+    "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
@@ -401,6 +402,14 @@ object SparkEntry {
         |SELECT doc_id, fingerprint,
         | COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_key
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\d{7,}')) AS BIGINT) AS n_longnums,
+        | md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{7,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -232,6 +232,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing: redact email addresses and long digit runs (the
+    * account/phone-number shape) and count what was removed — the
+    * pre-training hygiene pass. Pure regexp, pushdown-friendly. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val longNum = "\\d{7,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0))).cast("long").as("n_longnums"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          longNum, "<NUM>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Karp-Rabin rolling fingerprint (order-sensitive, punctuation- and
     * case-insensitive) via the codegen'd rolling_hash expression, with
     * collision groups — the streaming-friendly doc fingerprint. */

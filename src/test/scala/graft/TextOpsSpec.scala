@@ -59,6 +59,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got == rh("hello world"))
   }
 
+  test("pii redaction replaces emails and long digit runs") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // drive the same expressions through a probe frame
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val longNum = "\\d{7,}"
+    val out = Seq((1L, "mail me at jane.doe@example.com or call 5035551234567"))
+      .toDF("doc_id", "text")
+      .select(
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("e"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0))).as("n"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), longNum, "<NUM>").as("t"))
+      .collect().head
+    assert(out.getInt(0) == 1 && out.getInt(1) == 1)
+    assert(out.getString(2) == "mail me at <EMAIL> or call <NUM>")
+  }
+
   test("fingerprint is order-insensitive (bag-of-words collision)") {
     import spark.implicits._
     // reordered words must collide; different words must not
