@@ -46,6 +46,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_windowed_agg" -> ((s, d) => Analytics.windowedAgg(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
@@ -309,6 +310,22 @@ object SparkEntry {
         | event_type, COUNT(*) AS n,
         | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents, event_id FROM events),
+    |f AS (
+        |  SELECT e.*, CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
+        |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT f.*, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
+        | COUNT(*) AS n_events, SUM(value_cents) AS sum_cents
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (

@@ -287,6 +287,19 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Native session windows (30-min gap) via the built-in
+    * session_window operator — same session semantics as the manual
+    * lag/cumsum sessionization, but expressed as a single grouping
+    * operator that also runs under Structured Streaming. Window end =
+    * last event + gap by definition. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"), col("sum_cents"))
+      .orderBy("user_id", "start_us")
+
   /** 10-minute tumbling-window aggregation — the batch twin of the
     * Structured Streaming pipeline in graft.streaming. */
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =

@@ -30,6 +30,31 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids == Set(1L, 2L))
   }
 
+  test("streaming session windows close after the gap and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // session 1: two events 5 min apart; then a 2h silence; then a late
+    // event that advances the watermark far enough to close session 1
+    stream.addData(row(1, base, 7, 1.0), row(2, base + 300000, 7, 2.0))
+    q.processAllAvailable()
+    stream.addData(row(3, base + 7200000, 7, 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions_out").collect()
+    assert(rows.length == 1, s"expected exactly the closed first session, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[java.sql.Timestamp]("end").getTime ==
+      base + 300000 + 1800000) // last event + gap
+  }
+
   test("foreachBatch streams into the partitioned sink idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
