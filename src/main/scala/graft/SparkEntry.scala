@@ -40,6 +40,7 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(s, d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(s, d)),
     "q_topn_pergroup" -> ((s, d) => Analytics.topnPerGroup(s, d)),
+    "q_topk_custom" -> ((s, d) => Analytics.topkCustom(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
@@ -266,6 +267,16 @@ object SparkEntry {
         |SELECT p_brand, rn, p_partkey,
         | CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
         |FROM r WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q_topk_custom" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |   row_number() OVER (PARTITION BY p_brand
+        |     ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |SELECT p_brand, p_partkey,
+        | CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM r WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -155,6 +155,16 @@ object Analytics {
       .orderBy("p_brand", "rn")
   }
 
+  /** Top-3 per brand through the custom heap-based TopKPerKey physical
+    * operator (graft.plans) — same semantics as topnPerGroup but no
+    * per-partition sort: one pass, bounded memory. */
+  def topkCustom(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_brand", "p_partkey", "p_retailprice")
+    graft.plans.TopK.perKey(part, 3, Seq("p_brand"), "p_retailprice", "p_partkey")
+      .select(col("p_brand"), col("p_partkey"), cents(col("p_retailprice")).as("price_cents"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** ROLLUP over (priority, status) with exact cents totals. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
