@@ -35,7 +35,7 @@ case class TopKPerKey(k: Int, groupCols: Seq[String], orderCol: String,
 }
 
 case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
-    tieCol: String, child: SparkPlan) extends UnaryExecNode {
+    tieCol: String, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -43,8 +43,13 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
     child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"TopKPerKey: column $name not in ${child.output}"))
 
+  // two-stage like hash aggregation: the partial instance runs on the
+  // map side with whatever distribution the child has (pruning each
+  // input partition to ≤ k rows per key BEFORE the shuffle); the final
+  // instance demands co-location and computes the true top-k.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupCols.map(attr): Seq[Expression]) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(groupCols.map(attr): Seq[Expression])) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
@@ -72,24 +77,32 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
         val c = java.lang.Double.compare(b.v, a.v) // smaller v = worse = "greater"
         if (c != 0) c else java.lang.Double.compare(a.tie, b.tie) // larger tie = worse
       }
+      // transient keys (may point into the reused row buffer) are fine
+      // for lookup; only a NEW bucket's key must be made durable, and
+      // rows are only copied when they actually enter a heap — the
+      // common rejected row is never copied.
+      def keyOf(r: InternalRow, durable: Boolean): Seq[Any] =
+        groupIdx.zip(groupTypes).map { case (i, dt) =>
+          r.get(i, dt) match {
+            case s: org.apache.spark.unsafe.types.UTF8String if durable => s.clone()
+            case v => v
+          }
+        }
       val heaps = new java.util.HashMap[Seq[Any], scala.collection.mutable.PriorityQueue[Entry]]()
       while (iter.hasNext) {
         val r = iter.next()
         val rv = num(r, orderIdx, orderType)
         val rt = num(r, tieIdx, tieType)
-        // key extracted from a copy so unsafe-row buffer reuse is safe
-        val copied = r.copy()
-        val key: Seq[Any] = groupIdx.zip(groupTypes).map { case (i, dt) => copied.get(i, dt) }
-        var h = heaps.get(key)
+        var h = heaps.get(keyOf(r, durable = false))
         if (h == null) {
           h = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
-          heaps.put(key, h)
+          heaps.put(keyOf(r, durable = true), h)
         }
-        if (h.size < kk) h.enqueue(Entry(rv, rt, copied))
+        if (h.size < kk) h.enqueue(Entry(rv, rt, r.copy()))
         else {
           val worst = h.head
           val better = rv > worst.v || (rv == worst.v && rt < worst.tie)
-          if (better) { h.dequeue(); h.enqueue(Entry(rv, rt, copied)) }
+          if (better) { h.dequeue(); h.enqueue(Entry(rv, rt, r.copy())) }
         }
       }
       import scala.jdk.CollectionConverters._
@@ -106,7 +119,8 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, g, o, t, child) =>
-      TopKPerKeyExec(k, g, o, t, planLater(child)) :: Nil
+      TopKPerKeyExec(k, g, o, t, partial = false,
+        TopKPerKeyExec(k, g, o, t, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

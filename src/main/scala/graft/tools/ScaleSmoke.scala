@@ -62,6 +62,17 @@ object ScaleSmoke {
         "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist")) {
       time(q)(graft.SparkEntry.queries(q)(spark, out).count())
     }
+
+    // custom heap top-k vs window row_number on the replicated events
+    val ev = graft.sources.Tables.events(spark, out)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    time("topk-window")(println("rows=" + ev
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 5).count()))
+    time("topk-custom")(println("rows=" +
+      graft.plans.TopK.perKey(ev, 5, Seq("user_id"), "value", "event_id").count()))
     spark.stop()
   }
 }
