@@ -49,6 +49,13 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
+    "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_moving_agg" -> ((s, d) => Analytics.movingAgg(s, d)),
+    "q_arg_extremes" -> ((s, d) => Analytics.argExtremes(s, d)),
+    "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
+    "q_range_join" -> ((s, d) => Analytics.rangeJoinBinned(s, d)),
+    "q_skew_join" -> ((s, d) => Analytics.skewJoinAgg(s, d)),
+    "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -60,6 +67,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_rollhash" -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
+    "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(s, d)),
+    "text_c4_filter" -> ((s, d) => TextOps.c4Filter(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
@@ -355,6 +364,108 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | COUNT(*) AS n_orders,
+        | SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
+    "q_moving_agg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | count(*) OVER w AS win_n,
+        | CAST(sum(value_cents) OVER w AS BIGINT) AS win_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_arg_extremes" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents FROM events)
+        |SELECT user_id,
+        | first(event_type ORDER BY ts_us, event_id) AS first_type,
+        | last(event_type ORDER BY ts_us, event_id) AS last_type,
+        | last(event_id ORDER BY value_cents, event_id) AS peak_event_id,
+        | MAX(value_cents) AS peak_cents,
+        | COUNT(*) AS n
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value/20) AS BIGINT) AS bin, COUNT(*) AS n,
+        | MIN(CAST(round(value*100) AS BIGINT)) AS min_cents,
+        | MAX(CAST(round(value*100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events WHERE event_type IN ('click','error')),
+        |e AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts_us AS c_ts, value_cents AS c_cents FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        | count(c.c_ts) AS n_clicks,
+        | CAST(coalesce(sum(c.c_cents), 0) AS BIGINT) AS click_cents
+        |FROM e LEFT JOIN c ON e.user_id = c.user_id
+        |  AND c.c_ts BETWEEN e.ts_us - 300000000 AND e.ts_us
+        |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "etl_backfill_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+        |   CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |h AS (SELECT user_id, bucket_us, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sc
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM h GROUP BY 1),
+        |sp AS (SELECT user_id, unnest(generate_series(b0, b1, 3600000000)) AS bucket_us FROM b),
+        |j AS (SELECT sp.user_id, sp.bucket_us, coalesce(h.n, 0) AS n_events, h.sc
+        |      FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.bucket_us = h.bucket_us)
+        |SELECT user_id, bucket_us, n_events, n_events = 0 AS is_gap,
+        | last_value(sc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM j ORDER BY user_id, bucket_us""".stripMargin,
+
+    "text_ngram_freq" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-1),
+        |    i -> array_to_string(words[i:i+1], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 2),
+        |ex AS (SELECT unnest(shingles) AS bigram FROM s)
+        |SELECT bigram, COUNT(*) AS n_docs FROM ex GROUP BY 1
+        |ORDER BY n_docs DESC, bigram LIMIT 100""".stripMargin,
+
+    "text_c4_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> '')) AS BIGINT) AS n_words,
+        |   CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |   CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_words, n_stop,
+        |       round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio FROM b),
+        |f AS (SELECT r.*, CASE WHEN n_words < 20 THEN 'too_few_words'
+        |    WHEN n_stop = 0 THEN 'no_stopword'
+        |    WHEN punct_ratio > 0.05 THEN 'high_symbol'
+        |    ELSE 'keep' END AS reason FROM r)
+        |SELECT doc_id, n_words, n_stop, punct_ratio, reason = 'keep' AS keep, reason
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),

@@ -310,6 +310,111 @@ object Analytics {
         unix_micros(col("w.end")).as("end_us"), col("n_events"), col("sum_cents"))
       .orderBy("user_id", "start_us")
 
+  /** CUBE over (priority, status): every grouping-set slice — the
+    * cross-cutting breakdowns ROLLUP's hierarchy can't express. Spark
+    * expands grouping sets inside one aggregation; at scale this is
+    * still a single shuffle on the grouping-id-extended key. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_cents"))
+      .orderBy("priority", "status")
+
+  /** Trailing time-range moving aggregate: each event's per-user count
+    * and total over the preceding 30 minutes via a RANGE frame — the
+    * moving-average speed profile over the reference's breadcrumb
+    * stream. One shuffle on the key; every frame rides the same sort. */
+  def movingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_cents", sum("value_cents").over(w))
+      .select("event_id", "user_id", "ts_us", "win_n", "win_cents")
+      .orderBy("event_id")
+  }
+
+  /** Ordered arg-extremes per key in ONE aggregation pass — first/last
+    * event type by time and the peak-value event — via min_by/max_by
+    * over (ordering, tiebreak) structs. No window, no per-partition
+    * sort: map-side partials fold, so at 100 TB this is a plain
+    * combinable aggregate where the window formulation would sort. */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("last_type"),
+        max_by(col("event_id"), struct(col("value_cents"), col("event_id"))).as("peak_event_id"),
+        max(col("value_cents")).as("peak_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** Fixed-width value histogram (bin = floor(value/20)) — the
+    * distribution profile behind the reference's range validations;
+    * a single map-side-combinable aggregation. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 20).cast("long").as("bin"),
+        cents(col("value")).as("value_cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("value_cents").as("min_cents"), max("value_cents").as("max_cents"))
+      .orderBy("bin")
+
+  /** Interval (range) join, binned: for each 'error' event, the
+    * same-user 'click' activity in the preceding 5 minutes. A naive
+    * range join is O(clicks×errors) per user at scale; quantizing time
+    * into 5-min bins makes it an equi-join on (user, bin) with exactly
+    * 2 candidate bins per error, the precise range predicate filtering
+    * inside the bucket — bounded fan-out at any scale. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val W = 300L * 1000000L // 5 minutes in micros
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("value_cents").as("c_cents"))
+    val errBins = errors.withColumn("bin",
+      explode(array(expr(s"ts_us div $W - 1"), expr(s"ts_us div $W"))))
+    val clickBins = clicks.withColumn("bin", expr(s"c_ts div $W"))
+    val matched = errBins.join(clickBins, Seq("user_id", "bin"))
+      .filter(col("c_ts") >= col("ts_us") - W && col("c_ts") <= col("ts_us"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"), sum("c_cents").as("click_cents"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_cents"), lit(0L)).as("click_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Skewed fact ⋈ dim through the salting utility (graft.ops.SkewJoin)
+    * — hot keys spread over 8 shuffle buckets — aggregated to revenue
+    * per market segment. Result is oracle-checked against the plain
+    * join: salting must not change semantics. */
+  def skewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), cents(col("value")).as("value_cents"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.ops.SkewJoin.saltedJoin(ev, dim, "user_id", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** 10-minute tumbling-window aggregation — the batch twin of the
     * Structured Streaming pipeline in graft.streaming. */
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =

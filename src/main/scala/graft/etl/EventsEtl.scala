@@ -142,4 +142,34 @@ object EventsEtl {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         round(avg(col("k").cast("double")), 6).as("avg_k"))
       .orderBy("event_type")
+
+  /** Gap backfill: regularize each key's stream onto an hourly grid —
+    * per-key min..max bucket spine via sequence/explode, left-join the
+    * observed hourly totals, mark gaps, forward-fill the last observed
+    * total (step interpolation). The time-series repair a telemetry
+    * warehouse needs before rate computations; the spine generation is
+    * per-key-local (no cross-key data motion) and the forward-fill
+    * rides the same (key, bucket) shuffle as the join. */
+  def backfillGaps(spark: SparkSession, dir: String): DataFrame = {
+    val W = 3600L * 1000000L // 1 hour in micros
+    val hourly = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"),
+        (expr(s"unix_micros(ts) div $W") * W).as("bucket_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("user_id", "bucket_us")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sc"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("bucket_us").as("b0"), max("bucket_us").as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), lit(W))).as("bucket_us"))
+    val w = Window.partitionBy("user_id").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "bucket_us"), "left")
+      .select(col("user_id"), col("bucket_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("sc"))
+      .withColumn("is_gap", col("n_events") === 0L)
+      .withColumn("filled_cents", last(col("sc"), ignoreNulls = true).over(w))
+      .drop("sc")
+      .orderBy("user_id", "bucket_us")
+  }
 }

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles3"),
       info("word_shingles3", "word_shingles3(text) - distinct 3-word shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, 3)))
+    e.injectFunction((FunctionIdentifier("word_shingles2"),
+      info("word_shingles2", "word_shingles2(text) - distinct 2-word shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, 2)))
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))

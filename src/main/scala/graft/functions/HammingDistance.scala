@@ -49,6 +49,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles2", exprs => WordShingles(exprs.head, 2), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_tokens", exprs => WordTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")

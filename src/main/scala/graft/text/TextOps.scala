@@ -259,4 +259,43 @@ object TextOps {
       .withColumn("n_same_key", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
+
+  /** Corpus bigram vocabulary: document frequency of every distinct
+    * word bigram, top-100 — the vocab-building scan of a training-data
+    * pipeline. Per-doc distinct shingles come from the codegen'd
+    * shingler; the count is a plain hash aggregate, so map-side
+    * partials bound the shuffle by vocabulary size, not corpus size. */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(expr("word_shingles2(text)")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bigram"))
+      .limit(100)
+  }
+
+  /** C4-style heuristic document filter (arXiv:1910.10683 §2.2 shape):
+    * rule cascade with a recorded drop reason — word-count floor,
+    * English-stopword presence, symbol-ratio cap. Pure per-row
+    * arithmetic: embarrassingly parallel, no shuffle before the
+    * presentation sort. */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(wordsCol).cast("long").as("n_words"),
+        (length(col("text")) -
+          length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"),
+        occurrences(lower(col("text")), " the ").as("n_stop"))
+      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars").cast("double"), 6))
+      .withColumn("reason",
+        when(col("n_words") < 20, "too_few_words")
+          .when(col("n_stop") === 0, "no_stopword")
+          .when(col("punct_ratio") > 0.05, "high_symbol")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "n_words", "n_stop", "punct_ratio", "keep", "reason")
+      .orderBy("doc_id")
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+import graft.etl.EventsEtl
+import graft.text.TextOps
+
+/** Specs for the grouping-set / range-window / interval-join /
+  * backfill / vocab / filter operator batch. */
+class NewOpsSpec extends SparkSpec {
+
+  test("cube grand total equals the orders count; slices are consistent") {
+    val orders = graft.sources.Tables.orders(spark, sfDir).count()
+    val rows = Analytics.cubeAgg(spark, sfDir).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == orders)
+    // detail cells sum back to the grand total
+    val detail = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(detail.map(_.getAs[Long]("n_orders")).sum == orders)
+  }
+
+  test("moving range-frame window always includes the current row") {
+    val df = Analytics.movingAgg(spark, sfDir)
+    assert(df.count() == graft.sources.Tables.events(spark, sfDir).count())
+    assert(df.filter(col("win_n") < 1).count() == 0)
+    // singleton windows carry exactly the row's own value
+    val own = df.join(graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("vc")), "event_id")
+      .filter(col("win_n") === 1 && col("win_cents") =!= col("vc"))
+    assert(own.count() == 0)
+  }
+
+  test("arg-extremes matches the window formulation exactly") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), round(col("value") * 100).cast("long").as("vc"))
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val byVal = Window.partitionBy("user_id").orderBy(col("vc").desc, col("event_id").desc)
+    val expected = ev
+      .withColumn("rn_first", row_number().over(byTs))
+      .withColumn("rn_last", row_number().over(byTs.orderBy(col("ts_us").desc, col("event_id").desc)))
+      .withColumn("rn_peak", row_number().over(byVal))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn_first") === 1, col("event_type"))).as("first_type"),
+        max(when(col("rn_last") === 1, col("event_type"))).as("last_type"),
+        max(when(col("rn_peak") === 1, col("event_id"))).as("peak_event_id"),
+        max("vc").as("peak_cents"), count(lit(1)).as("n"))
+    val got = Analytics.argExtremes(spark, sfDir)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+  }
+
+  test("histogram bins partition the value domain") {
+    val rows = Analytics.histogram(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.sources.Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("min_cents") >= bin * 2000)
+      assert(r.getAs[Long]("max_cents") < (bin + 1) * 2000)
+    }
+  }
+
+  test("binned interval join equals the naive range join") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), round(col("value") * 100).cast("long").as("vc"))
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("vc").as("c_cents"))
+    val W = 300L * 1000000L
+    val naive = errors.join(clicks,
+        errors("user_id") === clicks("user_id") &&
+          col("c_ts") >= col("ts_us") - W && col("c_ts") <= col("ts_us"), "left")
+      .groupBy(errors("event_id"), errors("user_id"), col("ts_us"))
+      .agg(count(col("c_ts")).as("n_clicks"),
+        coalesce(sum("c_cents"), lit(0L)).as("click_cents"))
+    val got = Analytics.rangeJoinBinned(spark, sfDir)
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+  }
+
+  test("salted skew join agrees with the plain join") {
+    val plain = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("value_cents"))
+      .join(graft.sources.Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+    val got = Analytics.skewJoinAgg(spark, sfDir)
+    assert(got.exceptAll(plain).count() == 0 && plain.exceptAll(got).count() == 0)
+  }
+
+  test("backfill produces a contiguous hourly spine with no lost events") {
+    val df = EventsEtl.backfillGaps(spark, sfDir).cache()
+    val W = 3600L * 1000000L
+    // contiguity: per user, row count == (max-min)/W + 1
+    val bad = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("bucket_us").as("b0"), max("bucket_us").as("b1"))
+      .filter(col("n") =!= (col("b1") - col("b0")) / W + 1)
+    assert(bad.count() == 0)
+    // conservation: bucket totals sum to the raw event count
+    assert(df.agg(sum("n_events")).head.getLong(0) ==
+      graft.sources.Tables.events(spark, sfDir).count())
+    // forward fill: no null filled value anywhere (spine starts at an
+    // observed bucket, so a carried value always exists)
+    assert(df.filter(col("filled_cents").isNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("bigram vocab is bounded by doc frequency and capped at 100") {
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    val rows = TextOps.ngramFreq(spark, sfDir).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("n_docs") <= nDocs))
+    // descending doc-frequency order
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("c4 filter covers every document with a consistent keep flag") {
+    val df = TextOps.c4Filter(spark, sfDir).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sfDir).count())
+    assert(df.filter(col("keep") =!= (col("reason") === "keep")).count() == 0)
+    val reasons = df.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set("keep", "too_few_words", "no_stopword", "high_symbol")))
+    // both kept and dropped docs exist at this corpus shape
+    assert(df.filter(col("keep")).count() > 0 && df.filter(!col("keep")).count() > 0)
+    df.unpersist()
+  }
+}
