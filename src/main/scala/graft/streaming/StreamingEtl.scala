@@ -52,6 +52,39 @@ object StreamingEtl {
     df.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id")
 
+  /** Watermarked stream-stream interval join: each 'error' event joined
+    * to the same user's 'click' events in the preceding 5 minutes — the
+    * streaming twin of Analytics.rangeJoinBinned. Both inputs carry
+    * event-time watermarks and the join condition bounds c_ts relative
+    * to the error's ts on both ends, so the engine can evict click
+    * state older than watermark − 5 min: state stays bounded on an
+    * unbounded stream. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        round(col("value") * 100).cast("long").as("c_cents"))
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    e.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("c_ts"), col("c_cents"))
+  }
+
+  /** Streaming session windows (30-min gap): the streaming mode of
+    * Analytics.sessionWindow. The watermark closes a session once no
+    * event can extend it, so append mode emits each session exactly
+    * once with final counts — per-key session state is bounded by the
+    * watermark horizon. */
+  def sessionCounts(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_cents"))
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class SpeedState(lastTsUs: Long, lastValue: Double)

@@ -61,6 +61,59 @@ class StreamingSpec extends SparkSpec {
     assert(got(3L).contains(0.0))
   }
 
+  test("stream-stream interval join matches clicks in the 5-min lookback only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val errors = MemoryStream[EventRow]
+    val q = StreamingEtl.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    clicks.addData(
+      row(10, base, 1, "click", 1.0),            // 2 min before error: match
+      row(11, base + 60_000, 1, "click", 2.0),   // 1 min before: match
+      row(12, base - 600_000, 1, "click", 3.0),  // 10 min before: outside window
+      row(13, base + 60_000, 2, "click", 4.0),   // other user: no match
+      row(14, base + 300_000, 1, "click", 5.0))  // after the error: no match
+    errors.addData(row(20, base + 120_000, 1, "error", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin")
+      .select("event_id", "c_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 100L), (20L, 200L)))
+  }
+
+  test("streaming session windows close at the gap and match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // session 1: two events 10 min apart (same 30-min-gap session)
+    stream.addData(
+      row(1, base, 5, "click", 10.0),
+      row(2, base + 600_000, 5, "click", 20.0))
+    q.processAllAvailable()
+    // an event 2 hours later: starts session 2 AND advances the
+    // watermark past session 1's close, so session 1 is emitted
+    stream.addData(row(3, base + 7_200_000, 5, "click", 30.0))
+    q.processAllAvailable()
+    // push the watermark far ahead to flush session 2 as well
+    stream.addData(row(4, base + 100_000_000, 6, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .filter($"user_id" === 5)
+      .select("session_start", "session_end", "n_events", "sum_cents")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3))).toSet
+    val gap = 1_800_000L // 30 min
+    assert(got == Set(
+      (base, base + 600_000 + gap, 2L, 3000L),
+      (base + 7_200_000, base + 7_200_000 + gap, 1L, 3000L)))
+  }
+
   test("streaming validation drops the same rows as batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
