@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles2"),
       info("word_shingles2", "word_shingles2(text) - distinct 2-word shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, 2)))
+    e.injectFunction((FunctionIdentifier("minhash128"),
+      info("minhash128", "minhash128(shingles) - 128-slot MinHash signature in one pass"),
+      (exprs: Seq[Expression]) => MinHash128(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash signature in one pass"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))

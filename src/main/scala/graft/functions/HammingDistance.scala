@@ -51,6 +51,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles2", exprs => WordShingles(exprs.head, 2), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash128", exprs => MinHash128(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_tokens", exprs => WordTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")

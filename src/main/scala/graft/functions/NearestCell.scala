@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** argmin-distance cell assignment for an IVF coarse quantizer: given
+  * a float vector and the (driver-trained, broadcast-by-reference)
+  * centroid matrix, returns the index of the nearest centroid by
+  * squared L2 distance. Ties break to the lowest index —
+  * deterministic. The centroid matrix rides along as a codegen
+  * reference object, so the per-row work is one tight k×dim loop
+  * inside WholeStageCodegen. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCell.nearest(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NearestCell.nearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NearestCell {
+  /** static entry point shared by interpreted and generated code */
+  def nearest(vec: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = vec.getFloat(i) - c(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestDist) { bestDist = s; best = j }
+      j += 1
+    }
+    best
+  }
+}

@@ -64,15 +64,9 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
-  // MinHash parameters: 128 permutations h_i(x) = (a_i*x + b_i) mod p
-  // with p = 2^31-1 (Mersenne), banded 32×4. Inputs are first reduced
-  // mod p so a*h + b stays well inside int64 under ANSI arithmetic.
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-  private val minhashParams: Seq[(Long, Long)] = {
-    var s = 42L
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33 }
-    Seq.fill(128)((next() % (MinhashPrime - 1) + 1, next() % MinhashPrime))
-  }
+  // MinHash parameters live in graft.functions.MinHash128: 128
+  // permutations h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1, banded
+  // 32×4, all slots computed in one codegen'd pass per document.
 
   /** MinHash(128) + LSH banding (32 bands × 4 rows) candidate pairs,
     * verified with exact shingle Jaccard ≥ 0.5. The scale path for
@@ -103,45 +97,34 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash signature as 128 codegen'd min-aggregates over the
-    * exploded shingle hashes (one hash-aggregate, no interpreted
-    * lambdas), then 32×4 banding via multi-arg hash() — every operator
-    * stays inside WholeStageCodegen. */
+  /** MinHash signatures via the fused minhash128 expression (all 128
+    * slots in one compiled pass per document — no explode, no
+    * 128-buffer aggregate, no intermediate (doc, shingle) relation),
+    * then 32×4 banding via multi-arg hash() over signature slots —
+    * every operator stays inside WholeStageCodegen. */
   private[graft] def minhashPiecesInternal(spark: SparkSession, dir: String) = {
     val shingled = shingledDocs(spark, dir)
-    val hashed = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashPrime)))
-    val minAggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"s$i") }
-    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sigs = shingled.select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
     val banded = sigs.select(col("doc_id"),
         explode(array((0 until 32).map(i =>
           struct(lit(i).as("band_id"),
-            hash((i * 4 until i * 4 + 4).map(j => col(s"s$j")): _*).as("band_hash"))): _*)).as("band"))
+            hash((i * 4 until i * 4 + 4).map(j =>
+              element_at(col("sig"), j + 1)): _*).as("band_hash"))): _*)).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
     (shingled, banded)
   }
 
-  /** 64-bit SimHash near-dup candidates: per-word hash votes per bit,
-    * 4×16-bit chunk LSH (pigeonhole: hamming ≤ 3 ⇒ one identical
-    * chunk), final filter with the codegen'd hamming64 expression. */
+  /** 64-bit SimHash near-dup candidates: the fused simhash64 expression
+    * (all 64 bit-votes in one compiled pass per document — no explode,
+    * no 64-buffer aggregate), 4×16-bit chunk LSH (pigeonhole:
+    * hamming ≤ 3 ⇒ one identical chunk), final filter with the
+    * codegen'd hamming64 expression. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val tokens = Tables.documents(spark, dir)
+    val sigs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(expr("word_tokens(text)")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    // one aggregation computes all 64 bit-votes; recombine into int64
-    val bitSums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
-    val sigs = tokens.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", (0 until 64)
-        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce((x, y) => x.bitwiseOR(y)))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk_id"),

@@ -78,23 +78,67 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into KMeans cells
-    * (deterministic seed), probe only the query's cell, rank by exact
-    * cosine — the classic coarse-quantizer scale path alongside LSH.
-    * At 100 TB the centroids train on a sample and the cell assignment
-    * is a broadcast-apply over the corpus scan. */
+  /** Lloyd's k-means over a bounded in-memory sample — the IVF coarse
+    * quantizer trainer. Deterministic: evenly-spaced init over the
+    * id-sorted sample, fixed iteration count, lowest-index tie-breaks.
+    * O(sample × k × dim × iters) driver work (~20M flops here). */
+  private def lloyd(data: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = data.length
+    val dim = data.head.length
+    val cent = Array.tabulate(k)(j => data((j.toLong * n / k).toInt).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var r = 0
+      while (r < n) {
+        val v = data(r)
+        var best = 0; var bestDist = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = v(i) - cent(j)(i); s += d * d; i += 1 }
+          if (s < bestDist) { bestDist = s; best = j }
+          j += 1
+        }
+        val acc = sums(best); var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < dim) { cent(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into k-means cells,
+    * probe only the query's cell, rank by exact cosine — the classic
+    * coarse-quantizer scale path alongside LSH. The 100 TB shape is
+    * explicit here: centroids train on a BOUNDED driver-side sample
+    * (capped rows — never the corpus), and cell assignment is a
+    * broadcast-by-reference argmin (graft.functions.NearestCell) fused
+    * into the corpus scan — one pass, no ML-pipeline job storm. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e"),
-        array_to_vector(col("embedding")).as("fv"))
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(4096)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = lloyd(sample, 16, 10)
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
-    val model = new KMeans().setK(16).setSeed(7).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.select("fv"))
-    val assigned = model.transform(base).drop("fv")
+      .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
     val q = assigned.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn", "cell")
     val c = assigned.toDF("neighbor_id", "ce", "cn", "cell")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -116,7 +160,11 @@ object VectorOps {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
-    val a = vecs.toDF("a_id", "ae", "an")
+    // spread the streamed side over all cores: the corpus arrives as a
+    // single small file split, which would serialize the O(n²) dot
+    // products onto one thread
+    val a = vecs.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .toDF("a_id", "ae", "an")
     val b = vecs.toDF("b_id", "be", "bn")
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))

@@ -41,4 +41,29 @@ class PlanAuditSpec extends SparkSpec {
   test("driver entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("binned interval join plans as an equi-join, not a cartesian/BNLJ") {
+    val plan = executed(Analytics.rangeJoinBinned(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a product join:\n${plan.take(1500)}")
+  }
+
+  test("moving range-frame window runs off a single hash exchange") {
+    val plan = executed(Analytics.movingAgg(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+  }
+
+  test("arg-extremes is a plain aggregate — no window, no sort before the agg") {
+    val plan = executed(Analytics.argExtremes(spark, sfDir))
+    assert(!plan.contains("Window"), s"argExtremes regressed to a window plan:\n${plan.take(1200)}")
+  }
+
+  test("backfill forward-fill reuses the (user, bucket) shuffle for join and window") {
+    val plan = executed(EventsEtl.backfillGaps(spark, sfDir))
+    // spine agg, hourly agg, join + window: the window must not add its
+    // own exchange on top of the join's (both are user_id-clustered)
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3, s"expected <=3 hash exchanges, got $hashExchanges:\n${plan.take(2000)}")
+  }
 }
