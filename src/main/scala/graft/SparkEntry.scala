@@ -59,6 +59,7 @@ object SparkEntry {
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_cluster" -> ((s, d) => TextOps.dedupCluster(s, d)),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
@@ -488,6 +489,34 @@ object SparkEntry {
         |SELECT a_id, b_id, round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard
         |FROM p WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_cluster" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |p2 AS (SELECT a_id, b_id FROM p
+        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+        |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+        |        FROM documents d LEFT JOIN closure c ON c.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        | doc_id = cluster_id AS is_canonical
+        |FROM lbl ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH c AS (

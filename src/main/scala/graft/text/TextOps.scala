@@ -48,10 +48,16 @@ object TextOps {
       .filter(size(col("shingles")) > 0)
   }
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted Jaccard ≥ 0.5 pairs — shared by the pair report and the
+    * clustering operator. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingledDocs(spark, dir)
+    // join on the 64-bit shingle hash, not the string: the self-join
+    // shuffles longs instead of ~20-byte shingles (the hash is computed
+    // codegen'd on the exploded column, outside any interpreted lambda)
     val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("sh"))
+        explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
     val a = ex.toDF("a_id", "a_n", "sh")
     val b = ex.toDF("b_id", "b_n", "sh")
     a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
@@ -60,8 +66,52 @@ object TextOps {
       .withColumn("jaccard",
         round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+
+  /** Near-duplicate clustering: connected components over the exact
+    * Jaccard ≥ 0.5 pair graph — min-label propagation to a fixpoint,
+    * then cluster sizes and the canonical (min-id) flag. This is the
+    * decision step a training pipeline actually executes: keep one doc
+    * per cluster.
+    *
+    * Each round is one shuffle (neighbor-min join + per-node min) and
+    * rounds = component diameter; near-dup components are tiny and
+    * star-like, so the loop converges in a few rounds at any corpus
+    * size. The driver orchestrates the loop and reads only the 1-value
+    * convergence count per round — all data stays distributed. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nb_min"))
+      val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    val w = Window.partitionBy("cluster_id")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   // MinHash parameters live in graft.functions.MinHash128: 128

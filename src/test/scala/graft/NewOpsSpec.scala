@@ -119,6 +119,24 @@ class NewOpsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("near-dup clustering labels both ends of every pair identically") {
+    val clusters = TextOps.dedupCluster(spark, sfDir).cache()
+    val labels = clusters.select("doc_id", "cluster_id")
+    val pairs = TextOps.dedupNgramJaccard(spark, sfDir).select("a_id", "b_id")
+    val mismatched = pairs
+      .join(labels.toDF("a_id", "a_cl"), "a_id")
+      .join(labels.toDF("b_id", "b_cl"), "b_id")
+      .filter(col("a_cl") =!= col("b_cl"))
+    assert(mismatched.count() == 0)
+    // cluster label is the component minimum: never above the member id
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // exactly one canonical per cluster
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canon"))
+    assert(perCluster.filter(col("n_canon") =!= 1L).count() == 0)
+    clusters.unpersist()
+  }
+
   test("c4 filter covers every document with a consistent keep flag") {
     val df = TextOps.c4Filter(spark, sfDir).cache()
     assert(df.count() == graft.sources.Tables.documents(spark, sfDir).count())
