@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    // whole-operator surface: the heap top-k strategy plus the
+    // optimizer rule that rewrites row_number-top-k windows onto it
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -136,4 +136,24 @@ object TopK {
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       TopKPerKey(k, groupCols, orderCol, tieCol, df.queryExecution.analyzed))
   }
+
+  /** Enable the automatic row_number-top-k → heap-operator rewrite
+    * (TopKRewrite) on an existing session. Extension-built sessions
+    * get this through GraftExtensions instead. */
+  def enableAutoRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
+
+  /** Disable the automatic rewrite (test hygiene). */
+  def disableAutoRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+  }
 }

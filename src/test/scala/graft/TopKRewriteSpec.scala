@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule that swaps the row_number top-k idiom for the
+  * heap operator: fires exactly when safe, never changes results. */
+class TopKRewriteSpec extends SparkSpec {
+
+  private def windowTopK = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    graft.sources.Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_retailprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  private def asSet(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("auto-rewrite turns row_number top-k into the heap operator") {
+    // baseline rows with the rewrite OFF
+    val want = asSet(windowTopK.select("p_brand", "p_partkey", "p_retailprice").collect())
+    TopK.enableAutoRewrite(spark)
+    try {
+      val df = windowTopK.select("p_brand", "p_partkey", "p_retailprice")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n${plan.take(1500)}")
+      assert(!plan.contains("Window"), s"window survived:\n${plan.take(1500)}")
+      assert(asSet(df.collect()) == want)
+    } finally TopK.disableAutoRewrite(spark)
+  }
+
+  test("rewrite does NOT fire when the rank column is consumed") {
+    TopK.enableAutoRewrite(spark)
+    try {
+      val plan = windowTopK.select("p_brand", "rn", "p_partkey")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"))
+    } finally TopK.disableAutoRewrite(spark)
+  }
+
+  test("rewrite does NOT fire for an unsupported ordering contract") {
+    TopK.enableAutoRewrite(spark)
+    try {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").asc, col("p_partkey"))
+      val plan = graft.sources.Tables.part(spark, sfDir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("p_brand", "p_partkey")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"))
+    } finally TopK.disableAutoRewrite(spark)
+  }
+}
