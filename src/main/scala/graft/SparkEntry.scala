@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -613,5 +614,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | sha256(text) AS digest, doc_id % 32 AS batch_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS digest FROM documents),
+        |m AS (SELECT h.*, MIN(doc_id) OVER (PARTITION BY digest) AS canonical_id FROM h)
+        |SELECT doc_id, digest, canonical_id, doc_id <> canonical_id AS is_dup
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

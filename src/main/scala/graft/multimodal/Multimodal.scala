@@ -27,6 +27,21 @@ object Multimodal {
         (col("doc_id") % 32).as("batch_id"))
       .orderBy("doc_id")
 
+  /** Exact media dedup by content digest: group binary payloads on
+    * sha256, canonical = min doc_id per digest — the multimodal twin of
+    * dedup_exact. At 100 TB the digest is computed in the scan
+    * projection and the groupBy shuffles 32-byte digests, never the
+    * payload bytes. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class DecodedRow(doc_id: Long, width: Int, height: Int,
       n_frames: Int, feature: Array[Double])

@@ -59,7 +59,9 @@ object ScaleSmoke {
       .parquet(s"$out/events.parquet")
 
     for (q <- Seq("q1_agg", "q3_shipping", "q_sessionize", "etl_derive_speed",
-        "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist")) {
+        "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist",
+        "q_range_join", "q_moving_agg", "etl_backfill_gaps", "q_arg_extremes",
+        "q_skew_join", "dedup_cluster")) {
       time(q)(graft.SparkEntry.queries(q)(spark, out).count())
     }
 

@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  test("media dedup groups identical payloads under the min canonical id") {
+    import org.apache.spark.sql.functions._
+    val df = graft.multimodal.Multimodal.mediaDedup(spark, sfDir).cache()
+    assert(df.count() == graft.sources.Tables.documents(spark, sfDir).count())
+    // canonical is never above the member, and canonicals are not dups
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    assert(df.filter(col("doc_id") === col("canonical_id") && col("is_dup")).count() == 0)
+    df.unpersist()
+  }
+
   test("decode stub is deterministic and covers every doc") {
     val a = Multimodal.decodeFeatures(spark, sfDir).collect()
     val b = Multimodal.decodeFeatures(spark, sfDir).collect()
