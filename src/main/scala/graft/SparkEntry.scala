@@ -56,6 +56,7 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => Analytics.rangeJoinBinned(s, d)),
     "q_skew_join" -> ((s, d) => Analytics.skewJoinAgg(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
+    "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -438,6 +439,26 @@ object SparkEntry {
         | last_value(sc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_us
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
         |FROM j ORDER BY user_id, bucket_us""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT e.*, CASE WHEN lag(event_type) OVER w IS NULL THEN 1
+        |    WHEN lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (
+        |  SELECT m.*, CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM m),
+        |g AS (
+        |  SELECT user_id, version, event_type, MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        | n_events,
+        | (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)) IS NULL AS is_current
+        |FROM g ORDER BY user_id, version""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH w AS (

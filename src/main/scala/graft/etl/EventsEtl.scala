@@ -143,6 +143,39 @@ object EventsEtl {
         round(avg(col("k").cast("double")), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** SCD2 change history: collapse each key's event stream into
+    * validity-interval versions of the tracked attribute (event_type) —
+    * change detection via lag, version numbering via cumulative sum,
+    * interval close via lead, open interval = current. The
+    * slowly-changing-dimension build the reference's trip table implies
+    * (service_key/direction change over a vehicle's day).
+    *
+    * One hash exchange total: the lag window, the cumulative sum, the
+    * (user, version) aggregation and the lead window all ride the same
+    * user_id clustering. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val versioned = ev
+      .withColumn("changed",
+        when(lag("event_type", 1).over(byTs).isNull, 1L)
+          .when(lag("event_type", 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum("changed").over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version", "event_type")
+      .agg(min("ts_us").as("valid_from"), count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    versioned
+      .withColumn("valid_to", lead("valid_from", 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "event_type", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .orderBy("user_id", "version")
+  }
+
   /** Gap backfill: regularize each key's stream onto an hourly grid —
     * per-key min..max bucket spine via sequence/explode, left-join the
     * observed hourly totals, mark gaps, forward-fill the last observed

@@ -28,6 +28,15 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Schema-evolution parquet reader: mergeSchema unions all footer
+    * schemas so files written before a column existed read back with
+    * that column null-filled — the append-only table whose producer
+    * added fields over time (the reference's breadcrumb feed gained
+    * GPS_HDOP mid-project). At scale, pay the footer-merge cost once
+    * and pin the merged schema in a catalog. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Headerless single-column key list (vehicle_ids.csv analog). */
   def readKeyList(spark: SparkSession, path: String): DataFrame =
     spark.read

@@ -137,6 +137,39 @@ class NewOpsSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("scd2 intervals tile each key's timeline without overlap") {
+    val df = EventsEtl.scd2History(spark, sfDir).cache()
+    // exactly one open (current) interval per user
+    val open = df.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"))
+    assert(open.filter(col("n_open") =!= 1L).count() == 0)
+    // each closed interval ends exactly where the next one starts
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val bad = df.withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(bad.count() == 0)
+    // consecutive versions always change the tracked attribute
+    val same = df.withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull && col("prev_type") === col("event_type"))
+    assert(same.count() == 0)
+    // version totals conserve the event count
+    assert(df.agg(sum("n_events")).head.getLong(0) ==
+      graft.sources.Tables.events(spark, sfDir).count())
+    df.unpersist()
+  }
+
+  test("mergeSchema reader null-fills columns missing from older files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    val df = graft.sources.Formats.readEvolved(spark, dir)
+    assert(df.columns.toSet == Set("id", "v1", "v2"))
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("v2")))
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("v2")) == 9.5)
+  }
+
   test("c4 filter covers every document with a consistent keep flag") {
     val df = TextOps.c4Filter(spark, sfDir).cache()
     assert(df.count() == graft.sources.Tables.documents(spark, sfDir).count())
