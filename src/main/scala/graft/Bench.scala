@@ -11,12 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL materialization through the noop sink: a count() would
+    // let the optimizer prune unreferenced Window operators and
+    // presentation sorts, silently under-measuring window/sort queries.
+    // noop evaluates every row of every column and discards them.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warm the session (parquet datasource init, codegen compiler, JIT)
     // so per-query timings measure the queries, not JVM startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

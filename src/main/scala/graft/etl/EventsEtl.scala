@@ -185,24 +185,31 @@ object EventsEtl {
     * rides the same (key, bucket) shuffle as the join. */
   def backfillGaps(spark: SparkSession, dir: String): DataFrame = {
     val W = 3600L * 1000000L // 1 hour in micros
-    val hourly = graft.sources.Tables.events(spark, dir)
+    // Spine-free formulation: each OBSERVED bucket generates itself
+    // plus the empty buckets up to (exclusive) the key's next observed
+    // bucket — sequence/explode off a lead() window. Gap rows inherit
+    // the generating bucket's total, so the forward-fill needs no
+    // second window and no spine join (a spine-side self-join would
+    // also scan and aggregate the input twice — Spark does not share
+    // subtrees across DataFrame branches). ONE shuffle: the explicit
+    // user_id repartition satisfies the (user, bucket) aggregation and
+    // the lead window; the generate is partition-local.
+    val byBucket = Window.partitionBy("user_id").orderBy("bucket_us")
+    graft.sources.Tables.events(spark, dir)
       .select(col("user_id"),
         (expr(s"unix_micros(ts) div $W") * W).as("bucket_us"),
         round(col("value") * 100).cast("long").as("vc"))
+      .repartition(col("user_id"))
       .groupBy("user_id", "bucket_us")
       .agg(count(lit(1)).as("n"), sum("vc").as("sc"))
-    val spine = hourly.groupBy("user_id")
-      .agg(min("bucket_us").as("b0"), max("bucket_us").as("b1"))
-      .select(col("user_id"),
-        explode(sequence(col("b0"), col("b1"), lit(W))).as("bucket_us"))
-    val w = Window.partitionBy("user_id").orderBy("bucket_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "bucket_us"), "left")
-      .select(col("user_id"), col("bucket_us"),
-        coalesce(col("n"), lit(0L)).as("n_events"), col("sc"))
-      .withColumn("is_gap", col("n_events") === 0L)
-      .withColumn("filled_cents", last(col("sc"), ignoreNulls = true).over(w))
-      .drop("sc")
+      .withColumn("next_us", lead("bucket_us", 1).over(byBucket))
+      .select(col("user_id"), col("n"), col("sc"), col("bucket_us"),
+        explode(sequence(col("bucket_us"),
+          coalesce(col("next_us") - W, col("bucket_us")), lit(W))).as("gen_us"))
+      .select(col("user_id"), col("gen_us").as("bucket_us"),
+        when(col("gen_us") === col("bucket_us"), col("n")).otherwise(0L).as("n_events"),
+        (col("gen_us") =!= col("bucket_us")).as("is_gap"),
+        col("sc").as("filled_cents"))
       .orderBy("user_id", "bucket_us")
   }
 }

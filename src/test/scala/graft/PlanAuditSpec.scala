@@ -59,11 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"argExtremes regressed to a window plan:\n${plan.take(1200)}")
   }
 
-  test("backfill forward-fill reuses the (user, bucket) shuffle for join and window") {
+  test("backfill runs aggs, spine, join and forward-fill off ONE hash exchange") {
     val plan = executed(EventsEtl.backfillGaps(spark, sfDir))
-    // spine agg, hourly agg, join + window: the window must not add its
-    // own exchange on top of the join's (both are user_id-clustered)
     val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges <= 3, s"expected <=3 hash exchanges, got $hashExchanges:\n${plan.take(2000)}")
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 }
