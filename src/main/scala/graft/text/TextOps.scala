@@ -88,8 +88,11 @@ object TextOps {
     val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    // propagate ONLY over nodes that appear in the pair graph —
+    // isolated documents keep their own id and never need a round; the
+    // loop's working set is O(near-dup nodes), not O(corpus)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -108,7 +111,9 @@ object TextOps {
     }
     edges.unpersist(blocking = false)
     val w = Window.partitionBy("cluster_id")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
