@@ -132,7 +132,10 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(4096)
       .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = lloyd(sample, 16, 10)
+    // empty corpus ⇒ no centroids; NearestCell degenerates to cell 0
+    // over zero rows (day-one deployments must plan cleanly)
+    val centroids =
+      if (sample.isEmpty) Array.empty[Array[Double]] else lloyd(sample, 16, 10)
     val assigned = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))

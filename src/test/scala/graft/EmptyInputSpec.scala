@@ -1,0 +1,31 @@
+package graft
+
+/** Robustness gate: every operator must plan and execute against EMPTY
+  * input tables (schema-preserved, zero rows) without throwing — the
+  * day-one state of any real deployment, and the failure mode of a
+  * partition-pruned read that matched nothing. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      graft.sources.Tables.load(spark, sfDir, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // events ships as TIMESTAMP(NANOS) parquet: read it as a raw long
+    // (same flag Tables.events sets) and copy the pre-conversion schema
+    // with zero rows — Tables.events then applies its usual conversion
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every query runs to completion on empty tables") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, emptyDir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"queries failing on empty input:\n${failures.mkString("\n")}")
+  }
+}
