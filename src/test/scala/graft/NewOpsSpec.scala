@@ -119,6 +119,22 @@ class NewOpsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("exact duplicates always surface as hamming-0 simhash pairs") {
+    // identical text ⇒ identical token stream ⇒ identical signature ⇒
+    // all four LSH chunks collide ⇒ the pair MUST be reported with
+    // hamming 0 — ties the rows-only simhash operator to the
+    // oracle-checked exact dedup
+    val exactPairs = TextOps.dedupExact(spark, sfDir)
+      .filter(col("is_dup"))
+      .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+    val simhashZero = TextOps.dedupSimhash(spark, sfDir)
+      .filter(col("hamming") === 0)
+      .select("a_id", "b_id")
+    val missed = exactPairs.exceptAll(simhashZero)
+    assert(missed.count() == 0,
+      "exact-dup pair missing from simhash hamming-0 pairs")
+  }
+
   test("near-dup clustering labels both ends of every pair identically") {
     val clusters = TextOps.dedupCluster(spark, sfDir).cache()
     val labels = clusters.select("doc_id", "cluster_id")

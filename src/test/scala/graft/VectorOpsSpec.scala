@@ -41,6 +41,31 @@ class VectorOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
   }
 
+  test("IVF and LSH cosines agree exactly with brute force on shared pairs") {
+    // the ANN variants restrict the candidate set, but every (query,
+    // neighbor) they DO report must carry the same cosine the exact
+    // path computes — catches kernel/normalization drift between paths
+    val bf = VectorOps.annBruteForce(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bf_cos"))
+    for (approx <- Seq(VectorOps.annIvf(spark, sfDir), VectorOps.annLsh(spark, sfDir))) {
+      val joined = approx.select("query_id", "neighbor_id", "cos")
+        .join(bf, Seq("query_id", "neighbor_id"))
+      val n = joined.count()
+      assert(n > 0, "ANN variant shares no pairs with brute force")
+      assert(joined.filter(col("cos") =!= col("bf_cos")).count() == 0)
+    }
+  }
+
+  test("ANN cosine never beats the brute-force top-1 for the same query") {
+    val bfTop = VectorOps.annBruteForce(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("best_cos"))
+    val ivf = VectorOps.annIvf(spark, sfDir)
+      .join(bfTop, "query_id")
+      .filter(col("cos") > col("best_cos"))
+    assert(ivf.count() == 0)
+  }
+
   test("vec stats: dims uniform at 64, norms positive") {
     val rows = VectorOps.vecStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
