@@ -73,6 +73,42 @@ object TextOps {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** The 100 TB shape of the exact shingle join: drop shingles whose
+    * document frequency exceeds `dfCap` from the inverted index before
+    * the self-join. Ultra-common shingles ("one of the", boilerplate)
+    * produce quadratic candidate blow-up while contributing almost no
+    * Jaccard evidence; capping bounds the per-shingle join fan-out at
+    * dfCap². Pairs whose ONLY shared shingles are ultra-common are
+    * missed — at cap=∞ this is exactly dedupNgramJaccard (spec-pinned),
+    * and intersection counts on surviving pairs are computed over ALL
+    * their shingles (the arrays re-join for the verify), so reported
+    * jaccard values stay exact. */
+  def jaccardPairsCapped(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val pruned = ex.join(rare, Seq("sh"))
+    val a = pruned.toDF("sh", "a_id", "a_n")
+    val b = pruned.toDF("sh", "b_id", "b_n")
+    // candidate pairs from the pruned index; intersection over pruned
+    // shingles only lower-bounds the true count, so re-verify exact
+    // jaccard through the full shingle arrays (broadcast re-join)
+    val cand = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docs.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(docs.toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Near-duplicate clustering: connected components over the exact
     * Jaccard ≥ 0.5 pair graph — min-label propagation to a fixpoint,
     * then cluster sizes and the canonical (min-id) flag. This is the

@@ -119,6 +119,15 @@ class NewOpsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("df-capped jaccard equals the exact operator uncapped, subsets it capped") {
+    val exact = TextOps.dedupNgramJaccard(spark, sfDir)
+    val uncapped = TextOps.jaccardPairsCapped(spark, sfDir, Long.MaxValue)
+    assert(uncapped.exceptAll(exact).count() == 0 && exact.exceptAll(uncapped).count() == 0)
+    val capped = TextOps.jaccardPairsCapped(spark, sfDir, 2L)
+    // pruning can only LOSE pairs, never invent them or change values
+    assert(capped.exceptAll(exact).count() == 0)
+  }
+
   test("exact duplicates always surface as hamming-0 simhash pairs") {
     // identical text ⇒ identical token stream ⇒ identical signature ⇒
     // all four LSH chunks collide ⇒ the pair MUST be reported with
