@@ -27,4 +27,65 @@ object Sink {
   /** Plain append load for immutable event streams. */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
+
+  /** CDC-style upsert into a partitioned parquet table without a table
+    * format: rewrite ONLY the partitions the changes touch, merging
+    * existing rows with changes and keeping, per key, the row with the
+    * highest version (ties → the incoming change). The partition-scoped
+    * read + dynamic overwrite keeps the rewrite proportional to the
+    * touched partitions, not the table; re-applying the same change
+    * set is idempotent. */
+  def upsertPartitioned(changes: DataFrame, path: String,
+      partitionCol: String, keyCol: String, versionCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = changes.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // "table exists" = directory holds real output (partition dirs /
+    // data files), not merely an empty pre-created directory
+    val exists = Option(new java.io.File(path).listFiles()).exists(
+      _.exists(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    val merged = if (!exists) changes else {
+      // only the touched partitions are read: the IN filter prunes at
+      // the partition-directory level
+      val touched = changes.select(partitionCol).distinct()
+      val current = spark.read.parquet(path)
+        .join(broadcast(touched), Seq(partitionCol), "left_semi")
+        .withColumn("_src", lit(0))
+      val incoming = changes.withColumn("_src", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      current.unionByName(incoming)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_src")
+    }
+    // materialize before writing: the merged plan reads the same path
+    // it overwrites, which Spark (correctly) refuses to run lazily.
+    // Bounded: only the touched partitions are in the checkpoint.
+    val out = if (exists) merged.localCheckpoint(true) else merged
+    out.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+  }
+
+  /** Small-file compaction for one or more partitions of a partitioned
+    * parquet table: rewrite each listed partition's accumulated small
+    * files (the residue of streaming / per-batch appends) into ONE file
+    * per partition, data unchanged (spec-pinned). Hash-repartitioning
+    * on the partition column puts all of a value's rows in one task, so
+    * each partition directory comes back with a single data file.
+    * Scoped to the listed partitions, so a 100 TB table compacts
+    * incrementally. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String, partitionValues: Seq[Any]): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(path)
+      .filter(col(partitionCol).isin(partitionValues: _*))
+      .repartition(col(partitionCol))
+      // break lineage: the plan reads the path it overwrites
+      .localCheckpoint(true)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+  }
 }

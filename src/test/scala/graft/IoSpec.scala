@@ -31,6 +31,56 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("upsert keeps highest version per key, rewrites only touched partitions, idempotent") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert").toString
+    val base = Seq(
+      ("d1", 1L, 1L, "a"), ("d1", 2L, 1L, "b"), ("d2", 3L, 1L, "c")
+    ).toDF("day", "id", "version", "payload")
+    Sink.upsertPartitioned(base, out, "day", "id", "version")
+    // change set: update id=1 (newer version), insert id=4, d2 untouched
+    val changes = Seq(
+      ("d1", 1L, 2L, "a2"), ("d1", 4L, 1L, "d")
+    ).toDF("day", "id", "version", "payload")
+    Sink.upsertPartitioned(changes, out, "day", "id", "version")
+    def snapshot() = spark.read.parquet(out)
+      .select("day", "id", "version", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val expect = Set(("d1", 1L, 2L, "a2"), ("d1", 2L, 1L, "b"),
+      ("d2", 3L, 1L, "c"), ("d1", 4L, 1L, "d"))
+    assert(snapshot() == expect)
+    // re-applying the same change set changes nothing
+    Sink.upsertPartitioned(changes, out, "day", "id", "version")
+    assert(snapshot() == expect)
+    // stale change (lower version) must not override
+    val stale = Seq(("d1", 1L, 1L, "old")).toDF("day", "id", "version", "payload")
+    Sink.upsertPartitioned(stale, out, "day", "id", "version")
+    assert(snapshot() == expect)
+  }
+
+  test("compaction collapses a partition's small files without changing data") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString
+    // simulate a per-batch append load: several small files per partition
+    for (batch <- 1 to 4)
+      Seq(("d1", batch.toLong, s"p$batch"), ("d2", batch.toLong + 100, s"q$batch"))
+        .toDF("day", "id", "payload")
+        .write.mode("append").partitionBy("day").parquet(out)
+    def files(day: String) = new java.io.File(s"$out/day=$day").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(out).collect()
+      .map(r => (r.getString(r.fieldIndex("day")), r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("payload")))).toSet
+    assert(files("d1") > 1)
+    Sink.compactPartitions(spark, out, "day", Seq("d1"))
+    assert(files("d1") == 1, s"expected 1 file after compaction, got ${files("d1")}")
+    assert(files("d2") > 1) // untouched partition keeps its files
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getString(r.fieldIndex("day")), r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("payload")))).toSet
+    assert(after == before)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
