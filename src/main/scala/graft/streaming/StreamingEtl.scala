@@ -90,6 +90,56 @@ object StreamingEtl {
   final case class SpeedState(lastTsUs: Long, lastValue: Double)
   final case class SpeedOut(event_id: Long, user_id: Long, speed: Option[Double])
 
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, sumCents: Long)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, sum_cents: Long)
+
+  /** Hand-rolled session state machine via flatMapGroupsWithState +
+    * EventTimeTimeout — the arbitrary-per-key-state API the native
+    * session_window can't reach (custom close conditions, side outputs,
+    * enrichment). A session closes two ways: a later event of the same
+    * key arrives past the gap (emitted inline), or the WATERMARK passes
+    * last-event + gap with no successor (emitted from the timeout
+    * callback). State: one 4-field tuple per open session per key. */
+  def statefulSessions(ds: Dataset[EventRow], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    ds.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionOut(uid, s.startMs, s.lastMs, s.n, s.sumCents)
+          if (state.hasTimedOut) {
+            val done = close(state.get)
+            state.remove()
+            Iterator(done)
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            for (r <- sorted) {
+              val tMs = r.ts.getTime
+              val cents = math.round(r.value * 100)
+              cur match {
+                case Some(s) if tMs - s.lastMs > gapMs =>
+                  out += close(s)
+                  cur = Some(SessionState(tMs, tMs, 1L, cents))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startMs, tMs, s.n + 1, s.sumCents + cents))
+                case None =>
+                  cur = Some(SessionState(tMs, tMs, 1L, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful per-key speed derivation (streaming twin of
     * EventsEtl.deriveSpeed): keyed state holds the previous
     * (ts, value); each arriving event emits Δvalue/Δt against it.

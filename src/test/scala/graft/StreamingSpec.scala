@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpec {
       (base + 7_200_000, base + 7_200_000 + gap, 1L, 3000L)))
   }
 
+  test("stateful sessionizer closes on in-batch gaps and on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.statefulSessions(stream.toDS())
+      .writeStream.format("memory").queryName("statefulsessions")
+      .outputMode("append").start()
+    // session 1: two events 10 min apart
+    stream.addData(
+      row(1, base, 5, "click", 10.0),
+      row(2, base + 600_000, 5, "click", 20.0))
+    q.processAllAvailable()
+    // 2 hours later: the arriving event itself closes session 1 inline
+    stream.addData(row(3, base + 7_200_000, 5, "click", 30.0))
+    q.processAllAvailable()
+    // far-future event for ANOTHER user: advances the watermark so
+    // session 2 closes via the EventTimeTimeout callback, not an event
+    stream.addData(row(4, base + 100_000_000, 6, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("statefulsessions")
+      .filter($"user_id" === 5)
+      .select("start_ms", "end_ms", "n_events", "sum_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (base, base + 600_000, 2L, 3000L),
+      (base + 7_200_000, base + 7_200_000, 1L, 3000L)))
+  }
+
   test("streaming validation drops the same rows as batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
