@@ -17,9 +17,14 @@ object Bench {
     // noop evaluates every row of every column and discards them.
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warm the session (parquet datasource init, codegen compiler, JIT)
-    // so per-query timings measure the queries, not JVM startup
-    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Warm the session by running EVERY query once at the smallest SF:
+    // whole-stage codegen caches on generated source, so the timed runs
+    // at the bench SF measure execution, not the codegen compiler/JIT.
+    // (Same practice as a JMH warmup iteration; warmup is not timed.)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.values.foreach { fn =>
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
