@@ -37,10 +37,12 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** trip_full_view (stop.sql:49-81): trip ⟕ breadcrumb ⟕ stop_events
-    * ⇒ orders ⟕ customer ⟕ lineitem. Customer is a broadcast dim. */
+    * ⇒ orders ⟕ customer ⟕ lineitem. No broadcast HINT on customer:
+    * it scales with the data, so the planner/AQE must pick broadcast
+    * only while it actually fits (it does at every test SF). */
   def tripView(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"), "left")
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"), "left")
@@ -102,7 +104,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .join(Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")),
+      .join(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -110,13 +112,16 @@ object Analytics {
       .orderBy(col("revenue_cents").desc, col("l_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5 shape: revenue by nation through the full star —
-    * region/nation/supplier broadcast, customer-supplier co-nation. */
+  /** TPC-H Q5 shape: revenue by nation through the full star. Only the
+    * CONSTANT-size dims (nation=25, region=5 rows at any SF) carry
+    * broadcast hints; customer/supplier scale with the data, so their
+    * join strategy is left to the planner/AQE (broadcast while small,
+    * shuffle when not). */
   def q5Region(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)),
@@ -266,7 +271,7 @@ object Analytics {
       .filter(col("total_qty") > 150L)
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         cents(col("o_totalprice")).as("total_cents"), col("total_qty"))

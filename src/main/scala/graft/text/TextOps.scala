@@ -177,9 +177,11 @@ object TextOps {
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
+    // no broadcast hint: the shingled corpus scales with the data — the
+    // planner broadcasts while it fits, shuffle-joins beyond that
     cand
-      .join(broadcast(shingled.toDF("a_id", "a_sh")), Seq("a_id"))
-      .join(broadcast(shingled.toDF("b_id", "b_sh")), Seq("b_id"))
+      .join(shingled.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(shingled.toDF("b_id", "b_sh"), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))

@@ -169,6 +169,9 @@ object VectorOps {
     val a = vecs.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .toDF("a_id", "ae", "an")
     val b = vecs.toDF("b_id", "be", "bn")
+    // the corpus-vs-corpus product is the SMALL-SCALE verifier (annLsh
+    // generates candidates at 100 TB); the broadcast hint here is on
+    // the bounded verification corpus by contract
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
       .filter(col("cos") >= 0.45)
