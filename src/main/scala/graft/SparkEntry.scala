@@ -76,6 +76,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
+    "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -630,6 +631,23 @@ object SparkEntry {
         | round(SUM(norm_micro) / COUNT(*) / 1000000.0, 3) AS avg_norm,
         | MIN(norm_micro) AS min_norm_micro, MAX(norm_micro) AS max_norm_micro
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |   list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(len(qv) AS BIGINT) AS dim,
+        | CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | list_min(qv) AS q_min, list_max(qv) AS q_max,
+        | CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |   i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_wsum
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

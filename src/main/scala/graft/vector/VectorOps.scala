@@ -179,6 +179,32 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * 4× storage/bandwidth path for a 100 TB embedding corpus (recall
+    * work like IVF/PQ assumes quantized storage; this is the simplest
+    * production variant). Per vector: scale = max |x|, q_i =
+    * floor(x_i/scale·127 + 0.5). Output is integer-only (scale in
+    * micro-units, sum/min/max and a position-weighted checksum of the
+    * quantized codes) so the DuckDB oracle compares exactly — floor
+    * arithmetic over IEEE doubles is engine-independent, round() HALF
+    * conventions are not. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("q", transform(col("e"),
+        x => floor(x / col("scale") * 127 + 0.5).cast("int")))
+      .select(col("vec_id"),
+        size(col("q")).cast("long").as("dim"),
+        floor(col("scale") * 1e6).cast("long").as("scale_micro"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+          (a, i) => a.cast("long") * i), lit(0L), (acc, v) => acc + v).as("q_wsum"))
+      .orderBy("vec_id")
+
   /** Per-label embedding stats. Norms are summed as exact integer
     * micro-units so the aggregate is order-independent across
     * partitions (no FP accumulation drift). */

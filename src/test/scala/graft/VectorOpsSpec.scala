@@ -66,6 +66,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(ivf.count() == 0)
   }
 
+  test("int8 quantization stays in code range with the max hitting ±127") {
+    val rows = VectorOps.vecQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64)
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127)
+      // the max-|x| element quantizes to exactly ±127
+      assert(r.getAs[Int]("q_max") == 127 || r.getAs[Int]("q_min") == -127)
+      assert(r.getAs[Long]("scale_micro") > 0)
+    }
+  }
+
   test("vec stats: dims uniform at 64, norms positive") {
     val rows = VectorOps.vecStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
