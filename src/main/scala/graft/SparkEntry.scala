@@ -45,6 +45,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_sessionize_scale" -> ((s, d) => Analytics.sessionizeScalable(s, d)),
     "q_windowed_agg" -> ((s, d) => Analytics.windowedAgg(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
@@ -314,6 +315,22 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents FROM events),
+        |f AS (
+        |  SELECT e.*, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT f.*, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, SUM(value_cents) AS sum_cents
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_sessionize_scale" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |   CAST(round(value*100) AS BIGINT) AS value_cents FROM events),

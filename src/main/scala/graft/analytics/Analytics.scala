@@ -223,6 +223,48 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Two-phase sessionization — the HOT-KEY answer for per-key ordered
+    * windows, which cannot be salted (order matters). Phase 1
+    * sessionizes within (user, day): a billion-event key splits across
+    * date buckets, so no single task owns a whole hot key. Phase 2
+    * re-sessionizes PER USER over the phase-1 sessions themselves
+    * (thousands× fewer rows than events), re-merging exactly the
+    * chains a bucket boundary cut: a session is a maximal chain with
+    * inter-event delta ≤ gap, boundaries only ever cut chains, and the
+    * cut pieces satisfy next.start − prev.end ≤ gap iff they belonged
+    * together. Output is row-identical to `sessionize` (same oracle,
+    * spec-pinned equality). */
+  def sessionizeScalable(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val byBucket = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts_us"), col("event_id"))
+    val phase1 = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("value_cents"))
+      .withColumn("day", expr(s"ts_us div $dayUs"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byBucket) > gapUs, 1L)
+          .when(lag("ts_us", 1).over(byBucket).isNull, 1L).otherwise(0L))
+      .withColumn("part_id",
+        sum("new_session").over(byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("day"), col("part_id"))
+      .agg(count(lit(1)).as("n"), min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"), sum("value_cents").as("sum_cents"))
+    val bySession = Window.partitionBy("user_id").orderBy("start_us")
+    phase1
+      .withColumn("new_session",
+        when(col("start_us") - lag("end_us", 1).over(bySession) > gapUs, 1L)
+          .when(lag("end_us", 1).over(bySession).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(bySession.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum("n").as("n_events"), min("start_us").as("start_us"),
+        max("end_us").as("end_us"), sum("sum_cents").as("sum_cents"))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us", "sum_cents")
+      .orderBy("user_id", "session_id")
+  }
+
   /** As-of join: align each 'error' event with the user's most recent
     * 'click' at-or-before it — the temporal correlation the reference
     * needs between breadcrumbs and stop events (trip_full_view joins

@@ -162,6 +162,12 @@ class NewOpsSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("two-phase sessionization is row-identical to the single-window form") {
+    val plain = Analytics.sessionize(spark, sfDir)
+    val scalable = Analytics.sessionizeScalable(spark, sfDir)
+    assert(scalable.exceptAll(plain).count() == 0 && plain.exceptAll(scalable).count() == 0)
+  }
+
   test("scd2 intervals tile each key's timeline without overlap") {
     val df = EventsEtl.scd2History(spark, sfDir).cache()
     // exactly one open (current) interval per user
