@@ -51,6 +51,8 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_unpivot" -> ((s, d) => Analytics.unpivotMeasures(s, d)),
+    "q_windowed_distinct" -> ((s, d) => Analytics.windowedDistinct(s, d)),
     "q_moving_agg" -> ((s, d) => Analytics.movingAgg(s, d)),
     "q_arg_extremes" -> ((s, d) => Analytics.argExtremes(s, d)),
     "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
@@ -393,6 +395,22 @@ object SparkEntry {
         | SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'quantity' AS measure, CAST(l_quantity AS BIGINT) * 100 AS value_long FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_bps', CAST(round(l_discount * 10000) AS BIGINT) FROM lineitem)
+        |SELECT measure, COUNT(*) AS n, SUM(value_long) AS sum_value,
+        | MIN(value_long) AS min_value, MAX(value_long) AS max_value
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q_windowed_distinct" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin,
 
     "q_moving_agg" ->
       """WITH e AS (

@@ -462,6 +462,36 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Unpivot (melt): widen-format lineitem measures → long-format
+    * (measure, value) rows via the stack() table generator, then a
+    * per-measure profile — the inverse of pivotAgg. stack() is
+    * generated inline (no shuffle to reshape); the only exchange is
+    * the 3-group aggregation. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .selectExpr(
+        """stack(3,
+          | 'quantity', CAST(l_quantity AS BIGINT) * 100,
+          | 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+          | 'discount_bps', CAST(round(l_discount * 10000) AS BIGINT)
+          |) AS (measure, value_long)""".stripMargin)
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), sum("value_long").as("sum_value"),
+        min("value_long").as("min_value"), max("value_long").as("max_value"))
+      .orderBy("measure")
+
+  /** Exact distinct keys per tumbling window — the per-bucket
+    * cardinality profile (the exact twin of the HLL path in
+    * q_approx_stats, time-bucketed). */
+  def windowedDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("n_events"), col("n_users"))
+      .orderBy("bucket_us")
+
   /** 10-minute tumbling-window aggregation — the batch twin of the
     * Structured Streaming pipeline in graft.streaming. */
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =

@@ -162,6 +162,23 @@ class NewOpsSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("unpivot emits one long row-set per measure over the full table") {
+    val rows = Analytics.unpivotMeasures(spark, sfDir).collect()
+    val n = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getAs[String]("measure")).toSet ==
+      Set("quantity", "price_cents", "discount_bps"))
+    rows.foreach(r => assert(r.getAs[Long]("n") == n))
+  }
+
+  test("windowed distinct counts are bounded by event counts") {
+    val rows = Analytics.windowedDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= 1 &&
+        r.getAs[Long]("n_users") <= r.getAs[Long]("n_events"))
+    }
+  }
+
   test("two-phase sessionization is row-identical to the single-window form") {
     val plain = Analytics.sessionize(spark, sfDir)
     val scalable = Analytics.sessionizeScalable(spark, sfDir)
