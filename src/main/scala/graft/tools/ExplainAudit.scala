@@ -17,7 +17,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q3_shipping", "q5_region", "etl_clean_events",
-        "q_latest_trace", "dedup_minhash", "ann_bruteforce")
+        "q_latest_trace", "dedup_minhash", "ann_bruteforce",
+        "q_range_join", "etl_backfill_gaps", "q_sessionize_scale")
     names.foreach { n =>
       println(s"\n================ $n ================")
       val plan = graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -61,7 +61,8 @@ object ScaleSmoke {
     for (q <- Seq("q1_agg", "q3_shipping", "q_sessionize", "etl_derive_speed",
         "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist",
         "q_range_join", "q_moving_agg", "etl_backfill_gaps", "q_arg_extremes",
-        "q_skew_join", "dedup_cluster")) {
+        "q_skew_join", "dedup_cluster", "q_sessionize_scale", "etl_scd2",
+        "q_windowed_distinct", "vec_quantize")) {
       time(q)(graft.SparkEntry.queries(q)(spark, out).count())
     }
 
