@@ -122,6 +122,21 @@ object TextOps {
     * convergence count per round — all data stays distributed. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    val w = Window.partitionBy("cluster_id")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components of an undirected pair graph (`a_id`,`b_id`):
+    * (node, label=component min id) for every node IN the graph.
+    * Min-label propagation with pointer jumping, O(log diameter)
+    * rounds, one convergence count read per round. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
     // propagate ONLY over nodes that appear in the pair graph —
@@ -134,10 +149,23 @@ object TextOps {
     while (!converged && rounds < 20) {
       val nbMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min("label").as("nb_min"))
-      val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+      val stepped = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .cache()
+      // pointer jumping (path compression): follow each label to ITS
+      // label — a chain component's rounds drop from O(diameter) to
+      // O(log diameter). Every label is a graph node's id, so the
+      // self-join lookup always resolves.
+      // localCheckpoint, not cache: the self-join references `stepped`
+      // twice, so the LOGICAL plan would double every round and
+      // overwhelm the analyzer after ~15 iterations — checkpointing
+      // truncates the lineage to the materialized result each round
+      val next = stepped.join(
+          stepped.toDF("j_node", "j_label"),
+          col("label") === col("j_node"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist(blocking = false)
@@ -146,13 +174,7 @@ object TextOps {
       rounds += 1
     }
     edges.unpersist(blocking = false)
-    val w = Window.partitionBy("cluster_id")
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   // MinHash parameters live in graft.functions.MinHash128: 128

@@ -144,6 +144,18 @@ class NewOpsSpec extends SparkSpec {
       "exact-dup pair missing from simhash hamming-0 pairs")
   }
 
+  test("connected components collapses a deep chain within the round cap") {
+    import spark.implicits._
+    // a 200-node chain has diameter 199: plain min-label propagation
+    // needs 199 rounds, far past the 20-round cap — only pointer
+    // jumping (O(log d) rounds) can label it correctly
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.text.TextOps.connectedComponents(chain)
+    assert(labels.count() == 200)
+    assert(labels.filter(col("label") =!= 0L).count() == 0,
+      "chain not fully collapsed to the component minimum")
+  }
+
   test("near-dup clustering labels both ends of every pair identically") {
     val clusters = TextOps.dedupCluster(spark, sfDir).cache()
     val labels = clusters.select("doc_id", "cluster_id")
