@@ -94,9 +94,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        | SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-        | SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -161,7 +161,7 @@ object SparkEntry {
 
     "etl_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        | SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        | CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         | round(AVG(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE)), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -176,7 +176,7 @@ object SparkEntry {
 
     "q18_large_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
         |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         | CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, total_qty
@@ -189,15 +189,15 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n,
         | MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
         | MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
-        | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_cross_validate" ->
       """SELECT COUNT(*) AS n_rows,
-        | SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS n_ship_before_order,
-        | SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS n_discount_range,
-        | SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS n_quantity_range,
-        | SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS n_negative_tax
+        | CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_before_order,
+        | CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discount_range,
+        | CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quantity_range,
+        | CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_tax
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q_trip_view" ->
@@ -240,7 +240,7 @@ object SparkEntry {
 
     "q3_shipping" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        | SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -252,7 +252,7 @@ object SparkEntry {
 
     "q5_region" ->
       """SELECT n_name,
-        | SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -298,22 +298,22 @@ object SparkEntry {
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,
         | COUNT(*) AS n_orders,
-        | SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_running_agg" ->
       """SELECT event_id, user_id,
-        | SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id
         |   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
@@ -325,11 +325,11 @@ object SparkEntry {
         |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |g AS (
-        |  SELECT f.*, SUM(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT f.*, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, SUM(value_cents) AS sum_cents
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q_sessionize_scale" ->
@@ -341,17 +341,17 @@ object SparkEntry {
         |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |g AS (
-        |  SELECT f.*, SUM(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT f.*, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, SUM(value_cents) AS sum_cents
+        | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q_windowed_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS bucket_us,
         | event_type, COUNT(*) AS n,
-        | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
 
     "q_session_window" ->
@@ -367,7 +367,7 @@ object SparkEntry {
         |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM f)
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
-        | COUNT(*) AS n_events, SUM(value_cents) AS sum_cents
+        | COUNT(*) AS n_events, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q_asof_join" ->
@@ -392,7 +392,7 @@ object SparkEntry {
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,
         | COUNT(*) AS n_orders,
-        | SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
 
@@ -403,7 +403,7 @@ object SparkEntry {
         |  SELECT 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'discount_bps', CAST(round(l_discount * 10000) AS BIGINT) FROM lineitem)
-        |SELECT measure, COUNT(*) AS n, SUM(value_long) AS sum_value,
+        |SELECT measure, COUNT(*) AS n, CAST(SUM(value_long) AS BIGINT) AS sum_value,
         | MIN(value_long) AS min_value, MAX(value_long) AS max_value
         |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
 
@@ -457,7 +457,7 @@ object SparkEntry {
 
     "q_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
-        | SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -694,5 +694,41 @@ object SparkEntry {
         |m AS (SELECT h.*, MIN(doc_id) OVER (PARTITION BY digest) AS canonical_id FROM h)
         |SELECT doc_id, digest, canonical_id, doc_id <> canonical_id AS is_dup
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // The mm stub-decode recomputed in SQL: h = first 60 bits of the
+    // payload sha256, dims/frames/features all derived from h.
+    "mm_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(64 + h % 192 AS INT) AS width,
+        | CAST(64 + (h >> 8) % 192 AS INT) AS height,
+        | CAST(1 + (h >> 16) % 16 AS INT) AS n_frames,
+        | CAST(list_sum(list_transform(generate_series(0,7), j -> (h >> (j*7)) & 255)) AS BIGINT) AS feat_sum_255
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(64 + h % 192 AS INT) AS width,
+        |       CAST(64 + (h >> 8) % 192 AS INT) AS height FROM h),
+        |s AS (SELECT d.*, least(CAST(224 AS DOUBLE) / width,
+        |                        CAST(224 AS DOUBLE) / height) AS scale FROM d)
+        |SELECT doc_id, width, height,
+        | CAST(floor(width * scale + 0.5) AS INT) AS target_w,
+        | CAST(floor(height * scale + 0.5) AS INT) AS target_h,
+        | scale
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(1 + (h >> 16) % 16 AS INT) AS n FROM h),
+        |f AS (SELECT doc_id, unnest(generate_series(0, least(n - 1, 6), 2)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS BIGINT) AS frame_ts_ms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

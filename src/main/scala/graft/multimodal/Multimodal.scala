@@ -44,32 +44,37 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class DecodedRow(doc_id: Long, width: Int, height: Int,
-      n_frames: Int, feature: Array[Double])
+      n_frames: Int, feat_sum_255: Long)
   final case class ResizedRow(doc_id: Long, width: Int, height: Int,
       target_w: Int, target_h: Int, scale: Double)
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long)
 
   /** STUB decode: a real deployment would decode image/audio bytes here
-    * (one codec/model init per partition, batch-local). The fake
-    * decode is a deterministic function of the payload bytes so tests
-    * are reproducible. */
+    * (one codec/model init per partition, batch-local). The fake decode
+    * derives dimensions/frame-count/features from the payload's sha256
+    * (a deterministic function of the bytes, so tests reproduce AND the
+    * DuckDB oracle can recompute it). The 8-slot stub "feature vector"
+    * is emitted as its integer slot-sum — no array column in the output
+    * (the verify compare requires sortable scalar columns). */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // STUB: per-partition "codec init" would go here.
+        // STUB: per-partition "codec init" — here the digest instance.
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { r =>
-          var h = 1125899906842597L
-          var i = 0
-          while (i < r.media.length) { h = 31 * h + r.media(i); i += 1 }
-          val w = 64 + (math.abs(h) % 192).toInt        // fake width
-          val ht = 64 + (math.abs(h >> 8) % 192).toInt  // fake height
-          val frames = 1 + (math.abs(h >> 16) % 16).toInt
-          val feat = Array.tabulate(8)(j =>
-            ((h >> (j * 7)) & 0xFF).toDouble / 255.0)
-          DecodedRow(r.doc_id, w, ht, frames, feat)
+          md.reset()
+          val hex = md.digest(r.media).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, ≥0
+          val w = (64 + h % 192).toInt         // fake width
+          val ht = (64 + (h >> 8) % 192).toInt // fake height
+          val frames = (1 + (h >> 16) % 16).toInt
+          var featSum = 0L                     // Σ of the 8 fake feature slots
+          var j = 0
+          while (j < 8) { featSum += (h >> (j * 7)) & 0xFF; j += 1 }
+          DecodedRow(r.doc_id, w, ht, frames, featSum)
         }
       }
       .toDF()

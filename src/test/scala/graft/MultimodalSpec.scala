@@ -21,7 +21,9 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length == 500 && a.sameElements(b))
     a.foreach { r =>
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
-      assert(r.getAs[scala.collection.Seq[Double]]("feature").length == 8)
+      // 8 feature slots of one byte each → slot-sum bounded by 8*255
+      assert(r.getAs[Long]("feat_sum_255") >= 0 &&
+        r.getAs[Long]("feat_sum_255") <= 8L * 255)
     }
   }
 

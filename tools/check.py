@@ -33,6 +33,10 @@ def cmp(name, a: pd.DataFrame, b: pd.DataFrame) -> str:
     a, b = norm(a), norm(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # driver hashes values dtype-exactly: a DuckDB HUGEINT (-> float64)
+        # vs a Spark int64 passes a tolerant compare but fails the hash
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            return f"DTYPE col={c} spark={av.dtype} oracle={bv.dtype}"
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
