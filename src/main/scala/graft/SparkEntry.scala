@@ -214,7 +214,8 @@ object SparkEntry {
         |FROM events
         |WHERE user_id = (
         |  SELECT user_id FROM events
-        |  WHERE value BETWEEN 200.0 AND 300.0 AND event_type = 'purchase'
+        |  WHERE value BETWEEN 200.0 AND 300.0
+        |    AND TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) BETWEEN 25 AND 75
         |  ORDER BY ts DESC, event_id LIMIT 1)
         |ORDER BY event_id""".stripMargin,
 

@@ -53,13 +53,16 @@ object Analytics {
         cents(col("l_extendedprice")).as("price_cents"))
       .orderBy(col("o_orderkey"), col("l_linenumber").asc_nulls_first)
 
-  /** q1.py: latest key observed inside a value "bounding box" → that
-    * key's full trace. The 1-row driver subquery broadcasts into the
-    * trace join. */
+  /** q1.py: latest key observed inside a 2-D bounding box → that key's
+    * full trace. The box is two independent range predicates, exactly
+    * the reference's lat/lon shape (q1.py:20-22): `value` plays
+    * latitude and the props payload's `k` field plays longitude. The
+    * 1-row subquery broadcasts into the trace join. */
   def latestTrace(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    val lonK = get_json_object(col("props"), "$.k").cast("long")
     val target = ev
-      .filter(col("value").between(200.0, 300.0) && col("event_type") === "purchase")
+      .filter(col("value").between(200.0, 300.0) && lonK.between(25, 75))
       .orderBy(col("ts").desc, col("event_id"))
       .limit(1)
       .select(col("user_id").as("target_user"))

@@ -14,6 +14,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sink {
 
+  /** "Table exists" = the path holds real output (partition dirs / data
+    * files), not merely an empty pre-created directory. Resolved
+    * through the Hadoop FileSystem for the path's scheme so the check
+    * is correct on hdfs:// and s3a:// too — a java.io.File probe
+    * silently answers "absent" for any non-local URI, which would make
+    * the first cluster upsert OVERWRITE an existing table. */
+  private[graft] def tableExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Write a DataFrame as parquet partitioned by the given columns,
     * replacing only the partitions present in `df` (idempotent loads). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
@@ -40,10 +56,7 @@ object Sink {
     import org.apache.spark.sql.functions._
     val spark = changes.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // "table exists" = directory holds real output (partition dirs /
-    // data files), not merely an empty pre-created directory
-    val exists = Option(new java.io.File(path).listFiles()).exists(
-      _.exists(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    val exists = tableExists(spark, path)
     val merged = if (!exists) changes else {
       // only the touched partitions are read: the IN filter prunes at
       // the partition-directory level

@@ -22,6 +22,14 @@ object TextOps {
     filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
       w => w =!= "")
 
+  /** The documents table spread over all cores. The test corpus arrives
+    * as ONE small file split, so without this every regex-heavy per-row
+    * scan below runs single-threaded; on a real cluster the same line
+    * turns one hot input split into `defaultParallelism` tasks. */
+  private def docsRepartitioned(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Exact duplicate detection: md5 over trimmed/lowercased text,
     * canonical doc = min(doc_id) within each hash group. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
@@ -42,8 +50,7 @@ object TextOps {
     * the compute parallelizes even off a single small file split. */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"), expr("word_shingles3(text)").as("shingles"))
       .filter(size(col("shingles")) > 0)
   }
@@ -230,28 +237,79 @@ object TextOps {
     (shingled, banded)
   }
 
-  /** 64-bit SimHash near-dup candidates: the fused simhash64 expression
+  /** 64-bit SimHash near-dup pairs: the fused simhash64 expression
     * (all 64 bit-votes in one compiled pass per document — no explode,
-    * no 64-buffer aggregate), 4×16-bit chunk LSH (pigeonhole:
-    * hamming ≤ 3 ⇒ one identical chunk), final filter with the
-    * codegen'd hamming64 expression. */
+    * no 64-buffer aggregate), 4×16-bit chunk LSH, final filter with the
+    * codegen'd hamming64 expression.
+    *
+    * Recall contract: ALL pairs with hamming ≤ 3 — pigeonhole: ≤ 3 bit
+    * errors dirty at most 3 of the 4 chunks, so one chunk is identical
+    * and the pair surfaces as a bucket candidate. The final filter is
+    * the SAME bound (≤ 3): anything looser would be chunk-layout
+    * dependent (a hamming-4 pair is emitted only if its errors happen
+    * to cluster, which is not a contract). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sigs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val sigs = docsRepartitioned(spark, dir)
       .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk_id"),
-          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"),
-        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    simhashPairsFromSigs(sigs)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Chunk-LSH + exact-hamming pair generation over precomputed
+    * (doc_id, simhash) signatures — factored out so specs can pin the
+    * recall contract on constructed signatures. Emits every pair with
+    * hamming(a,b) ≤ 3, unsorted. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
+    val chunked = simhashChunks(sigs)
     val l = chunked.toDF("a_id", "a_sim", "chunk_id", "chunk")
     val r = chunked.toDF("b_id", "b_sim", "chunk_id", "chunk")
     l.join(r, Seq("chunk_id", "chunk")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_sim", "b_sim").distinct()
       .withColumn("hamming", expr("hamming64(a_sim, b_sim)"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** (doc_id, simhash, chunk_id, chunk): the 4×16-bit LSH keys. */
+  private def simhashChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_id"),
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+
+  /** The 100 TB shape of the simhash join: a 16-bit chunk space is only
+    * 65,536 buckets per chunk position, so at corpus scale the per-bucket
+    * candidate count grows as (n/65k)² — the same quadratic blow-up a
+    * hot shingle causes in the Jaccard index. This twin drops buckets
+    * whose membership exceeds `bucketCap` before pair expansion, which
+    * bounds per-bucket work at cap²; dropped-bucket pairs are missed
+    * unless they also share a calmer chunk (the pigeonhole gives ≤ 3
+    * errors FOUR chances). cap=∞ is exactly `dedupSimhash`
+    * (spec-pinned), and emitted hammings are always exact — the cap
+    * trades recall, never precision. The no-recall-loss fix at that
+    * scale is widening the signature (128-bit simhash, 4×32-bit chunks:
+    * 4 G buckets) — see SURVEY §4. */
+  def simhashPairsCapped(spark: SparkSession, dir: String, bucketCap: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
+    val chunked = simhashChunks(sigs)
+    val calm = chunked.groupBy("chunk_id", "chunk")
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") <= bucketCap)
+      .select("chunk_id", "chunk")
+    // re-order explicitly: the equi-join moves its key columns first
+    val pruned = chunked.join(calm, Seq("chunk_id", "chunk"))
+      .select("doc_id", "simhash", "chunk_id", "chunk")
+    val l = pruned.toDF("a_id", "a_sim", "chunk_id", "chunk")
+    val r = pruned.toDF("b_id", "b_sim", "chunk_id", "chunk")
+    l.join(r, Seq("chunk_id", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", expr("hamming64(a_sim, b_sim)"))
+      .filter(col("hamming") <= 3)
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
@@ -265,7 +323,7 @@ object TextOps {
     * priority order for ties. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = lower(col("text"))
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"), col("lang").as("actual_lang"),
         occurrences(t, " the ").as("c_en"),
         occurrences(t, " le ").as("c_fr"),
@@ -288,7 +346,7 @@ object TextOps {
     * stopword ratio, composite score — deterministic arithmetic only. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val words = wordsCol
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(words).cast("long").as("n_words"),
@@ -310,7 +368,7 @@ object TextOps {
     * (letter runs / digit runs / single symbols), and a chars/4
     * subword estimate. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws_tokens"),
@@ -323,7 +381,7 @@ object TextOps {
     * reordered/duplicated-content docs that exact hashing misses. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("fingerprint")
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(wordsCol)))).as("fingerprint"))
       .withColumn("n_same_key", count(lit(1)).over(w))
@@ -336,7 +394,7 @@ object TextOps {
   def redactPii(spark: SparkSession, dir: String): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val longNum = "\\d{7,}"
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
         size(regexp_extract_all(col("text"), lit(longNum), lit(0))).cast("long").as("n_longnums"),
@@ -351,8 +409,7 @@ object TextOps {
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val w = Window.partitionBy("roll_fp")
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"), expr("rolling_hash(text)").as("roll_fp"))
       .withColumn("n_same_key", count(lit(1)).over(w))
       .orderBy("doc_id")
@@ -365,8 +422,7 @@ object TextOps {
     * partials bound the shuffle by vocabulary size, not corpus size. */
   def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    docsRepartitioned(spark, dir)
       .select(explode(expr("word_shingles2(text)")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_docs"))
@@ -380,7 +436,7 @@ object TextOps {
     * arithmetic: embarrassingly parallel, no shuffle before the
     * presentation sort. */
   def c4Filter(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         size(wordsCol).cast("long").as("n_words"),
         (length(col("text")) -

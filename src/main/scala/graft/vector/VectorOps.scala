@@ -154,25 +154,47 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45): the
-    * semantic twin of the text dedup family. Exact all-pairs here (the
-    * corpus side streams once against a broadcast copy); at 100 TB the
-    * LSH-bucketed variant (annLsh) generates the candidates and this
-    * cosine is the verifier. */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    * semantic twin of the text dedup family. Exact all-pairs via a
+    * BLOCK-PARTITIONED theta-join — no broadcast, no driver state:
+    * each vector is hashed to one of P blocks and replicated to the P
+    * unordered block-pairs it participates in; the equi-join on the
+    * block-pair key meets every vector pair in exactly one task, so a
+    * task holds 2n/P vectors (bounded by choosing P), and the n²/2 dot
+    * products spread evenly over P(P+1)/2 tasks. Replication cost is
+    * P·n rows — linear, tunable.
+    *
+    * Exactness is the contract here, and exact all-pairs is Θ(n²)
+    * compute no matter the plan; what this shape fixes is MEMORY — the
+    * previous broadcast of the full corpus dies at scale, a block pair
+    * never does. When approximate recall is acceptable the candidates
+    * come from `annLsh`/`annIvf` buckets instead (note: this corpus has
+    * true pairs at cos 0.4501 with bulk mass at 0.40, so no LSH
+    * parameterization reaches recall 1.0 — exactness requires the
+    * blocked product). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingBlocked(spark, dir, blocks = 32)
+
+  private[graft] def dedupEmbeddingBlocked(spark: SparkSession, dir: String,
+      blocks: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
-    // spread the streamed side over all cores: the corpus arrives as a
-    // single small file split, which would serialize the O(n²) dot
-    // products onto one thread
-    val a = vecs.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .toDF("a_id", "ae", "an")
-    val b = vecs.toDF("b_id", "be", "bn")
-    // the corpus-vs-corpus product is the SMALL-SCALE verifier (annLsh
-    // generates candidates at 100 TB); the broadcast hint here is on
-    // the bounded verification corpus by contract
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    // replicate each row to every unordered block pair containing its
+    // block: row in block i joins at keys (min(i,x), max(i,x)) for all
+    // x. A cross-block pair (i≠j) meets only at (i,j); a same-block
+    // pair meets at every (i,x) key, so those are kept only in the
+    // diagonal task (lo=hi) — each vector pair survives exactly once.
+    def replicated(v: DataFrame): DataFrame = v
+      .withColumn("other", explode(sequence(lit(0), lit(blocks - 1))))
+      .withColumn("bp", struct(least(col("blk"), col("other")).as("lo"),
+        greatest(col("blk"), col("other")).as("hi")))
+      .drop("other")
+    val a = replicated(vecs).toDF("a_id", "ae", "an", "a_blk", "bp")
+    val b = replicated(vecs).toDF("b_id", "be", "bn", "b_blk", "bp")
+    a.join(b, Seq("bp")).filter(col("a_id") < col("b_id"))
+      .filter(col("a_blk") =!= col("b_blk") || col("bp.lo") === col("bp.hi"))
       .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")

@@ -81,6 +81,39 @@ class IoSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("table-existence probe resolves through the Hadoop FileSystem (file: URI)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_exists")
+    // absent path and empty directory are both "no table"
+    assert(!Sink.tableExists(spark, "file:" + dir.toString + "/nope"))
+    assert(!Sink.tableExists(spark, "file:" + dir.toString))
+    // _SUCCESS-style markers alone don't count as data
+    Files.createFile(dir.resolve("_SUCCESS"))
+    assert(!Sink.tableExists(spark, "file:" + dir.toString))
+    // real output does — via the scheme-qualified URI, not java.io.File
+    val out = dir.resolve("t").toString
+    Seq(("d1", 1L, 1L)).toDF("day", "id", "version")
+      .write.partitionBy("day").parquet(out)
+    assert(Sink.tableExists(spark, "file:" + out))
+    // and upsert against the URI path takes the merge branch, not overwrite
+    Sink.upsertPartitioned(Seq(("d2", 2L, 1L)).toDF("day", "id", "version"),
+      "file:" + out, "day", "id", "version")
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("jdbc merge statement: postgres ON CONFLICT upsert, quoted identifiers") {
+    val sql = graft.io.JdbcSink.mergeSql("breadcrumb", "breadcrumb_stage",
+      Seq("trip_id", "tstamp"), Seq("lat", "lon", "speed"))
+    assert(sql ==
+      """INSERT INTO "breadcrumb" ("trip_id", "tstamp", "lat", "lon", "speed") """ +
+      """SELECT "trip_id", "tstamp", "lat", "lon", "speed" FROM "breadcrumb_stage" """ +
+      """ON CONFLICT ("trip_id", "tstamp") DO UPDATE SET "lat" = EXCLUDED."lat", """ +
+      """"lon" = EXCLUDED."lon", "speed" = EXCLUDED."speed"""")
+    // key-only table degrades to DO NOTHING (idempotent insert)
+    val keysOnly = graft.io.JdbcSink.mergeSql("t", "t_stage", Seq("id"), Seq.empty)
+    assert(keysOnly == """INSERT INTO "t" ("id") SELECT "id" FROM "t_stage" ON CONFLICT ("id") DO NOTHING""")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")

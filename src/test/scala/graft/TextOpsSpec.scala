@@ -15,10 +15,53 @@ class TextOpsSpec extends SparkSpec {
     assert(mh.size >= (exact.size * 0.8).toInt)
   }
 
-  test("simhash pairs respect the hamming threshold") {
+  test("simhash pairs respect the hamming<=3 contract") {
     val rows = TextOps.dedupSimhash(spark, sfDir).collect()
-    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
     assert(rows.nonEmpty)
+  }
+
+  test("simhash chunk-LSH is exactly the hamming<=3 pair set (recall + precision)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // constructed signatures exercising every contract edge:
+    //  1 vs 2: hamming 3, all flips inside chunk 0 — candidate via chunks 1-3
+    //  1 vs 3: hamming 3 spread over chunks 0,1,2 — candidate via chunk 3 only
+    //  1 vs 4: hamming 4 spread over ALL four chunks — shares NO chunk,
+    //          invisible to the LSH; under the old <=6 filter this pair's
+    //          emission depended on chunk layout, which is not a contract
+    //  1 vs 5: hamming 4 clustered in chunk 0 — IS a bucket candidate but
+    //          must be filtered (precision side of the <=3 contract)
+    val sigs = Seq(
+      1L -> 0L,
+      2L -> 7L,                                        // bits 0,1,2
+      3L -> ((1L << 0) | (1L << 16) | (1L << 32)),     // one flip per chunk 0,1,2
+      4L -> ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)),
+      5L -> 15L                                        // bits 0..3
+    ).toDF("doc_id", "simhash")
+    val got = graft.text.TextOps.simhashPairsFromSigs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth: every pair at hamming <= 3
+    val raw = Seq(1L -> 0L, 2L -> 7L, 3L -> ((1L << 0) | (1L << 16) | (1L << 32)),
+      4L -> ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)), 5L -> 15L)
+    val want = (for {
+      (ai, a) <- raw; (bi, b) <- raw if ai < bi
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (ai, bi, h.toLong)).toSet
+    assert(got == want, s"got $got, want $want")
+    assert(want.contains((1L, 2L, 3L)) && want.contains((1L, 3L, 3L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L)) // no chunk shared
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // candidate, filtered
+  }
+
+  test("capped simhash: cap=inf equals the exact operator, capped is a subset") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = TextOps.dedupSimhash(spark, sfDir).collect().map(key).toSet
+    val uncapped = TextOps.simhashPairsCapped(spark, sfDir, Long.MaxValue)
+      .collect().map(key).toSet
+    assert(uncapped == exact)
+    val capped = TextOps.simhashPairsCapped(spark, sfDir, 4L).collect().map(key).toSet
+    assert(capped.subsetOf(exact))
   }
 
   test("exact dedup canonical ids are minimal in group") {

@@ -66,6 +66,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(ivf.count() == 0)
   }
 
+  test("blocked all-pairs embedding dedup is block-count invariant and duplicate-free") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // blocks=1 is a single-task plain product — the trivially-correct baseline;
+    // any block count must produce the identical pair set, each pair once
+    val p1 = VectorOps.dedupEmbeddingBlocked(spark, sfDir, blocks = 1).collect().map(key)
+    val p5 = VectorOps.dedupEmbeddingBlocked(spark, sfDir, blocks = 5).collect().map(key)
+    val p32 = VectorOps.dedupEmbedding(spark, sfDir).collect().map(key)
+    assert(p1.length == p1.toSet.size, "baseline emitted a pair twice")
+    assert(p5.length == p5.toSet.size, "blocks=5 emitted a pair twice")
+    assert(p32.length == p32.toSet.size, "blocks=32 emitted a pair twice")
+    assert(p5.toSet == p1.toSet && p32.toSet == p1.toSet)
+    p1.foreach { case (a, b, c) => assert(a < b && c >= 0.45) }
+  }
+
   test("int8 quantization stays in code range with the max hitting ±127") {
     val rows = VectorOps.vecQuantize(spark, sfDir).collect()
     assert(rows.nonEmpty)
