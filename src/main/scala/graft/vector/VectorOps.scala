@@ -177,27 +177,38 @@ object VectorOps {
   private[graft] def dedupEmbeddingBlocked(spark: SparkSession, dir: String,
       blocks: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val par = spark.sparkContext.defaultParallelism
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
       .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
-    // replicate each row to every unordered block pair containing its
-    // block: row in block i joins at keys (min(i,x), max(i,x)) for all
-    // x. A cross-block pair (i≠j) meets only at (i,j); a same-block
-    // pair meets at every (i,x) key, so those are kept only in the
-    // diagonal task (lo=hi) — each vector pair survives exactly once.
-    def replicated(v: DataFrame): DataFrame = v
-      .withColumn("other", explode(sequence(lit(0), lit(blocks - 1))))
-      .withColumn("bp", struct(least(col("blk"), col("other")).as("lo"),
-        greatest(col("blk"), col("other")).as("hi")))
-      .drop("other")
-    val a = replicated(vecs).toDF("a_id", "ae", "an", "a_blk", "bp")
-    val b = replicated(vecs).toDF("b_id", "be", "bn", "b_blk", "bp")
-    a.join(b, Seq("bp")).filter(col("a_id") < col("b_id"))
-      .filter(col("a_blk") =!= col("b_blk") || col("bp.lo") === col("bp.hi"))
+    // role-split replication — each vector pair meets EXACTLY once:
+    // the "lo role" copy of a block-i row serves keys (i, j≥i), the
+    // "hi role" copy of a block-j row serves keys (i≤j, j), so a
+    // cross-block pair joins only at its own (lo-block, hi-block) key,
+    // in one orientation; same-block pairs meet at the diagonal in both
+    // orientations and keep a_id < b_id. Product count is the optimal
+    // n²/2, and the explicit pre-join repartition on the key pins the
+    // parallelism — without it AQE sees a few-MB shuffle and coalesces
+    // the quadratic COMPUTE onto one core.
+    val lo = vecs
+      .withColumn("hi_blk", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(struct(col("blk").as("lo"), col("hi_blk").as("hi")).as("bp"),
+        col("vec_id").as("a_id"), col("e").as("ae"), col("nrm").as("an"),
+        col("blk").as("a_blk"))
+      .repartition(par, col("bp"))
+    val hi = vecs
+      .withColumn("lo_blk", explode(sequence(lit(0), col("blk"))))
+      .select(struct(col("lo_blk").as("lo"), col("blk").as("hi")).as("bp"),
+        col("vec_id").as("b_id"), col("e").as("be"), col("nrm").as("bn"),
+        col("blk").as("b_blk"))
+      .repartition(par, col("bp"))
+    lo.join(hi, Seq("bp"))
+      .filter(col("a_blk") =!= col("b_blk") || col("a_id") < col("b_id"))
       .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
       .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("cos"))
       .orderBy("a_id", "b_id")
   }
 
