@@ -74,12 +74,19 @@ object SparkEntry {
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(s, d)),
     "text_c4_filter" -> ((s, d) => TextOps.c4Filter(s, d)),
+    // Corpus preparation (graft.text.CorpusOps)
+    "text_chunk" -> ((s, d) => graft.text.CorpusOps.chunkDocs(s, d)),
+    "seq_pack" -> ((s, d) => graft.text.CorpusOps.seqPack(s, d)),
+    "sample_stratified" -> ((s, d) => graft.text.CorpusOps.sampleStratified(s, d)),
+    "text_contamination" -> ((s, d) => graft.text.CorpusOps.contamination(s, d)),
+    "text_salience" -> ((s, d) => graft.text.CorpusOps.termSalience(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
+    "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -526,6 +533,87 @@ object SparkEntry {
         |    ELSE 'keep' END AS reason FROM r)
         |SELECT doc_id, n_words, n_stop, punct_ratio, reason = 'keep' AS keep, reason
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |c AS (
+        |  SELECT doc_id, words, len(words) AS n,
+        |    CASE WHEN len(words) <= 64 THEN 1 ELSE ((len(words) - 17) // 48) + 1 END AS n_chunks
+        |  FROM w WHERE len(words) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        | CAST(len(words[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(words[i*48+1 : i*48+64], ' ')) AS chunk_md5
+        |FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "seq_pack" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM w)
+        |SELECT doc_id, n_tokens, cum_before,
+        | CAST(cum_before // 2048 AS BIGINT) AS first_bin,
+        | CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 2048
+        |      ELSE cum_before // 2048 END AS BIGINT) AS last_bin,
+        | CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 2048
+        |      ELSE cum_before // 2048 END - cum_before // 2048 + 1 AS BIGINT) AS bins_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT MIN(cnt) AS target FROM counts)
+        |SELECT d.doc_id, d.lang,
+        | CAST((d.doc_id * 2654435761) % 1000003 AS BIGINT) AS sample_key
+        |FROM documents d JOIN counts USING (lang), t
+        |WHERE ((d.doc_id * 2654435761) % 1000003) * counts.cnt < t.target * 1000003
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+        |j AS (
+        |  SELECT c.doc_id AS doc_id, c.sh AS sh, h.doc_id AS h_id
+        |  FROM ex c JOIN ex h ON c.sh = h.sh
+        |  WHERE c.doc_id % 100 <> 0 AND h.doc_id % 100 = 0)
+        |SELECT doc_id,
+        | CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shared_shingles,
+        | CAST(COUNT(DISTINCT h_id) AS BIGINT) AS n_heldout_docs,
+        | COUNT(DISTINCT sh) >= 3 AS contaminated
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_salience" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |terms AS (SELECT doc_id, unnest(words) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM scored WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "vec_centroid" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        | CAST(SUM(CAST(floor(embedding[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data corpus preparation operators — the steps between "a
+  * deduplicated document table" and "token sequences a trainer reads":
+  * chunking, sequence packing, stratified sampling, eval-set
+  * contamination scans, and term-salience profiling.
+  *
+  * Scale design mirrors TextOps: per-row columnar work repartitioned
+  * off small file splits; joins on hashed keys; the one inherently
+  * sequential computation (packing's running token offset) is a
+  * distributed two-phase prefix sum whose only global step is over ONE
+  * row per bucket, not per document.
+  */
+object CorpusOps {
+
+  /** Shared canonicalization (lowercase a-z words) — identical to
+    * TextOps.wordsCol and the DuckDB oracle's list_filter/string_split
+    * pipeline. */
+  private def wordsCol: Column =
+    filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+      w => w =!= "")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** Overlapping token-window chunking (window 64 words, stride 48):
+    * the context-window split a pre-training pipeline applies to long
+    * documents. Chunk count and membership are closed-form per row, so
+    * the whole operator is embarrassingly parallel — explode over an
+    * integer sequence, no shuffle before the presentation sort. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .withColumn("n", size(col("words")))
+      .filter(col("n") > 0)
+      // integer-exact chunk count: 1 chunk ≤ 64 words, then one more
+      // per started stride: ((n-17) div 48) + 1 ≡ ceil((n-64)/48) + 1
+      .withColumn("n_chunks",
+        when(col("n") <= 64, lit(1L))
+          .otherwise(expr("((n - 17) div 48) + 1").cast("long")))
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk_words",
+        slice(col("words"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_words")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_words"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** GPT-style sequence packing: concatenate the corpus token stream in
+    * doc_id order and cut it into fixed 2048-token training bins; each
+    * document reports the bin range it lands in (documents spill across
+    * bin boundaries — the standard concat-and-split regime).
+    *
+    * The running token offset is a DISTRIBUTED two-phase prefix sum:
+    * per-bucket local cumulative sums (hash-partitioned window), bucket
+    * subtotals prefix-summed over one-row-per-bucket (the only global
+    * window — bounded by bucket count, not corpus size), broadcast back
+    * as offsets. No operator ever orders the full corpus in one task. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), size(wordsCol).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val byDoc = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = toks.withColumn("local_before",
+      coalesce(sum("n_tokens").over(byDoc), lit(0L)))
+    val byBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_total"))
+      .withColumn("offset", coalesce(sum("bucket_total").over(byBucket), lit(0L)))
+      .select("bucket", "offset")
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("offset") + col("local_before"))
+      .withColumn("first_bin", expr(s"cum_before div $budget"))
+      .withColumn("last_bin",
+        when(col("n_tokens") > 0,
+          expr(s"(cum_before + n_tokens - 1) div $budget"))
+          .otherwise(col("first_bin")))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1).as("bins_spanned"))
+      .orderBy("doc_id")
+  }
+
+  /** Label-balanced deterministic downsampling: sample every language
+    * down to the rarest language's count, selecting rows by a keyed
+    * pseudo-hash so the sample is reproducible and shard-independent
+    * (no RNG state, no per-partition seeds — the property that makes a
+    * sample re-computable on a different cluster layout). The
+    * keep-decision `h·cnt < target·M` is integer-exact rational
+    * arithmetic: fraction target/cnt of each label's hash space. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000003L // prime hash-space modulus
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // rarest-language count: a 1-row agg cross-joined onto the tiny
+    // per-language dimension (both bounded by #labels, not corpus size)
+    val counts = perLang.crossJoin(perLang.agg(min("cnt").as("target")))
+    docs(spark, dir)
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("sample_key", pmod(col("doc_id") * 2654435761L, lit(m)))
+      .filter(col("sample_key") * col("cnt") < col("target") * m)
+      .select(col("doc_id"), col("lang"), col("sample_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set contamination scan: which training documents share word
+    * 3-shingles with the held-out set (doc_id ≡ 0 mod 100 plays the
+    * eval split)? The join is the same inverted-index shape as the
+    * Jaccard dedup — shingles hashed to longs, candidates bounded per
+    * shared shingle (df-cap applies identically at 100 TB), held-out
+    * side orders of magnitude smaller than the corpus by construction. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = docs(spark, dir)
+      .select(col("doc_id"), explode(expr("word_shingles3(text)")).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+    val held = ex.filter(pmod(col("doc_id"), lit(100)) === 0).toDF("h_id", "sh")
+    val corp = ex.filter(pmod(col("doc_id"), lit(100)) =!= 0).toDF("c_id", "sh")
+    corp.join(held, Seq("sh"))
+      .groupBy("c_id")
+      .agg(countDistinct("sh").as("n_shared_shingles"),
+        countDistinct("h_id").as("n_heldout_docs"))
+      .withColumn("contaminated", col("n_shared_shingles") >= 3)
+      .select(col("c_id").as("doc_id"), col("n_shared_shingles"),
+        col("n_heldout_docs"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document salient terms: top-5 words by tf/df weighting (term
+    * frequency over corpus document frequency — the idf-monotone
+    * salience score kept as an exact IEEE division so every engine
+    * computes identical bits; ln-based idf is libm-dependent). The df
+    * side is a vocabulary-sized aggregate with map-side partials; no
+    * broadcast hint — vocabulary scales with the corpus. */
+  def termSalience(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+}

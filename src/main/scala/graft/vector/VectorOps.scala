@@ -238,6 +238,23 @@ object VectorOps {
           (a, i) => a.cast("long") * i), lit(0L), (acc, v) => acc + v).as("q_wsum"))
       .orderBy("vec_id")
 
+  /** Per-label centroid accumulation — the distributed "sum step" of
+    * k-means / class-prototype computation, laid out the only way it
+    * scales: posexplode to (label, position, value), hash-aggregate
+    * exact integer micro-units per (label, position). Map-side partials
+    * bound the shuffle by labels × dim, not corpus size; the centroid
+    * itself is sum/n, derivable from the emitted columns without FP
+    * accumulation-order drift (floor(x·1e6+0.5) is engine-independent;
+    * round() half-way conventions are not). */
+  def vecCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("val").cast("double") * 1e6 + 0.5).cast("long").as("val_micro"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("val_micro").as("sum_micro"))
+      .orderBy("label", "pos")
+
   /** Per-label embedding stats. Norms are summed as exact integer
     * micro-units so the aggregate is order-independent across
     * partitions (no FP accumulation drift). */

@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.CorpusOps
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("chunking tiles each document: stride-48 windows, sizes in [1,64], last chunk reaches the end") {
+    val chunks = CorpusOps.chunkDocs(spark, sfDir).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      val size = r.getAs[Long]("n_chunk_tokens")
+      assert(size >= 1 && size <= 64)
+    }
+    // per doc: chunk indices contiguous from 0, and every non-final
+    // chunk is full (64 words) — the final one holds the remainder
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val byIdx = g.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(byIdx.map(_.getAs[Long]("chunk_idx")).toSeq == (0L until byIdx.length).toSeq)
+      byIdx.init.foreach(r => assert(r.getAs[Long]("n_chunk_tokens") == 64))
+    }
+  }
+
+  test("two-phase packed prefix sum is exactly the sequential running total") {
+    val rows = CorpusOps.seqPack(spark, sfDir)
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    var expected = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_before") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: cum_before drifted from the sequential sum")
+      expected += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("bins_spanned") >= 1)
+      assert(r.getAs[Long]("last_bin") >= r.getAs[Long]("first_bin"))
+    }
+  }
+
+  test("stratified sample is deterministic and keeps the rarest label whole") {
+    val a = CorpusOps.sampleStratified(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    val b = CorpusOps.sampleStratified(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    assert(a == b, "sample is not reproducible")
+    val counts = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val rarest = counts.minBy(_._2)._1
+    val keptRarest = a.count(_._2 == rarest)
+    // the rarest label's rate is target/cnt = 1 — every row survives
+    assert(keptRarest == counts(rarest), s"rarest label $rarest lost rows")
+    assert(a.size < counts.values.sum, "sampling removed nothing")
+  }
+
+  test("contamination reports only training docs, flag consistent with counts") {
+    val rows = CorpusOps.contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 100 != 0, "held-out doc leaked into the report")
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_shared_shingles") >= 3))
+      assert(r.getAs[Long]("n_heldout_docs") >= 1)
+    }
+  }
+
+  test("term salience: at most 5 ranked terms per doc, scores non-increasing") {
+    val rows = CorpusOps.termSalience(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.length <= 5)
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("per-label centroid sums cover all 64 positions with the label's full count") {
+    val rows = VectorOps.vecCentroid(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labelCounts = graft.sources.Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().collect()
+      .map(r => r.get(0) -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.get(0)).foreach { case (label, g) =>
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until 64L).toSeq)
+      g.foreach(r => assert(r.getAs[Long]("n_vecs") == labelCounts(label)))
+    }
+  }
+}

@@ -59,6 +59,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"argExtremes regressed to a window plan:\n${plan.take(1200)}")
   }
 
+  test("blocked embedding dedup forces no broadcast and never degenerates to a product") {
+    // at spec SF the planner may legitimately broadcast the small side;
+    // the scale property is that nothing FORCES it — with auto-broadcast
+    // off the plan must be a pure shuffle join, no hint, no product
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(graft.vector.VectorOps.dedupEmbedding(spark, sfDir))
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"all-pairs join forces a data-scaled broadcast/product:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("regex-heavy document scans are repartitioned off the single file split") {
+    val plan = executed(graft.text.TextOps.tokenCounts(spark, sfDir))
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(doc_id")),
+      s"document scan lost its parallelizing repartition:\n${plan.take(1500)}")
+  }
+
   test("backfill runs aggs, spine, join and forward-fill off ONE hash exchange") {
     val plan = executed(EventsEtl.backfillGaps(spark, sfDir))
     val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
