@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_cluster" -> ((s, d) => TextOps.dedupCluster(s, d)),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    "dedup_simhash128" -> ((s, d) => TextOps.dedupSimhash128(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),

@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash signature in one pass"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash128"),
+      info("simhash128", "simhash128(tokens) - 128-bit SimHash signature [w0, w1] in one pass"),
+      (exprs: Seq[Expression]) => SimHash128(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))

@@ -55,6 +55,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash128", exprs => SimHash128(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_tokens", exprs => WordTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")

@@ -314,6 +314,44 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The corpus-scale SimHash: 128-bit signatures (fused simhash128
+    * expression) with 4×32-bit chunk LSH — 2³² buckets per chunk
+    * position instead of the 64-bit scheme's 2¹⁶, so buckets stay
+    * candidate-sized far past the corpus size where `dedupSimhash`
+    * saturates (SURVEY §4). Same pigeonhole recall contract: every
+    * pair at hamming ≤ 3 shares a chunk and is emitted. */
+  def dedupSimhash128(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), expr("simhash128(word_tokens(text))").as("sig"))
+      .select(col("doc_id"), element_at(col("sig"), 1).as("s0"),
+        element_at(col("sig"), 2).as("s1"))
+    simhash128PairsFromSigs(sigs).orderBy("a_id", "b_id")
+  }
+
+  /** Chunk-LSH + exact-hamming pairs over (doc_id, s0, s1) 128-bit
+    * signatures — factored for constructed-signature specs. Emits every
+    * pair with hamming128 ≤ 3, unsorted. */
+  private[graft] def simhash128PairsFromSigs(sigs: DataFrame): DataFrame = {
+    val chunked = sigs.select(col("doc_id"), col("s0"), col("s1"),
+      explode(array((0 until 4).map { j =>
+        val word = if (j < 2) col("s0") else col("s1")
+        struct(lit(j).as("chunk_id"),
+          shiftrightunsigned(word, (j % 2) * 32)
+            .bitwiseAND(lit(0xFFFFFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("s0"), col("s1"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    val l = chunked.toDF("a_id", "a_s0", "a_s1", "chunk_id", "chunk")
+    val r = chunked.toDF("b_id", "b_s0", "b_s1", "chunk_id", "chunk")
+    l.join(r, Seq("chunk_id", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_s0", "a_s1", "b_s0", "b_s1").distinct()
+      .withColumn("hamming",
+        expr("hamming64(a_s0, b_s0)") + expr("hamming64(a_s1, b_s1)"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     ((length(text) - length(expr(s"replace(lower(text), '$marker', '')")))
       / lit(marker.length)).cast("long")

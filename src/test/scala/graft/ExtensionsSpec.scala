@@ -8,7 +8,8 @@ class ExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects all graft SQL functions") {
     val names = GraftExtensionsProbe.injectedFunctionNames(new GraftExtensions)
     assert(names == Set("hamming64", "word_shingles3", "word_shingles2",
-      "word_tokens", "vec_dot", "vec_norm", "rolling_hash", "minhash128", "simhash64"))
+      "word_tokens", "vec_dot", "vec_norm", "rolling_hash", "minhash128",
+      "simhash64", "simhash128"))
   }
 
   test("injected builders produce working expressions") {

@@ -54,6 +54,53 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // candidate, filtered
   }
 
+  test("simhash128 word 0 is bit-identical to simhash64") {
+    graft.functions.GraftFunctions.register(spark)
+    val drift = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("simhash64(word_tokens(text))").as("s64"),
+        element_at(expr("simhash128(word_tokens(text))"), 1).as("w0"))
+      .filter(col("s64") =!= col("w0")).count()
+    assert(drift == 0, "128-bit signature word 0 drifted from simhash64")
+  }
+
+  test("simhash128 chunk-LSH is exactly the hamming<=3 pair set on constructed sigs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // contract edges over the 4×32-bit chunk layout (chunks: s0 lo/hi,
+    // s1 lo/hi): hamming-3 spread over three chunks (candidate only via
+    // the 4th), hamming-4 spread over all four (invisible — correctly
+    // absent), hamming-4 clustered (candidate but filtered)
+    val raw = Seq(
+      (1L, 0L, 0L),
+      (2L, 7L, 0L),                              // h3, all in s0-lo
+      (3L, (1L | (1L << 32)), 1L),               // h3: s0-lo, s0-hi, s1-lo
+      (4L, (1L | (1L << 32)), (1L | (1L << 32))),// h4, one per chunk
+      (5L, 15L, 0L))                             // h4, clustered in s0-lo
+    val got = graft.text.TextOps.simhash128PairsFromSigs(
+        raw.toDF("doc_id", "s0", "s1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ai, a0, a1) <- raw; (bi, b0, b1) <- raw if ai < bi
+      h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if h <= 3
+    } yield (ai, bi, h.toLong)).toSet
+    assert(got == want, s"got $got, want $want")
+    assert(want.contains((1L, 3L, 3L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
+  test("exact duplicates surface as hamming-0 pairs in the 128-bit operator") {
+    val exactPairs = TextOps.dedupExact(spark, sfDir)
+      .filter(col("is_dup"))
+      .select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+    val zero = TextOps.dedupSimhash128(spark, sfDir)
+      .filter(col("hamming") === 0).select("a_id", "b_id")
+    assert(exactPairs.exceptAll(zero).count() == 0,
+      "exact-dup pair missing from simhash128 hamming-0 pairs")
+  }
+
   test("capped simhash: cap=inf equals the exact operator, capped is a subset") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val exact = TextOps.dedupSimhash(spark, sfDir).collect().map(key).toSet
