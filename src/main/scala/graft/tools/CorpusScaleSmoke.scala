@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke for the text/vector pipeline: replicate the
+  * documents table N× and the embeddings table M×, then noop-materialize
+  * the corpus operators (count() would let Catalyst prune the regex /
+  * hash work — same honesty rule as Bench).
+  *
+  * Replica texts are WORD-SALTED: every word gets a replica-unique
+  * letter suffix (`cat → catzbq` in replica 1), which keeps each
+  * replica's internal near-dup structure (shared word windows still
+  * produce shared salted shingles within a replica) while making
+  * cross-replica shingles disjoint — without the salt, every replica of
+  * a document is a mutual near-duplicate and the pair graph grows
+  * quadratically in N, which measures an artifact of the replication,
+  * not the operator. The suffix form matters: inserting one shared salt
+  * token BETWEEN words gives that token ~half the corpus's token mass,
+  * which drags every document's SimHash toward the salt's bit pattern
+  * and saturates the chunk buckets — a replication artifact that
+  * manufactures the boilerplate-dominated worst case (instructive — it
+  * is exactly the saturation mode `simhashPairsCapped` bounds — but not
+  * the scaling signal this smoke is for). Per-word suffixes keep every
+  * token's weight at 1×. Embeddings replicate unperturbed
+  * (cross-replica cos-1.0 pairs are the worst case for the blocked
+  * all-pairs join — that IS the stress worth measuring there).
+  */
+object CorpusScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docReps = args.lift(1).map(_.toInt).getOrElse(10)
+    val vecReps = args.lift(2).map(_.toInt).getOrElse(3)
+    val out = s"/tmp/graft_corpus_${docReps}x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[corpus-scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    time("replicate") {
+      val docs = graft.sources.Tables.documents(spark, src)
+      val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      (0 until docReps).map { r =>
+        val tag = ('a' + r).toChar // letters only: survives canonicalization
+        val salted = if (r == 0) docs
+          else docs.withColumn("text",
+            regexp_replace(col("text"), "([A-Za-z]+)", s"$$1z${tag}q"))
+        salted.withColumn("doc_id", col("doc_id") + lit(r * maxDoc))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val vecs = graft.sources.Tables.embeddings(spark, src)
+      val maxVec = vecs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      (0 until vecReps).map(r =>
+          vecs.withColumn("vec_id", col("vec_id") + lit(r * maxVec)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    println("[corpus-scale] rows: documents=" +
+      spark.read.parquet(s"$out/documents.parquet").count() +
+      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+
+    for (q <- Seq(
+        "text_tokens", "text_quality", "text_redact", "text_c4_filter",
+        "text_langid", "text_fingerprint", "text_rollhash", "text_ngram_freq",
+        "text_chunk", "seq_pack", "sample_stratified", "text_salience",
+        "text_contamination",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_simhash", "dedup_simhash128", "dedup_cluster",
+        "vec_stats", "vec_quantize", "vec_centroid",
+        "ann_lsh", "ann_ivf", "dedup_embedding")) {
+      time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
+    }
+    spark.stop()
+  }
+}
