@@ -81,6 +81,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => graft.text.CorpusOps.sampleStratified(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.contamination(s, d)),
     "text_salience" -> ((s, d) => graft.text.CorpusOps.termSalience(s, d)),
+    "text_oov" -> ((s, d) => graft.text.CorpusOps.oovRate(s, d)),
+    "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
@@ -608,6 +610,45 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM scored WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_oov" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |terms AS (SELECT doc_id, unnest(words) AS term FROM w),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term)
+        |  ORDER BY df DESC, term LIMIT 1000)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM terms t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (
+        |  SELECT b.doc_id AS b_id, e.doc_id AS e_id, b.n_sh AS b_n, e.n_sh AS e_n,
+        |    COUNT(*) AS inter
+        |  FROM ex b JOIN ex e ON b.sh = e.sh
+        |  WHERE b.doc_id % 10 = 7 AND e.doc_id % 10 <> 7
+        |  GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_dup_candidates, MIN(e_id) AS dup_of
+        |  FROM p WHERE round(inter / CAST(b_n + e_n - inter AS DOUBLE), 6) >= 0.5
+        |  GROUP BY b_id)
+        |SELECT s.doc_id, CAST(COALESCE(d.n_dup_candidates, 0) AS BIGINT) AS n_dup_candidates,
+        | d.dup_of, d.dup_of IS NULL AS is_new
+        |FROM s LEFT JOIN d ON s.doc_id = d.b_id
+        |WHERE s.doc_id % 10 = 7 ORDER BY doc_id""".stripMargin,
 
     "vec_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,

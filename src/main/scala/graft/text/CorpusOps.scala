@@ -136,6 +136,31 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer vocabulary coverage: build the top-1000 corpus words by
+    * document frequency (ties broken lexically — deterministic), then
+    * score every document's out-of-vocabulary rate against it. The
+    * vocabulary is BOUNDED by construction (top-k), so broadcasting it
+    * into the coverage join is scale-correct — this is the one text
+    * join in the library where a broadcast hint is provably safe at any
+    * corpus size. OOV rate is the trainer-facing signal for tokenizer
+    * fit / corpus drift. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("term"))
+    val vocab = terms.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(1000)
+      .select(col("term"), lit(1).as("in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .orderBy("doc_id")
+  }
+
   /** Per-document salient terms: top-5 words by tf/df weighting (term
     * frequency over corpus document frequency — the idf-monotone
     * salience score kept as an exact IEEE division so every engine

@@ -184,6 +184,40 @@ object TextOps {
     labels
   }
 
+  /** Incremental near-dup admission — the shape a production ingest
+    * actually runs: an arriving batch (doc_id ≡ 7 mod 10 plays the new
+    * batch) is checked against the EXISTING corpus index only, never
+    * corpus×corpus. The inverted shingle index is the persisted
+    * structure; per batch this is an index lookup join costing
+    * O(batch shingles × per-shingle df), independent of corpus growth
+    * history. Every batch doc reports its verdict: admitted as new, or
+    * duplicate-of (min matching existing id, exact Jaccard ≥ 0.5). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 7
+    val ex = docs.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+    val batch = ex.filter(isBatch).toDF("b_id", "b_n", "sh")
+    val existing = ex.filter(!isBatch).toDF("e_id", "e_n", "sh")
+    val dups = batch.join(existing, Seq("sh"))
+      .groupBy("b_id", "e_id", "b_n", "e_n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("b_n") + col("e_n") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("b_id")
+      .agg(count(lit(1)).as("n_dup_candidates"), min("e_id").as("dup_of"))
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(dups.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+        col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   // MinHash parameters live in graft.functions.MinHash128: 128
   // permutations h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1, banded
   // 32×4, all slots computed in one codegen'd pass per document.

@@ -74,6 +74,44 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("oov: rates in [0,1], n_oov bounded by tokens, vocab covers the common mass") {
+    val rows = CorpusOps.oovRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") == oov.toDouble / n)
+    }
+    // a 1000-word df-ranked vocabulary must cover most token mass
+    val totalTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totalOov = rows.map(_.getAs[Long]("n_oov")).sum
+    assert(totalOov.toDouble / totalTok < 0.5, "top-1000 vocab covered <50% of tokens")
+  }
+
+  test("incremental dedup: batch verdicts consistent, agrees with the full pair join") {
+    import graft.text.TextOps
+    val rows = TextOps.dedupIncremental(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 == 7, "non-batch doc in the batch report")
+      val isNew = r.getAs[Boolean]("is_new")
+      assert(isNew == r.isNullAt(r.fieldIndex("dup_of")))
+      assert(isNew == (r.getAs[Long]("n_dup_candidates") == 0L))
+    }
+    // cross-check against the symmetric full pair join: a batch doc is
+    // a dup iff it appears in a (batch, existing) pair at tau=0.5
+    val full = TextOps.dedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dupFromFull = full.flatMap { case (a, b) =>
+      Seq(a, b).filter(id => id % 10 == 7)
+        .filter(id => Seq(a, b).exists(o => o != id && o % 10 != 7))
+    }.toSet
+    val dupFromIncr = rows.filter(!_.getAs[Boolean]("is_new"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dupFromIncr == dupFromFull,
+      s"incremental verdicts ${dupFromIncr} != full-join ${dupFromFull}")
+  }
+
   test("per-label centroid sums cover all 64 positions with the label's full count") {
     val rows = VectorOps.vecCentroid(spark, sfDir).collect()
     assert(rows.nonEmpty)
