@@ -82,6 +82,7 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.contamination(s, d)),
     "text_salience" -> ((s, d) => graft.text.CorpusOps.termSalience(s, d)),
     "text_oov" -> ((s, d) => graft.text.CorpusOps.oovRate(s, d)),
+    "text_repetition" -> ((s, d) => graft.text.CorpusOps.repetition(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
@@ -610,6 +611,17 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM scored WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents)
+        |SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS n_windows,
+        | CAST(len(list_distinct(list_transform(generate_series(1, len(words)-2),
+        |   i -> array_to_string(words[i:i+2], ' ')))) AS BIGINT) AS n_distinct,
+        | 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(words)-2),
+        |   i -> array_to_string(words[i:i+2], ' ')))) AS DOUBLE) / (len(words) - 2) AS rep_ratio
+        |FROM w WHERE len(words) >= 3 ORDER BY doc_id""".stripMargin,
 
     "text_oov" ->
       """WITH w AS (

@@ -136,6 +136,24 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition: how much of a document is the same
+    * 3-word window repeating? 1 − distinct/total shingle windows — the
+    * boilerplate/spam signal the C4 cascade uses alongside the symbol
+    * and stopword rules. Pure per-row arithmetic off the codegen'd
+    * shingler: no shuffle before the presentation sort. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), size(wordsCol).cast("long").as("n_words"),
+        size(expr("word_shingles3(text)")).cast("long").as("n_distinct"))
+      .filter(col("n_words") >= 3)
+      .withColumn("n_windows", col("n_words") - 2)
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_windows"))
+      .select("doc_id", "n_windows", "n_distinct", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer vocabulary coverage: build the top-1000 corpus words by
     * document frequency (ties broken lexically — deterministic), then
     * score every document's out-of-vocabulary rate against it. The

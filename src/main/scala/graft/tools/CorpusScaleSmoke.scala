@@ -72,7 +72,7 @@ object CorpusScaleSmoke {
         "text_tokens", "text_quality", "text_redact", "text_c4_filter",
         "text_langid", "text_fingerprint", "text_rollhash", "text_ngram_freq",
         "text_chunk", "seq_pack", "sample_stratified", "text_salience",
-        "text_contamination", "text_oov", "dedup_incremental",
+        "text_contamination", "text_oov", "text_repetition", "dedup_incremental",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_simhash128", "dedup_cluster",
         "vec_stats", "vec_quantize", "vec_centroid",

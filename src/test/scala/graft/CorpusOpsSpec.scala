@@ -74,6 +74,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition ratio is 0 for all-distinct windows and grows with duplication") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // probe frame: distinct windows vs a fully-repeating document
+    val probe = Seq((1L, "a b c d e f"), (2L, "x y x y x y x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(expr("word_shingles3(text)")).cast("double").as("nd"),
+        (size(split(col("text"), " ")) - 2).cast("double").as("nw"))
+      .collect().map(r => r.getLong(0) -> (1.0 - r.getDouble(1) / r.getDouble(2))).toMap
+    assert(probe(1L) == 0.0)
+    assert(probe(2L) > 0.5) // 6 windows, 2 distinct ('x y x', 'y x y')
+    val rows = CorpusOps.repetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_windows"))
+    }
+  }
+
   test("oov: rates in [0,1], n_oov bounded by tokens, vocab covers the common mass") {
     val rows = CorpusOps.oovRate(spark, sfDir).collect()
     assert(rows.nonEmpty)
