@@ -57,6 +57,38 @@ class KafkaWireSpec extends SparkSpec {
     assert(parsed.filter(!col("corrupt")).select("event_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("kafka chain to upsert sink: replayed offsets are absorbed idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_kafka_sink").toString
+    val stream = MemoryStream[KafkaRecord]
+    // the end-to-end at-least-once story: bus replays a batch, the
+    // offset-versioned keyed upsert makes the load exactly-once
+    val q = StreamingEtl.kafkaEtl(stream.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.io.Sink.upsertPartitioned(
+          batch.withColumn("event_date", to_date(col("ts")).cast("string")),
+          out, "event_date", "event_id", "offset")
+      }
+      .start()
+    stream.addData(
+      rec(10, eventJson(1, base + 1000, 7, "click", 10.0)),
+      rec(11, eventJson(2, base + 2000, 8, "view", 20.0)))
+    q.processAllAvailable()
+    // the broker re-delivers the same offsets (at-least-once), plus one new record
+    stream.addData(
+      rec(10, eventJson(1, base + 1000, 7, "click", 10.0)),
+      rec(11, eventJson(2, base + 2000, 8, "view", 20.0)),
+      rec(12, eventJson(3, base + 3000, 9, "purchase", 30.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out)
+      .select("event_id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 11L, 3L -> 12L),
+      s"replayed offsets duplicated or lost rows: $got")
+  }
+
   test("downstream windowed aggregation composes unchanged on the kafka chain") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -79,6 +79,18 @@ class PlanAuditSpec extends SparkSpec {
       s"document scan lost its parallelizing repartition:\n${plan.take(1500)}")
   }
 
+  test("seq_pack's corpus-wide window is bucket-partitioned, not single-partition") {
+    val plan = executed(graft.text.CorpusOps.seqPack(spark, sfDir))
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"packing prefix sum lost its bucket partitioning:\n${plan.take(1500)}")
+  }
+
+  test("oov coverage joins the bounded vocabulary via broadcast") {
+    val plan = executed(graft.text.CorpusOps.oovRate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded vocab should broadcast:\n${plan.take(1500)}")
+  }
+
   test("backfill runs aggs, spine, join and forward-fill off ONE hash exchange") {
     val plan = executed(EventsEtl.backfillGaps(spark, sfDir))
     val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
