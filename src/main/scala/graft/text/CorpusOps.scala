@@ -126,7 +126,9 @@ object CorpusOps {
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val held = ex.filter(pmod(col("doc_id"), lit(100)) === 0).toDF("h_id", "sh")
     val corp = ex.filter(pmod(col("doc_id"), lit(100)) =!= 0).toDF("c_id", "sh")
-    corp.join(held, Seq("sh"))
+    // shuffled-hash, held-out side as build: ~1% of the corpus by
+    // construction, and nothing needs the sort a merge join would pay
+    corp.join(held.hint("shuffle_hash"), Seq("sh"))
       .groupBy("c_id")
       .agg(countDistinct("sh").as("n_shared_shingles"),
         countDistinct("h_id").as("n_heldout_docs"))
@@ -192,7 +194,7 @@ object CorpusOps {
     val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.join(df.hint("shuffle_hash"), Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
