@@ -155,13 +155,18 @@ object TextOps {
     // loop's working set is O(near-dup nodes), not O(corpus)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
+    // the frame whose cached/checkpointed blocks the round owns —
+    // unpersisting the projection view `labels` would release nothing
+    var owned = labels
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val nbMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min("label").as("nb_min"))
+      // carry the pre-step label through the round so convergence is a
+      // filter over the already-materialized result — no extra join
       val stepped = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
       // pointer jumping (path compression): follow each label to ITS
       // label — a chain component's rounds drop from O(diameter) to
@@ -172,15 +177,15 @@ object TextOps {
       // overwhelm the analyzer after ~15 iterations — checkpointing
       // truncates the lineage to the materialized result each round
       val next = stepped.join(
-          stepped.toDF("j_node", "j_label"),
+          stepped.select(col("doc_id").as("j_node"), col("label").as("j_label")),
           col("label") === col("j_node"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      owned.unpersist(blocking = false)
+      owned = next
+      labels = next.select("doc_id", "label")
       converged = changed == 0
       rounds += 1
     }
