@@ -42,6 +42,7 @@ object SparkEntry {
     "q_topn_pergroup" -> ((s, d) => Analytics.topnPerGroup(s, d)),
     "q_topk_custom" -> ((s, d) => Analytics.topkCustom(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -611,6 +612,14 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM scored WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -36,6 +36,22 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Arbitrary GROUPING SETS aggregation — the slices a report needs
+    * and nothing else, where ROLLUP/CUBE would compute every prefix /
+    * every subset: ((flag, status), (flag), ()) here. One pass, one
+    * shuffle — the expand operator replicates rows per set map-side and
+    * the partial aggregation bounds what moves. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** trip_full_view (stop.sql:49-81): trip ⟕ breadcrumb ⟕ stop_events
     * ⇒ orders ⟕ customer ⟕ lineitem. No broadcast HINT on customer:
     * it scales with the data, so the planner/AQE must pick broadcast
