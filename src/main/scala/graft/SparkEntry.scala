@@ -43,6 +43,8 @@ object SparkEntry {
     "q_topk_custom" -> ((s, d) => Analytics.topkCustom(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
+    "q_set_ops" -> ((s, d) => Analytics.setOps(s, d)),
+    "q_ntile" -> ((s, d) => Analytics.ntileProfile(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -612,6 +614,23 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM scored WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 250
+        |ORDER BY user_id""".stripMargin,
+
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+        |  FROM events)
+        |SELECT event_type, CAST(q AS BIGINT) AS quartile, COUNT(*) AS n,
+        | MIN(value) AS lo, MAX(value) AS hi
+        |FROM t GROUP BY event_type, q ORDER BY event_type, quartile""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -52,6 +52,31 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Relational set algebra over key sets — INTERSECT then EXCEPT with
+    * SQL set-dedup semantics. Spark plans these as aggregate+semi/anti
+    * joins, so they shuffle once on the key like any distinct. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String, thr: Double) =
+      ev.filter(col("event_type") === t && col("value") > thr).select("user_id")
+    ids("purchase", 150).intersect(ids("click", 150)).except(ids("error", 250))
+      .orderBy("user_id")
+  }
+
+  /** NTILE quartile profile per event type: equal-frequency buckets
+    * (the histogram twin for skewed distributions where fixed-width
+    * bins collapse). One window shuffle on the type key, then a plain
+    * aggregate rides it. */
+  def ntileProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .orderBy("event_type", "quartile")
+  }
+
   /** trip_full_view (stop.sql:49-81): trip ⟕ breadcrumb ⟕ stop_events
     * ⇒ orders ⟕ customer ⟕ lineitem. No broadcast HINT on customer:
     * it scales with the data, so the planner/AQE must pick broadcast
