@@ -58,12 +58,18 @@ object ScaleSmoke {
     spark.read.parquet(s"$out/events_us.parquet").write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
+    // noop sink, not count(): count() lets Catalyst prune unreferenced
+    // Window operators and presentation sorts (the round-1 pitfall,
+    // SURVEY §4) — a pruned sessionize "wins" against its two-phase
+    // twin by not running the window at all
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     for (q <- Seq("q1_agg", "q3_shipping", "q_sessionize", "etl_derive_speed",
         "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist",
         "q_range_join", "q_moving_agg", "etl_backfill_gaps", "q_arg_extremes",
         "q_skew_join", "dedup_cluster", "q_sessionize_scale", "etl_scd2",
         "q_windowed_distinct", "vec_quantize")) {
-      time(q)(graft.SparkEntry.queries(q)(spark, out).count())
+      time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 
     // custom heap top-k vs window row_number on the replicated events
