@@ -79,6 +79,17 @@ class PlanAuditSpec extends SparkSpec {
       s"document scan lost its parallelizing repartition:\n${plan.take(1500)}")
   }
 
+  test("inverted shingle-index joins run shuffled-hash, never paying merge sorts") {
+    for ((name, df) <- Seq(
+        "jaccard" -> graft.text.TextOps.dedupNgramJaccard(spark, sfDir),
+        "incremental" -> graft.text.TextOps.dedupIncremental(spark, sfDir),
+        "contamination" -> graft.text.CorpusOps.contamination(spark, sfDir))) {
+      val plan = executed(df)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name index join lost its shuffled-hash hint:\n${plan.take(1200)}")
+    }
+  }
+
   test("seq_pack's corpus-wide window is bucket-partitioned, not single-partition") {
     val plan = executed(graft.text.CorpusOps.seqPack(spark, sfDir))
     assert(plan.contains("hashpartitioning(bucket"),
