@@ -86,6 +86,7 @@ object SparkEntry {
     "text_salience" -> ((s, d) => graft.text.CorpusOps.termSalience(s, d)),
     "text_oov" -> ((s, d) => graft.text.CorpusOps.oovRate(s, d)),
     "text_repetition" -> ((s, d) => graft.text.CorpusOps.repetition(s, d)),
+    "corpus_mix" -> ((s, d) => graft.text.CorpusOps.corpusMix(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
@@ -639,6 +640,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tok FROM documents),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        |  FROM w GROUP BY source),
+        |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM per)
+        |SELECT source, n_docs, n_tokens, w_micro,
+        | CAST(w_micro AS DOUBLE) / tot_w AS share,
+        | CAST(floor(CAST(w_micro AS DOUBLE) / tot_w * 100000) AS BIGINT) AS target_tokens,
+        | CAST(floor(CAST(w_micro AS DOUBLE) / tot_w * 100000) AS DOUBLE) / n_tokens AS epochs
+        |FROM per, t ORDER BY source""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -138,6 +138,31 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Training-mixture table: per-source token mass → smoothed sampling
+    * weight (√tokens — the standard compromise between proportional
+    * and uniform mixing) → token budget share and epoch factor
+    * (target/actual; > 1 means the source upsamples). The sqrt weight
+    * is anchored to integer micro-units before the cross-source sum so
+    * the aggregate is order-independent — summing raw doubles across
+    * partitions would drift. Source count is bounded (it's a catalog,
+    * not data), so the 1-row total cross-join is free at any scale. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val per = docs(spark, dir)
+      .select(col("source"), size(wordsCol).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    per.crossJoin(per.agg(sum("w_micro").as("tot_w")))
+      .withColumn("share", col("w_micro").cast("double") / col("tot_w"))
+      .withColumn("target_tokens", floor(col("share") * budget).cast("long"))
+      .withColumn("epochs", col("target_tokens").cast("double") / col("n_tokens"))
+      .select("source", "n_docs", "n_tokens", "w_micro", "share",
+        "target_tokens", "epochs")
+      .orderBy("source")
+  }
+
   /** Intra-document repetition: how much of a document is the same
     * 3-word window repeating? 1 − distinct/total shingle windows — the
     * boilerplate/spam signal the C4 cascade uses alongside the symbol
