@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash128"),
       info("simhash128", "simhash128(tokens) - 128-bit SimHash signature [w0, w1] in one pass"),
       (exprs: Seq[Expression]) => SimHash128(exprs.head)))
+    e.injectFunction((FunctionIdentifier("text_profile"),
+      info("text_profile", "text_profile(text) - (n_chars, n_words, n_punct, n_stop) in one scan"),
+      (exprs: Seq[Expression]) => TextProfile(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))

@@ -116,6 +116,33 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
   }
 
+  test("fused text_profile is field-identical to the 4-regex column formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def legacyCols(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+        w => w =!= "")).cast("long").as("n_words"),
+      (length(col("text")) -
+        length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).cast("long").as("n_punct"),
+      ((length(lower(col("text"))) - length(expr("replace(lower(text), ' the ', '')")))
+        / lit(5)).cast("long").as("n_stop"))
+    def fusedCols(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      expr("text_profile(text)").as("p"))
+      .select(col("doc_id"), col("p.n_chars").as("n_chars"), col("p.n_words").as("n_words"),
+        col("p.n_punct").as("n_punct"), col("p.n_stop").as("n_stop"))
+    // corpus-wide equivalence
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    assert(legacyCols(corpus).exceptAll(fusedCols(corpus)).count() == 0)
+    assert(fusedCols(corpus).exceptAll(legacyCols(corpus)).count() == 0)
+    // constructed edges: dash-joined words, overlapping stopwords,
+    // digits-only segments, unicode, empty-ish strings
+    val edge = Seq((1L, "a-b c"), (2L, " the the "), (3L, "123 456 a1b"),
+      (4L, "汉字 the mix!"), (5L, " "), (6L, "THE THE the x")).toDF("doc_id", "text")
+    assert(legacyCols(edge).exceptAll(fusedCols(edge)).count() == 0)
+    assert(fusedCols(edge).exceptAll(legacyCols(edge)).count() == 0)
+  }
+
   test("quality scores are in [0,1] and ratios sane") {
     val rows = TextOps.quality(spark, sfDir).collect()
     rows.foreach { r =>
