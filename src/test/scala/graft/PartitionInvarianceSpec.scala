@@ -1,0 +1,26 @@
+package graft
+
+/** Results must not depend on the cluster layout: the same query on
+  * the same data with a different shuffle-partition count has to
+  * produce identical rows in identical order. Catches accumulation-
+  * order arithmetic, partition-local state leaks, and non-total sort
+  * keys — the bugs that pass every fixed-layout test and then corrupt
+  * the first production run on different hardware. Exercises the
+  * operators with layout-sensitive structure: distributed prefix sum,
+  * iterative label propagation, window stacks, block-partitioned
+  * products, index joins, ntile. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  test("order-sensitive operators are shuffle-partition-count invariant") {
+    val names = Seq("seq_pack", "dedup_cluster", "q_sessionize", "vec_centroid",
+      "q_ntile", "dedup_incremental", "dedup_embedding", "q_running_agg")
+    for (n <- names) {
+      val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val alt = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+        assert(base == alt, s"$n output depends on shuffle partitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+}
