@@ -102,6 +102,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "mm_batch_infer" -> ((s, d) => Multimodal.batchInfer(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -884,6 +885,17 @@ object SparkEntry {
 
     // The mm stub-decode recomputed in SQL: h = first 60 bits of the
     // payload sha256, dims/frames/features all derived from h.
+    "mm_batch_infer" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(sha256(text), 16, 15)) AS BIGINT) AS h2
+        |  FROM documents)
+        |SELECT doc_id, 16 AS emb_dim,
+        | CAST(list_sum(list_transform(generate_series(0, 7),
+        |   i -> (i+1) * ((h1 >> (i*7)) & 127) + (i+9) * ((h2 >> (i*7)) & 127))) AS BIGINT) AS emb_checksum
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "mm_decode" ->
       """WITH h AS (
         |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h

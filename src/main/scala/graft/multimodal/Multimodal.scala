@@ -81,6 +81,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class InferRow(doc_id: Long, emb_dim: Int, emb_checksum: Long)
+
+  /** STUB batched inference: the GPU-serving shape — one "model load"
+    * per partition, forward passes over FIXED-SIZE batches
+    * (`grouped(batchSize)`), per-row embeddings out. The fake forward
+    * pass derives a 16-slot embedding from the payload's sha256 and
+    * emits its position-weighted checksum, so (a) the DuckDB oracle
+    * recomputes it, and (b) the output is provably independent of
+    * batch boundaries and partition layout — which is the CONTRACT of
+    * batching (a real model's kernel must not leak batch context
+    * across rows either; the spec pins batchSize-invariance). */
+  def batchInfer(spark: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // STUB: per-partition "model load" — here the digest instance
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        rows.grouped(batchSize).flatMap { batch =>
+          // STUB: the batched "forward pass"
+          batch.map { r =>
+            md.reset()
+            val hex = md.digest(r.media).map("%02x".format(_)).mkString
+            val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+            var cs = 0L
+            var i = 0
+            while (i < 8) {
+              cs += (i + 1) * ((h1 >> (i * 7)) & 127)
+              cs += (i + 9) * ((h2 >> (i * 7)) & 127)
+              i += 1
+            }
+            InferRow(r.doc_id, 16, cs)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** STUB resize: computes the aspect-preserving scale plan for each
     * media item toward a 224×224 target (the tensor-pipeline contract);
     * a real deployment applies the scale with an image library in the

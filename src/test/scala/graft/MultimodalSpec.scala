@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  test("batched inference output is invariant to batch size and layout") {
+    import graft.multimodal.Multimodal
+    def rows(bs: Int) = Multimodal.batchInfer(spark, sfDir, bs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // the batching contract: a forward pass must not leak batch
+    // context across rows — any batch size yields identical output
+    val b1 = rows(1)
+    assert(b1.nonEmpty)
+    assert(rows(32) == b1 && rows(1000) == b1)
+    b1.foreach { case (_, dim, cs) => assert(dim == 16 && cs >= 0) }
+  }
+
   test("media dedup groups identical payloads under the min canonical id") {
     import org.apache.spark.sql.functions._
     val df = graft.multimodal.Multimodal.mediaDedup(spark, sfDir).cache()
