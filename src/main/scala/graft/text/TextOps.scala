@@ -264,6 +264,35 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The saturation guard for the MinHash path — mirrors
+    * `jaccardPairsCapped`/`simhashPairsCapped`: a band bucket whose
+    * membership exceeds `bucketCap` (boilerplate-dominated corpora
+    * collapse many docs into one band hash) is dropped BEFORE the
+    * in-bucket pair expansion, bounding per-bucket work at cap². A
+    * pair is missed only if every one of its 32 band collisions lands
+    * in a hot bucket; emitted jaccards stay exact (full-array verify).
+    * cap=∞ is exactly `dedupMinhash` (spec-pinned). */
+  def minhashPairsCapped(spark: SparkSession, dir: String, bucketCap: Long): DataFrame = {
+    val (shingled, banded) = minhashPiecesInternal(spark, dir)
+    val cand = banded.groupBy("band_id", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    cand
+      .join(shingled.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(shingled.toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signatures via the fused minhash128 expression (all 128
     * slots in one compiled pass per document — no explode, no
     * 128-buffer aggregate, no intermediate (doc, shingle) relation),

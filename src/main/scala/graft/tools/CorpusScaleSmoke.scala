@@ -48,7 +48,7 @@ object CorpusScaleSmoke {
 
     time("replicate") {
       val docs = graft.sources.Tables.documents(spark, src)
-      val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       (0 until docReps).map { r =>
         val tag = ('a' + r).toChar // letters only: survives canonicalization
         val salted = if (r == 0) docs
@@ -58,7 +58,7 @@ object CorpusScaleSmoke {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val vecs = graft.sources.Tables.embeddings(spark, src)
-      val maxVec = vecs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val maxVec = vecs.agg(max(col("vec_id"))).head().getLong(0) + 1L
       (0 until vecReps).map(r =>
           vecs.withColumn("vec_id", col("vec_id") + lit(r * maxVec)))
         .reduce(_ unionAll _)

@@ -26,7 +26,7 @@ object ScaleSmoke {
 
     def replicate(name: String, idCols: Seq[String]): Unit = {
       val base = graft.sources.Tables.load(spark, src, name)
-      val maxIds = idCols.map(c => c -> (base.agg(max(col(c))).head.getLong(0) + 1L)).toMap
+      val maxIds = idCols.map(c => c -> (base.agg(max(col(c))).head().getLong(0) + 1L)).toMap
       val parts = (0 until reps).map { r =>
         idCols.foldLeft(base) { (df, c) => df.withColumn(c, col(c) + lit(r * maxIds(c))) }
       }

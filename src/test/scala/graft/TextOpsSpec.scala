@@ -101,6 +101,16 @@ class TextOpsSpec extends SparkSpec {
       "exact-dup pair missing from simhash128 hamming-0 pairs")
   }
 
+  test("capped minhash: cap=inf equals the LSH operator, capped is a subset") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = TextOps.dedupMinhash(spark, sfDir).collect().map(key).toSet
+    val uncapped = TextOps.minhashPairsCapped(spark, sfDir, Long.MaxValue)
+      .collect().map(key).toSet
+    assert(uncapped == full)
+    val capped = TextOps.minhashPairsCapped(spark, sfDir, 3L).collect().map(key).toSet
+    assert(capped.subsetOf(full))
+  }
+
   test("capped simhash: cap=inf equals the exact operator, capped is a subset") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val exact = TextOps.dedupSimhash(spark, sfDir).collect().map(key).toSet
