@@ -53,15 +53,20 @@ object EventsEtl {
   /** Quarantine: rows failing validation, tagged with the first failing
     * rule — the dropped side of the reference's validation loop, kept
     * auditable instead of printed (updated_subscriber.py:138-151). */
+  /** First failing rule per invalid row — shared by the batch
+    * quarantine and its streaming side-output twin. */
+  private[graft] def reasonCol: Column =
+    when(col("ts").isNull, "null_ts")
+      .when(col("user_id") < 0, "bad_user")
+      .when(col("value") < 0, "neg_value")
+      .when(col("value") > MaxValue, "over_max")
+      .otherwise("bad_type")
+
   def quarantine(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
       .filter(!validPred)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        when(col("ts").isNull, "null_ts")
-          .when(col("user_id") < 0, "bad_user")
-          .when(col("value") < 0, "neg_value")
-          .when(col("value") > MaxValue, "over_max")
-          .otherwise("bad_type").as("reason"))
+        reasonCol.as("reason"))
       .orderBy("event_id")
 
   /** Per-key speed derivation (updated_subscriber.py:66-68):

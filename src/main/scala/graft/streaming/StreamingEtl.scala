@@ -33,6 +33,26 @@ object StreamingEtl {
   /** Streaming validation — identical predicate to the batch clean. */
   def validate(df: DataFrame): DataFrame = df.filter(EventsEtl.validPred)
 
+  /** Streaming quarantine side-output: each micro-batch splits on the
+    * SHARED validation predicate — clean rows append to `cleanPath`,
+    * rejects land in `quarantinePath` tagged with the first failing
+    * rule and the batch id. Nothing is silently dropped (the reference
+    * prints rejects and discards them); one cached pass per batch
+    * feeds both writes. */
+  def quarantineSink(df: DataFrame, cleanPath: String,
+      quarantinePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val b = batch.persist()
+      try {
+        b.filter(EventsEtl.validPred)
+          .write.mode("append").parquet(cleanPath)
+        b.filter(!EventsEtl.validPred)
+          .withColumn("reason", EventsEtl.reasonCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(quarantinePath)
+      } finally { b.unpersist(); () }
+    }.start()
+
   /** The wire schema Spark's Kafka source emits — one row per record
     * with binary key/value and (topic, partition, offset) provenance.
     * Typed here so the parse/validate chain is testable with

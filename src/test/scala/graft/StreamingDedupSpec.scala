@@ -74,6 +74,28 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.select("event_date").distinct().count() == 2)
   }
 
+  test("streaming quarantine splits each batch losslessly with tagged reasons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cleanP = Files.createTempDirectory("graft_sq_clean").toString
+    val quarP = Files.createTempDirectory("graft_sq_quar").toString
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.quarantineSink(stream.toDF(), cleanP, quarP)
+    stream.addData(
+      row(1, base, 1, 10.0),                         // valid
+      EventRow(2, null, 2, "click", 5.0, "{}"),      // null ts
+      row(3, base, 3, -4.0),                         // negative value
+      EventRow(4, new java.sql.Timestamp(base), 4, "bogus", 1.0, "{}")) // bad type
+    q.processAllAvailable(); q.stop()
+    val clean = spark.read.parquet(cleanP).select("event_id").as[Long].collect().toSet
+    val quar = spark.read.parquet(quarP)
+      .select("event_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean == Set(1L))
+    assert(quar == Map(2L -> "null_ts", 3L -> "neg_value", 4L -> "bad_type"))
+    assert(clean.size + quar.size == 4, "rows lost between the two paths")
+  }
+
   test("foreachBatch + upsert sink absorbs replayed and out-of-order change batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
