@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based fuzzing of the custom expressions' static kernels —
+  * driven directly (no Spark session), so hundreds of random inputs
+  * run in milliseconds and unicode/empty/adversarial strings get
+  * coverage no fixed corpus provides. Sampling is seeded, so a failure
+  * reproduces. */
+class ExpressionPropertySpec extends AnyFunSuite {
+
+  /** deterministic scalacheck sampling (no scalatestplus bridge needed) */
+  private def forSamples[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+  private def tokens(ts: Seq[String]) =
+    new GenericArrayData(ts.map(t => utf8(t): Any).toArray)
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf("!@#.,-汉字é\t".toSeq)
+  )).map(_.mkString)
+
+  test("text_profile counters always satisfy their structural invariants") {
+    forSamples(text) { s =>
+      val r = graft.functions.TextProfile.compute(utf8(s))
+      val nChars = r.getLong(0); val nWords = r.getLong(1)
+      val nPunct = r.getLong(2); val nStop = r.getLong(3)
+      assert(nChars == s.codePointCount(0, s.length))
+      assert(nWords >= 0 && nPunct >= 0 && nStop >= 0)
+      assert(nPunct <= nChars)
+      // words are space-separated, so at most gaps+1 of them
+      assert(nWords <= s.count(_ == ' ') + 1)
+      // each counted stopword occupies 5 chars, overlaps excluded
+      assert(nStop * 5 <= nChars + 4)
+    }
+  }
+
+  test("simhash128 word 0 equals simhash64 for arbitrary token arrays") {
+    forSamples(Gen.listOf(word)) { ts =>
+      val s64 = graft.functions.SimHash64.compute(tokens(ts))
+      val s128 = graft.functions.SimHash128.compute(tokens(ts))
+      assert(s128.getLong(0) == s64)
+    }
+  }
+
+  test("simhash is permutation-invariant (bag-of-tokens semantics)") {
+    forSamples(Gen.nonEmptyListOf(word).map(ts => (ts, ts.reverse))) {
+      case (ts, rev) =>
+        assert(graft.functions.SimHash64.compute(tokens(ts)) ==
+          graft.functions.SimHash64.compute(tokens(rev)),
+          "simhash must not depend on token order")
+    }
+  }
+
+  test("hamming distance axioms: identity, symmetry, triangle inequality") {
+    forSamples(Gen.zip(Gen.long, Gen.long, Gen.long)) { case (a, b, c) =>
+      def h(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+      assert(h(a, a) == 0)
+      assert(h(a, b) == h(b, a))
+      assert(h(a, c) <= h(a, b) + h(b, c))
+    }
+  }
+
+  test("minhash128 signatures: 128 slots in the modulus, minima subset-monotone") {
+    forSamples(Gen.nonEmptyListOf(word), n = 150) { ts =>
+      val sig = graft.functions.MinHash128.compute(tokens(ts))
+      assert(sig.numElements() == 128)
+      (0 until 128).foreach { i =>
+        val v = sig.getLong(i)
+        assert(v >= 0 && v < 2147483647L)
+      }
+      // adding tokens can only LOWER each min slot (monotone minima) —
+      // the property LSH banding recall rests on
+      val more = graft.functions.MinHash128.compute(tokens(ts ++ ts.map(_ + "x")))
+      (0 until 128).foreach(i => assert(more.getLong(i) <= sig.getLong(i)))
+    }
+  }
+
+  test("rolling hash: whitespace/punct/case noise never changes the fingerprint") {
+    forSamples(Gen.nonEmptyListOf(word)) { ts =>
+      val clean = ts.mkString(" ")
+      val noisy = ts.mkString("  ").toUpperCase + "!"
+      assert(graft.functions.WordShingles.rollingHash(utf8(clean)) ==
+        graft.functions.WordShingles.rollingHash(utf8(noisy)))
+    }
+  }
+}
