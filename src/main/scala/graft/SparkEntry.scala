@@ -45,6 +45,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.setOps(s, d)),
     "q_ntile" -> ((s, d) => Analytics.ntileProfile(s, d)),
+    "q_corr_moments" -> ((s, d) => Analytics.corrMoments(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "q_running_agg" -> ((s, d) => Analytics.runningAgg(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -624,6 +625,23 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error' AND value > 250
         |ORDER BY user_id""".stripMargin,
+
+    "q_corr_moments" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |    TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM e WHERE y IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        | (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_xy
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_ntile" ->
       """WITH t AS (

@@ -52,6 +52,33 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Distributed Pearson correlation the order-independent way: the
+    * built-in `corr` accumulates floating-point state whose value
+    * depends on partition merge order — fine statistically, but not
+    * reproducible bit-for-bit across layouts. Accumulating the five
+    * moments as EXACT integers (cents × payload-k) makes the aggregate
+    * associative and layout-proof; the final correlation is one fixed
+    * double expression over exact inputs. (At extreme scale the x²
+    * moments move to DECIMAL(38) — same shape.) */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = cents(col("value"))
+    val y = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_xy",
+        (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+            sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+      .select("event_type", "n", "sx", "sy", "sxy", "sxx", "syy", "corr_xy")
+      .orderBy("event_type")
+  }
+
   /** Relational set algebra over key sets — INTERSECT then EXCEPT with
     * SQL set-dedup semantics. Spark plans these as aggregate+semi/anti
     * joins, so they shuffle once on the key like any distinct. */
