@@ -13,7 +13,8 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   test("order-sensitive operators are shuffle-partition-count invariant") {
     val names = Seq("seq_pack", "dedup_cluster", "q_sessionize", "vec_centroid",
-      "q_ntile", "dedup_incremental", "dedup_embedding", "q_running_agg")
+      "q_ntile", "dedup_incremental", "dedup_embedding", "q_running_agg",
+      "q_corr_moments")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
