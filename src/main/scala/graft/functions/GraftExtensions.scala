@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("text_profile"),
       info("text_profile", "text_profile(text) - (n_chars, n_words, n_punct, n_stop) in one scan"),
       (exprs: Seq[Expression]) => TextProfile(exprs.head)))
+    e.injectFunction((FunctionIdentifier("token_profile"),
+      info("token_profile", "token_profile(text) - (n_chars, n_ws_tokens, n_re_tokens) in one scan"),
+      (exprs: Seq[Expression]) => TokenProfile(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_tokens"),
       info("word_tokens", "word_tokens(text) - lowercase a-z word tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)))

@@ -59,6 +59,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_profile", exprs => TextProfile(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_profile", exprs => TokenProfile(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_tokens", exprs => WordTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")

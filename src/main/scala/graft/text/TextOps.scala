@@ -478,16 +478,19 @@ object TextOps {
 
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single symbols), and a chars/4
-    * subword estimate. */
-  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    * subword estimate. All counters from the fused token_profile
+    * expression — one compiled scan instead of a split+filter plus a
+    * match-materializing regexp_extract_all. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     docsRepartitioned(spark, dir)
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("n_re_tokens"),
-        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_subword_est"))
+      .select(col("doc_id"), expr("token_profile(text)").as("p"))
+      .select(col("doc_id"), col("p.n_chars").as("n_chars"),
+        col("p.n_ws_tokens").as("n_ws_tokens"),
+        col("p.n_re_tokens").as("n_re_tokens"),
+        ceil(col("p.n_chars") / lit(4.0)).cast("long").as("n_subword_est"))
       .orderBy("doc_id")
+  }
 
   /** Key-collision fingerprint (sorted distinct words → md5): catches
     * reordered/duplicated-content docs that exact hashing misses. */

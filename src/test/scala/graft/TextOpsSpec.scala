@@ -153,6 +153,27 @@ class TextOpsSpec extends SparkSpec {
     assert(fusedCols(edge).exceptAll(legacyCols(edge)).count() == 0)
   }
 
+  test("fused token_profile is field-identical to the regex column formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def legacy(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_ws"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_re"))
+    def fused(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), expr("token_profile(text)").as("p"))
+      .select(col("doc_id"), col("p.n_chars").as("n_chars"),
+        col("p.n_ws_tokens").as("n_ws"), col("p.n_re_tokens").as("n_re"))
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    assert(legacy(corpus).exceptAll(fused(corpus)).count() == 0)
+    assert(fused(corpus).exceptAll(legacy(corpus)).count() == 0)
+    val edge = Seq((1L, "a-b  c"), (2L, "ab12cd 34"), (3L, "x\ty z"),
+      (4L, "汉字 mix!9"), (5L, "   "), (6L, "A1a")).toDF("doc_id", "text")
+    assert(legacy(edge).exceptAll(fused(edge)).count() == 0)
+    assert(fused(edge).exceptAll(legacy(edge)).count() == 0)
+  }
+
   test("quality scores are in [0,1] and ratios sane") {
     val rows = TextOps.quality(spark, sfDir).collect()
     rows.foreach { r =>
