@@ -37,6 +37,16 @@ object Formats {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC interchange: the other columnar warehouse format a consumer
+    * may demand. Same pushdown/pruning story as parquet (predicate
+    * pushdown + column pruning reach the ORC reader; spec-asserted),
+    * so the choice is an interoperability decision, not a plan one. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Headerless single-column key list (vehicle_ids.csv analog). */
   def readKeyList(spark: SparkSession, path: String): DataFrame =
     spark.read

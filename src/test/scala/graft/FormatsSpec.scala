@@ -21,6 +21,24 @@ class FormatsSpec extends SparkSpec {
     assert(ok.getAs[Long]("user_id") == 7L && ok.getAs[Double]("value") == 10.5)
   }
 
+  test("orc round-trip preserves data and pushes filters into the scan") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/events"
+    val src = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    graft.sources.Formats.writeOrc(src, out)
+    val back = graft.sources.Formats.readOrc(spark, out)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // predicate pushdown + column pruning reach the ORC reader
+    val q = back.filter(col("value") > 400.0).select("event_id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,400.0)]"),
+      s"ORC pushdown regressed:\n${plan.take(1200)}")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"),
+      s"ORC column pruning regressed:\n${plan.take(1200)}")
+  }
+
   test("csv key list reads headerless single column") {
     val d = Files.createTempDirectory("graft_csv")
     Files.writeString(d.resolve("keys.csv"), "3001\n3002\n3003\n")
