@@ -190,17 +190,21 @@ object CorpusOps {
     * corpus size. OOV rate is the trainer-facing signal for tokenizer
     * fit / corpus drift. */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
-    val terms = docs(spark, dir)
+    // one explode+shuffle builds (doc, term, tf); document frequency
+    // is then a row-count over it (each (doc, term) appears once) and
+    // coverage sums tf — the corpus never explodes twice
+    val tf = docs(spark, dir)
       .select(col("doc_id"), explode(wordsCol).as("term"))
-    val vocab = terms.groupBy("term")
-      .agg(countDistinct("doc_id").as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(1000)
       .select(col("term"), lit(1).as("in_vocab"))
-    terms.join(broadcast(vocab), Seq("term"), "left")
+    tf.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
       .select("doc_id", "n_tokens", "n_oov", "oov_rate")
       .orderBy("doc_id")
@@ -213,10 +217,12 @@ object CorpusOps {
     * side is a vocabulary-sized aggregate with map-side partials; no
     * broadcast hint — vocabulary scales with the corpus. */
   def termSalience(spark: SparkSession, dir: String): DataFrame = {
-    val terms = docs(spark, dir)
+    val tf = docs(spark, dir)
       .select(col("doc_id"), explode(wordsCol).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df = distinct docs per term = row count over the tf frame (each
+    // (doc, term) appears once) — no second explode of the corpus
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     tf.join(df.hint("shuffle_hash"), Seq("term"))
