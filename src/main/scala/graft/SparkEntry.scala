@@ -64,6 +64,7 @@ object SparkEntry {
     "q_skew_join" -> ((s, d) => Analytics.skewJoinAgg(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
+    "etl_scd2_join" -> ((s, d) => EventsEtl.scd2Join(s, d)),
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -513,6 +514,30 @@ object SparkEntry {
         | n_events,
         | (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)) IS NULL AS is_current
         |FROM g ORDER BY user_id, version""".stripMargin,
+
+    "etl_scd2_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT e.*, CASE WHEN lag(event_type) OVER w IS NULL THEN 1
+        |    WHEN lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (
+        |  SELECT m.*, CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM m),
+        |g AS (
+        |  SELECT user_id, version, event_type, MIN(ts_us) AS valid_from
+        |  FROM v GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT user_id, version, event_type AS version_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM g)
+        |SELECT e.event_id, e.user_id, e.ts_us, j.version, j.version_type
+        |FROM e JOIN j ON e.user_id = j.user_id
+        |  AND e.ts_us >= j.valid_from
+        |  AND (j.valid_to IS NULL OR e.ts_us < j.valid_to)
+        |ORDER BY event_id""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH w AS (

@@ -181,6 +181,29 @@ object EventsEtl {
       .orderBy("user_id", "version")
   }
 
+  /** SCD2 temporal join — the consumption side of `scd2History`: each
+    * event joins the ONE dimension version valid at its timestamp
+    * (valid_from ≤ ts < valid_to; current version has an open end).
+    * Plan shape: equi-join on the key with the interval predicate as a
+    * residual — per-key version counts are small by construction, so
+    * the probe fans out over versions, never over time. Row
+    * conservation (every event matches exactly one version, from the
+    * tiling property) is what the oracle compare certifies. */
+  def scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val versions = scd2History(spark, dir)
+      .select(col("user_id").as("v_user"), col("version"),
+        col("event_type").as("version_type"),
+        col("valid_from"), col("valid_to"))
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(versions, col("user_id") === col("v_user")
+        && col("ts_us") >= col("valid_from")
+        && (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("version_type"))
+      .orderBy("event_id")
+  }
+
   /** Gap backfill: regularize each key's stream onto an hourly grid —
     * per-key min..max bucket spine via sequence/explode, left-join the
     * observed hourly totals, mark gaps, forward-fill the last observed
