@@ -62,6 +62,9 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Analytics.histogram(s, d)),
     "q_range_join" -> ((s, d) => Analytics.rangeJoinBinned(s, d)),
     "q_skew_join" -> ((s, d) => Analytics.skewJoinAgg(s, d)),
+    "q_correlated_avg" -> ((s, d) => Analytics.correlatedAvg(s, d)),
+    "q_nested_semi" -> ((s, d) => Analytics.nestedSemiJoin(s, d)),
+    "q_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
     "etl_scd2_join" -> ((s, d) => EventsEtl.scd2Join(s, d)),
@@ -479,6 +482,41 @@ object SparkEntry {
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_correlated_avg" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_sum_qty,
+        |    COUNT(*) AS part_cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(*) AS n_small_lots,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM lineitem JOIN pa USING (l_partkey) JOIN part ON p_partkey = l_partkey
+        |WHERE 2 * CAST(l_quantity AS BIGINT) * part_cnt < part_sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_nested_semi" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE '%widget%' AND l_suppkey = s_suppkey
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 80)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |anchored AS (
+        |  SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, island, COUNT(*) AS streak
+        |  FROM anchored GROUP BY user_id, island)
+        |SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak,
+        |  CAST(SUM(streak) AS BIGINT) AS n_active_days
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_backfill_gaps" ->
       """WITH e AS (

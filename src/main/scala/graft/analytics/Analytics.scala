@@ -572,4 +572,77 @@ object Analytics {
       .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
         col("n"), col("sum_cents"))
       .orderBy("bucket_us", "event_type")
+
+  /** Correlated scalar-subquery decorrelation (TPC-H Q17 shape):
+    * "lineitems below half their part's average quantity". The
+    * correlated `avg` per outer row would be O(n) subquery executions;
+    * decorrelated it is ONE per-part aggregate joined back to the fact —
+    * the rewrite Catalyst applies to `IN`/scalar subqueries, written
+    * explicitly here so the plan is visible and auditable. The
+    * avg-threshold predicate is kept in exact integer form
+    * (2·qty·cnt < Σqty ⇔ qty < 0.5·avg, cnt > 0) so it is associative,
+    * FP-free, and oracle-identical across engines. Both sides shuffle
+    * on l_partkey once; the per-part aggregate is map-side partial. */
+  def correlatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("part_sum_qty"), count(lit(1)).as("part_cnt"))
+    li.join(perPart, "l_partkey")
+      .filter(lit(2) * col("qty") * col("part_cnt") < col("part_sum_qty"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small_lots"),
+        sum(cents(col("l_extendedprice"))).as("value_cents"))
+      .orderBy("p_brand")
+  }
+
+  /** Nested semi-join chain (TPC-H Q20 shape): suppliers that shipped
+    * more than 80 total units of some widget part. The inner HAVING
+    * aggregate runs once over lineitem (map-side partial on the
+    * (supp, part) pair), is semi-joined to the name-filtered part dim
+    * (broadcast — parts prune before the join), and the surviving
+    * supplier keys semi-join the supplier dim. No fact row survives
+    * past its aggregate; nothing fans out. */
+  def nestedSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 80)
+    val widgetHeavy = heavy.join(
+      broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").contains("widget")).select("p_partkey")),
+      col("l_partkey") === col("p_partkey"))
+    Tables.supplier(spark, dir)
+      .join(widgetHeavy.select("l_suppkey"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Islands-and-gaps streak detection: longest run of CONSECUTIVE
+    * active days per user. The classic trick — row_number the distinct
+    * active days per user, subtract it (in days) from the date: members
+    * of one unbroken run share the anchor date, so a plain groupBy
+    * counts each island. One shuffle on user_id drives the distinct,
+    * the window, and the island aggregation; all arithmetic is integer
+    * date math (no FP, no session-gap heuristics). */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val anchored = days.withColumn("island",
+      date_sub(col("d"), row_number().over(
+        Window.partitionBy("user_id").orderBy("d")).cast("int")))
+    anchored.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(max(col("streak")).as("longest_streak"),
+        sum(col("streak")).as("n_active_days"))
+      .orderBy("user_id")
+  }
 }

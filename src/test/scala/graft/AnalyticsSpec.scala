@@ -56,4 +56,45 @@ class AnalyticsSpec extends SparkSpec {
     val quar = EventsEtl.quarantine(spark, sfDir).count()
     assert(clean + quar == total)
   }
+
+  test("correlated avg: decorrelated predicate matches a per-row correlated check") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+    // independent formulation: per-part stats via a window, then the same rational predicate
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val expected = li
+      .withColumn("s", sum("qty").over(w)).withColumn("c", count(lit(1)).over(w))
+      .filter(lit(2) * col("qty") * col("c") < col("s")).count()
+    val got = Analytics.correlatedAvg(spark, sfDir)
+      .agg(sum("n_small_lots")).collect()(0).getLong(0)
+    assert(got == expected && expected > 0)
+  }
+
+  test("nested semi join: every returned supplier has a >80-qty widget part") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.nestedSemiJoin(spark, sfDir).cache()
+    val suppliers = out.select("s_suppkey").distinct().count()
+    assert(out.count() == suppliers && suppliers > 0) // semi-join: no fan-out
+    val heavyWidget = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.part(spark, sfDir)
+        .filter(col("p_name").contains("widget")), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q")).filter(col("q") > 80)
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    assert(out.join(heavyWidget, Seq("s_suppkey"), "left_anti").count() == 0)
+    out.unpersist()
+  }
+
+  test("streaks: longest streak bounded by active days and islands are consecutive") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.activityStreaks(spark, sfDir).cache()
+    assert(out.filter(col("longest_streak") > col("n_active_days")).count() == 0)
+    assert(out.filter(col("longest_streak") < 1).count() == 0)
+    // user count matches the events table
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.count() == users)
+    out.unpersist()
+  }
 }
