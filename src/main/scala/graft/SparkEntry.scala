@@ -92,6 +92,8 @@ object SparkEntry {
     "text_oov" -> ((s, d) => graft.text.CorpusOps.oovRate(s, d)),
     "text_repetition" -> ((s, d) => graft.text.CorpusOps.repetition(s, d)),
     "corpus_mix" -> ((s, d) => graft.text.CorpusOps.corpusMix(s, d)),
+    "text_bpe_pairs" -> ((s, d) => graft.text.CorpusOps.bpePairs(s, d)),
+    "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
@@ -100,6 +102,7 @@ object SparkEntry {
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
+    "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -738,6 +741,40 @@ object SparkEntry {
         | CAST(floor(CAST(w_micro AS DOUBLE) / tot_w * 100000) AS DOUBLE) / n_tokens AS epochs
         |FROM per, t ORDER BY source""".stripMargin,
 
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(words)-1),
+        |    i -> words[i] || ' ' || words[i+1])) AS pair
+        |  FROM w WHERE len(words) >= 2)
+        |SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 100""".stripMargin,
+
+    "text_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w),
+        |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |t AS (SELECT doc_id, unnest(words) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+        |  WHERE term IN ('scan', 'merge', 'window') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus)
+        |SELECT doc_id, COUNT(*) AS n_terms_matched,
+        | COALESCE(SUM(CASE WHEN term = 'scan' THEN score END), 0.0)
+        |   + COALESCE(SUM(CASE WHEN term = 'merge' THEN score END), 0.0)
+        |   + COALESCE(SUM(CASE WHEN term = 'window' THEN score END), 0.0) AS bm25
+        |FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
     "text_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
@@ -794,6 +831,18 @@ object SparkEntry {
         | CAST(SUM(CAST(floor(embedding[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "vec_gram" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(generate_series(1, 64)) AS k)
+        |SELECT CAST(a.k - 1 AS BIGINT) AS i, CAST(b.k - 1 AS BIGINT) AS j,
+        | CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vecs,
+        | CAST(SUM(m[a.k] * m[b.k]) AS BIGINT) AS sum_micro2
+        |FROM e, idx a, idx b WHERE a.k <= b.k
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents),

@@ -210,6 +210,79 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** BPE-style merge-pair statistics: corpus-wide counts of ADJACENT
+    * token pairs WITH multiplicity — the statistic a byte-pair-encoding
+    * tokenizer trainer maximizes at each merge step (ngramFreq is the
+    * per-document-distinct twin; merge ranking needs raw occurrence
+    * mass). Pair extraction is closed-form per row (transform over an
+    * index sequence — no join, no second explode of the corpus); the
+    * only shuffle is the pair-count aggregation, map-side combinable
+    * because hot pairs collapse to one partial per task. Top-100 with a
+    * lexical tiebreak so the output is a total order. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(100)
+
+  /** BM25 relevance scoring of every document against a fixed query
+    * term set — the retrieval-quality scorer a data pipeline runs to
+    * mine training documents for a topic. Classic BM25 (k1=1.2,
+    * b=0.75) with one deliberate substitution: the idf factor is the
+    * raw Robertson odds (N − df + 0.5)/(df + 0.5) WITHOUT the log —
+    * ln() is libm-dependent and engines disagree in the last bit,
+    * while +,×,/ are IEEE-exact, so this variant is reproducible
+    * bit-for-bit across any engine (and the log is monotone in the
+    * odds, so per-term ranking is unchanged). Per-term scores are
+    * summed in FIXED column order (conditional aggregation), never by
+    * a shuffle-order-dependent SUM over doubles. The df/avgdl sides
+    * are one-row or #terms-row aggregates — broadcast by construction;
+    * the corpus is touched once for tf and once for doc length. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("scan", "merge", "window")
+    val dl = docs(spark, dir)
+      .select(col("doc_id"), size(wordsCol).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl")))))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms_matched"),
+        sum(when(col("term") === terms(0), col("score"))).as("s0"),
+        sum(when(col("term") === terms(1), col("score"))).as("s1"),
+        sum(when(col("term") === terms(2), col("score"))).as("s2"))
+      .withColumn("bm25",
+        coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+          coalesce(col("s2"), lit(0.0)))
+      .select("doc_id", "n_terms_matched", "bm25")
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Per-document salient terms: top-5 words by tf/df weighting (term
     * frequency over corpus document frequency — the idf-monotone
     * salience score kept as an exact IEEE division so every engine

@@ -274,4 +274,69 @@ object VectorOps {
       .select("label", "n", "dim", "avg_norm", "min_norm_micro", "max_norm_micro")
       .orderBy("label")
   }
+
+  /** One-pass Gram-matrix accumulator: the upper triangle of
+    * Σ_rows (v·vᵀ) in a fixed-size Array[Long] buffer — slot 0 holds
+    * the row count, slot 1+ the d(d+1)/2 pair sums. Merging is
+    * element-wise addition, so map-side combine applies and the final
+    * reduce moves ONE 2081-long buffer per partition regardless of
+    * corpus size. */
+  private object GramAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], m: Array[Long]): Array[Long] = {
+      val d = m.length
+      val b = if (buf.isEmpty) new Array[Long](1 + d * (d + 1) / 2) else buf
+      b(0) += 1L
+      var k = 1; var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { b(k) += m(i) * m(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Distributed Gram matrix (XᵀX upper triangle) — the covariance /
+    * PCA accumulation step: one pass over the vectors, components
+    * quantized to exact integer micro-units (floor(x·1e6+0.5), the
+    * engine-independent rounding) so the Θ(d²)-per-row products sum
+    * associatively with zero FP drift. Where vec_centroid posexplodes
+    * d rows per vector, the d²/2 cross terms would explode 2 080 rows
+    * per vector — the typed Aggregator keeps them in one fixed-size
+    * buffer instead, and the plan moves one buffer per task. Output is
+    * the 2 080-row upper triangle, exactly recomputable by the oracle's
+    * index cross join. */
+  def vecGram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val micro = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+      .as[Array[Long]]
+    val gram: org.apache.spark.sql.Dataset[Array[Long]] =
+      micro.select(GramAgg.toColumn)
+    gram.flatMap { g =>
+      if (g.isEmpty) Iterator.empty
+      else {
+      val n = g(0)
+      // g.length = 1 + d(d+1)/2  ⇒  recover d
+      val d = ((math.sqrt(8.0 * (g.length - 1) + 1) - 1) / 2).toInt
+      var k = 1
+      for (i <- 0 until d; j <- i until d) yield {
+        val r = (i.toLong, j.toLong, n, g(k)); k += 1; r
+      }
+      }
+    }.toDF("i", "j", "n_vecs", "sum_micro2")
+      .orderBy("i", "j")
+  }
 }

@@ -133,6 +133,44 @@ class CorpusOpsSpec extends SparkSpec {
       s"incremental verdicts ${dupFromIncr} != full-join ${dupFromFull}")
   }
 
+  test("bpe pairs: counts carry multiplicity (>= distinct-doc twin) and order is total") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.CorpusOps.bpePairs(spark, sfDir).collect()
+    assert(rows.length == 100)
+    // descending with lexical tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (na, nb) = (a.getAs[Long]("n_occurrences"), b.getAs[Long]("n_occurrences"))
+      assert(na > nb || (na == nb && a.getString(0) < b.getString(0)))
+    }
+    // occurrence mass >= document frequency for any shared bigram
+    val docFreq = graft.text.TextOps.ngramFreq(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach { r =>
+      docFreq.get(r.getString(0)).foreach(df =>
+        assert(r.getAs[Long]("n_occurrences") >= df))
+    }
+  }
+
+  test("bm25: scores positive, matched docs contain a query term, top-50 ordered") {
+    import org.apache.spark.sql.functions._
+    val out = graft.text.CorpusOps.bm25(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bm25") > 0.0)
+      assert(r.getAs[Long]("n_terms_matched") >= 1 && r.getAs[Long]("n_terms_matched") <= 3)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("bm25") >= b.getAs[Double]("bm25"))
+    }
+    // every scored doc really contains at least one query term
+    val matched = graft.sources.Tables.documents(spark, sfDir)
+      .filter(lower(col("text")).rlike("\\b(scan|merge|window)\\b"))
+      .select("doc_id")
+    assert(out.join(matched, Seq("doc_id"), "left_anti").count() == 0)
+    out.unpersist()
+  }
+
   test("per-label centroid sums cover all 64 positions with the label's full count") {
     val rows = VectorOps.vecCentroid(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -101,4 +101,24 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_norm") > 0)
     }
   }
+
+  test("gram matrix: full upper triangle, diagonal dominant-consistent, matches a recomputed cell") {
+    import org.apache.spark.sql.functions._
+    val rows = VectorOps.vecGram(spark, sfDir).collect()
+    assert(rows.length == 64 * 65 / 2)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_vecs") == n))
+    // diagonal entries are sums of squares — strictly positive
+    rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .foreach(r => assert(r.getAs[Long]("sum_micro2") > 0))
+    // cross-check one off-diagonal cell against a direct columnar recompute
+    val expected = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(
+        (floor(element_at(col("embedding"), 1).cast("double") * 1e6 + 0.5).cast("long") *
+          floor(element_at(col("embedding"), 3).cast("double") * 1e6 + 0.5).cast("long")).as("p"))
+      .agg(sum("p")).collect()(0).getLong(0)
+    val got = rows.find(r => r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 2L).get
+      .getAs[Long]("sum_micro2")
+    assert(got == expected)
+  }
 }
