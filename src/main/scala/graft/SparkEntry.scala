@@ -65,6 +65,8 @@ object SparkEntry {
     "q_correlated_avg" -> ((s, d) => Analytics.correlatedAvg(s, d)),
     "q_nested_semi" -> ((s, d) => Analytics.nestedSemiJoin(s, d)),
     "q_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "q_retention" -> ((s, d) => Analytics.retention(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
     "etl_scd2_join" -> ((s, d) => EventsEtl.scd2Join(s, d)),
@@ -506,6 +508,35 @@ object SparkEntry {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 80)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL '24 hours'
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL '24 hours'
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        |ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(d) AS cohort_date FROM active GROUP BY user_id)
+        |SELECT cohort_date, CAST(d - cohort_date AS BIGINT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY cohort_date, day_offset ORDER BY cohort_date, day_offset""".stripMargin,
 
     "q_streaks" ->
       """WITH days AS (

@@ -624,6 +624,54 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** Ordered-step funnel (view → click → purchase, each within 24 h of
+    * the previous step): the behavioral-analytics operator a product
+    * warehouse runs constantly. Each step is ONE aggregate on user_id
+    * (first qualifying event) joined to the previous step's one-row-per-
+    * user frame — no fan-out, monotonically shrinking step tables, and
+    * every join/aggregate shares the user_id shuffle key. The window
+    * predicate uses exact timestamp arithmetic (no FP). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def step(prev: DataFrame, prevTs: String, etype: String, outTs: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = step(s1, "t1", "click", "t2")
+    val s3 = step(s2, "t2", "purchase", "t3")
+    def counted(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx.toLong).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    counted(s1, 1, "view")
+      .unionAll(counted(s2, 2, "click"))
+      .unionAll(counted(s3, 3, "purchase"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention matrix: users grouped by first-active date, then
+    * counted per day-offset they return. The (user, day) activity grid
+    * is deduped once, the cohort anchor is a per-user min, and both the
+    * anchor join and the matrix aggregation ride the same user_id
+    * shuffle; day arithmetic is integer datediff. Output is bounded by
+    * cohorts × horizon, not by events. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("d").as("cohort_date"))
+    active.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_date")).cast("long"))
+      .groupBy("cohort_date", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
   /** Islands-and-gaps streak detection: longest run of CONSECUTIVE
     * active days per user. The classic trick — row_number the distinct
     * active days per user, subtract it (in days) from the date: members

@@ -86,6 +86,30 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("funnel: step counts monotonically decrease and completers did all steps in order") {
+    import org.apache.spark.sql.functions._
+    val steps = Analytics.funnel(spark, sfDir).collect()
+    assert(steps.length == 3)
+    val ns = steps.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2) && ns(0) > 0 && ns(2) > 0)
+    // step-1 count is exactly the users with a 'view' event
+    val viewers = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(ns(0) == viewers)
+  }
+
+  test("retention: day-0 cell covers every user exactly once per cohort") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.retention(spark, sfDir).cache()
+    assert(out.filter(col("day_offset") < 0).count() == 0)
+    val day0 = out.filter(col("day_offset") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(day0 == users) // everyone is active on their own cohort day
+    out.unpersist()
+  }
+
   test("streaks: longest streak bounded by active days and islands are consecutive") {
     import org.apache.spark.sql.functions._
     val out = Analytics.activityStreaks(spark, sfDir).cache()
