@@ -67,6 +67,7 @@ object SparkEntry {
     "q_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_retention" -> ((s, d) => Analytics.retention(s, d)),
+    "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
     "etl_scd2_join" -> ((s, d) => EventsEtl.scd2Join(s, d)),
@@ -117,6 +118,13 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
     * their bare names). Column aliases MUST match the Spark output. */
+  /** Morton interleave written out as portable SQL bit arithmetic
+    * (bit b of zx → curve bit 2b, bit b of zy → curve bit 2b+1) —
+    * the oracle twin of the codegen'd `zorder2` expression. */
+  private val zInterleaveSql: String = (0 until 16).map { b =>
+    s"(((zx >> $b) & 1) * ${1L << (2 * b)}) + (((zy >> $b) & 1) * ${1L << (2 * b + 1)})"
+  }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -508,6 +516,16 @@ object SparkEntry {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 80)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "layout_zorder" ->
+      s"""WITH c AS (
+        |  SELECT (least(greatest(CAST(round(value*100) AS BIGINT), 0), 30000) * 65535) // 30000 AS zx,
+        |    (hour(ts) * 65536) // 24 AS zy
+        |  FROM events WHERE ts IS NOT NULL),
+        |z AS (SELECT zx, zy, $zInterleaveSql AS zval FROM c)
+        |SELECT zval // 4194304 AS z_bucket, COUNT(*) AS n,
+        | MIN(zx) AS min_zx, MAX(zx) AS max_zx, MIN(zy) AS min_zy, MAX(zy) AS max_zy
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (

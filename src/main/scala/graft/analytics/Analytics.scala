@@ -624,6 +624,32 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  /** Z-order (Morton-curve) layout profile: quantize two query
+    * dimensions to 16 bits each, interleave them with the codegen'd
+    * `zorder2` expression, and bucket the curve. Rows sharing a curve
+    * bucket are tight in BOTH dimensions at once — the property that
+    * makes file-level min/max statistics prune scans for predicates on
+    * EITHER column after a `repartitionByRange(zval).sortWithinPartitions
+    * (zval)` write (Delta/Iceberg OPTIMIZE ZORDER, as a plan). The
+    * profile emitted here certifies the locality: every 10-bit bucket
+    * bounds each dimension to a 2¹¹-wide slab (spec-pinned). All
+    * quantization is integer arithmetic — engine-exact. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .selectExpr(
+        "(least(greatest(cast(round(value*100) as bigint), 0), 30000) * 65535) div 30000 as zx",
+        "(hour(ts) * 65536) div 24 as zy")
+      .selectExpr("zx", "zy", "zorder2(zx, zy) as zval")
+      .withColumn("z_bucket", expr("zval div 4194304")) // top 5 bits of each dim
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n"),
+        min("zx").as("min_zx"), max("zx").as("max_zx"),
+        min("zy").as("min_zy"), max("zy").as("max_zy"))
+      .orderBy("z_bucket")
+  }
+
   /** Ordered-step funnel (view → click → purchase, each within 24 h of
     * the previous step): the behavioral-analytics operator a product
     * warehouse runs constantly. Each step is ONE aggregate on user_id

@@ -62,6 +62,31 @@ object EventsEtl {
       .when(col("value") > MaxValue, "over_max")
       .otherwise("bad_type")
 
+  /** Pipeline observability: the clean-events plan instrumented with a
+    * CollectMetrics node (`df.observe`) — total rows, invalid rows, and
+    * the worst-offender rule tally ride the SAME job as the load, as
+    * accumulator-style aggregates the driver reads after the action.
+    * Zero extra passes over the data (the naive alternative — a second
+    * count() per metric — re-scans the fact table once per metric; at
+    * 100 TB that's the difference between free telemetry and doubling
+    * the pipeline). The clean output is identical to `cleanEvents`. */
+  def observedClean(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("etl_metrics")
+    val clean = graft.sources.Tables.events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(validPred, 0L).otherwise(1L)).as("n_invalid"),
+        sum(when(col("value") > MaxValue, 1L).otherwise(0L)).as("n_over_max"))
+      .filter(validPred)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        serviceKey(col("ts")).as("service_key"))
+    (clean, obs)
+  }
+
   def quarantine(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
       .filter(!validPred)

@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates"),
+      (exprs: Seq[Expression]) => ZOrder2(
+        GraftFunctions.asLong(exprs(0)), GraftFunctions.asLong(exprs(1)))))
     // whole-operator surface: the heap top-k strategy plus the
     // optimizer rule that rewrites row_number-top-k windows onto it
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -68,5 +68,7 @@ object GraftFunctions {
       "vec_norm", exprs => VecNorm(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1))), "built-in")
   }
 }

@@ -110,6 +110,22 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("zorder layout: every curve bucket bounds BOTH dimensions to a 2^11 slab") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.zorderLayout(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_zx") - r.getAs[Long]("min_zx") < 2048L)
+      assert(r.getAs[Long]("max_zy") - r.getAs[Long]("min_zy") < 2048L)
+    }
+    // profile covers every timestamped row exactly once
+    val total = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull).count()
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == total)
+    out.unpersist()
+  }
+
   test("streaks: longest streak bounded by active days and islands are consecutive") {
     import org.apache.spark.sql.functions._
     val out = Analytics.activityStreaks(spark, sfDir).cache()

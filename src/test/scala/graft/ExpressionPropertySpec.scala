@@ -92,4 +92,22 @@ class ExpressionPropertySpec extends AnyFunSuite {
         graft.functions.WordShingles.rollingHash(utf8(noisy)))
     }
   }
+
+  test("zorder2: morton interleave is a bijection on 16-bit pairs and order-embeds boxes") {
+    val coord = Gen.chooseNum(0L, 65535L)
+    forSamples(Gen.zip(coord, coord)) { case (x, y) =>
+      val z = graft.functions.ZOrder2.morton(x, y)
+      assert(z >= 0 && z < (1L << 32))
+      // de-interleave recovers the inputs exactly (bijection)
+      var rx = 0L; var ry = 0L
+      (0 until 16).foreach { b =>
+        rx |= ((z >> (2 * b)) & 1L) << b
+        ry |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(rx == x && ry == y)
+      // monotone within each dimension when the other is fixed
+      if (x < 65535L) assert(graft.functions.ZOrder2.morton(x + 1, y) > z)
+      if (y < 65535L) assert(graft.functions.ZOrder2.morton(x, y + 1) > z)
+    }
+  }
 }
