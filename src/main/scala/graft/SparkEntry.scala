@@ -67,6 +67,9 @@ object SparkEntry {
     "q_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_retention" -> ((s, d) => Analytics.retention(s, d)),
+    "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
+    "q_bloom_join" -> ((s, d) => graft.ops.BloomJoin.bloomPrunedRevenue(s, d)),
+    "q_heavy_hitters" -> ((s, d) => graft.ops.HeavyHitters.heavyWords(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
@@ -556,6 +559,33 @@ object SparkEntry {
         |FROM active JOIN cohort USING (user_id)
         |GROUP BY cohort_date, day_offset ORDER BY cohort_date, day_offset""".stripMargin,
 
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS cnt
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 490000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    w -> w <> '')) AS word
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM t)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM t, n GROUP BY word, n_total HAVING COUNT(*) * 30 > n_total
+        |ORDER BY cnt DESC, word""".stripMargin,
     "q_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -719,4 +719,25 @@ object Analytics {
         sum(col("streak")).as("n_active_days"))
       .orderBy("user_id")
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type). One shuffle on user_id
+    * drives the lead() sequencing; the |types|² count matrix that
+    * leaves it is tiny at any corpus size, so the normalizing window
+    * runs on a trivial frame. Order is pinned by (ts, event_id) —
+    * deterministic under equal timestamps — and probabilities are one
+    * exact IEEE division of two exact longs (layout-reproducible). */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
 }
