@@ -70,6 +70,8 @@ object SparkEntry {
     "q_markov" -> ((s, d) => Analytics.markovTransitions(s, d)),
     "q_bloom_join" -> ((s, d) => graft.ops.BloomJoin.bloomPrunedRevenue(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.ops.HeavyHitters.heavyWords(s, d)),
+    "q_pagerank" -> ((s, d) => graft.ops.PageRank.pageRank(s, d)),
+    "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
@@ -570,6 +572,35 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_pagerank" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, CAST(1000000000000 // n_nodes AS BIGINT) FROM deg, n
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.dst,
+        |    CAST(150000000000 // n.n_nodes
+        |         + SUM((p.rank * 85) // (100 * d.outdeg)) AS BIGINT)
+        |  FROM pr p
+        |  JOIN deg d ON d.src = p.node
+        |  JOIN edges e ON e.src = p.node
+        |  CROSS JOIN n
+        |  WHERE p.iter < 10
+        |  GROUP BY p.iter, e.dst, n.n_nodes
+        |)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
+        |ORDER BY node""".stripMargin,
+    "etl_incremental_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_us,
+        |  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        |FROM events GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -265,4 +265,34 @@ object EventsEtl {
         col("sc").as("filled_cents"))
       .orderBy("user_id", "bucket_us")
   }
+
+  /** Incremental materialized-view maintenance: merge a delta batch
+    * into a per-(type, day) summary WITHOUT rescanning the base — the
+    * point at 100 TB, where the base aggregate is a compact table and
+    * only the new partition is scanned. Works because every kept
+    * aggregate is an associative/commutative partial state (count,
+    * integer-cents sum, min/max), so base ⊎ delta merges by the SAME
+    * groupBy that built each side — the algebra Structured Streaming
+    * uses for its state store, expressed as a batch plan. The oracle
+    * recomputes from all rows at once: merge(base, delta) must equal
+    * the one-shot aggregate exactly (integer states — layout-proof).
+    * The 10%-of-event_ids delta split stands in for "today's
+    * partition" arriving after the base was built. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+        min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+    val ev = graft.sources.Tables.events(spark, dir)
+    val base = partial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+    val delta = partial(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    base.unionByName(delta)
+      .groupBy("event_type", "d")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("first_us").as("first_us"), max("last_us").as("last_us"))
+      .orderBy("event_type", "d")
+  }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PageRank by power iteration over the customer↔supplier trade graph
+  * (distinct (o_custkey, l_suppkey) pairs, made symmetric; node ids
+  * disambiguated as cust·2 / supp·2+1).
+  *
+  * Deterministic-by-construction so the whole iteration is EXACTLY
+  * oracle-able (a recursive CTE recomputes it): rank mass is an
+  * integer (10^12 total), each edge contribution is the integral
+  * division (rank·85) div (100·outdeg), and integer sums are
+  * order-independent — no floating-point accumulation, so 1000
+  * executors and DuckDB agree bit-for-bit, iteration by iteration.
+  *
+  * Scale shape (same discipline as the CC loop, TextOps.scala): the
+  * edge list (with outdeg folded in) is computed once, cached, and
+  * co-partitioned on src; each of the 10 rounds shuffles only the
+  * n_nodes-row rank vector into it, and a periodic localCheckpoint
+  * stops lineage/plan doubling. The only driver action is the scalar
+  * node count that fixes the teleport constant.
+  */
+object PageRank {
+  val Iterations = 10
+  val TotalMass = 1000000000000L // 10^12 integer rank units
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one cached, src-partitioned structure reused by every round
+    val adj = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist()
+    // materialize the cache FIRST, then take the scalar node count off
+    // it — counting deg directly would recompute the whole distinct
+    // edge pipeline a second time (persist is lazy)
+    val nodes = adj.select(col("src")).distinct()
+    val nNodes = nodes.count()
+    if (nNodes == 0) { // empty graph: nothing to rank
+      adj.unpersist(blocking = false)
+      return nodes.select(col("src").as("node"), lit(0L).as("rank"))
+    }
+    val teleport = (TotalMass * 15 / 100) / nNodes
+    var ranks = nodes.select(col("src").as("node"), lit(TotalMass / nNodes).as("rank"))
+    for (i <- 1 to Iterations) {
+      // SHUFFLE_HASH on the rank vector: only the vertex-sized side
+      // shuffles+builds; the cached edge side streams with NO per-round
+      // sort (sort-merge would re-sort the adjacency all 10 rounds)
+      ranks = adj.join(ranks.hint("SHUFFLE_HASH"), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst").as("node2"))
+        .agg((sum(col("c")) + lit(teleport)).as("rank"))
+        .withColumnRenamed("node2", "node")
+      // eager checkpoint every 5 rounds: caps lineage/compile depth
+      // (one 10-join plan costs more in Catalyst than two 5-join jobs;
+      // measured 8.2 s vs 5.2 s at sf0.1), and the final one pins the
+      // result so adj can be dropped before the caller materializes
+      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    adj.unpersist(blocking = false)
+    ranks.orderBy("node")
+  }
+}

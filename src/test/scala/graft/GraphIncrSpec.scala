@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.EventsEtl
+import graft.ops.PageRank
+
+/** PageRank power iteration and incremental aggregate maintenance. */
+class GraphIncrSpec extends SparkSpec {
+
+  test("pagerank covers every graph node and conserves bounded integer mass") {
+    val rows = PageRank.pageRank(spark, sfDir).collect()
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val nNodes = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(countDistinct("c") + countDistinct("s")).head().getLong(0)
+    assert(rows.length == nNodes)
+    // every integral floor only LOSES mass: total stays in (0.5, 1]×10^12
+    val mass = rows.map(_.getAs[Long]("rank")).sum
+    assert(mass <= PageRank.TotalMass && mass > PageRank.TotalMass / 2, s"mass $mass")
+    assert(rows.forall(_.getAs[Long]("rank") > 0))
+    // suppliers (odd ids) are the high-degree side of the bipartite
+    // walk: their average rank must dominate the customer average
+    val (supp, cust) = rows.partition(r => r.getAs[Long]("node") % 2 == 1)
+    val avgS = supp.map(_.getAs[Long]("rank")).sum / supp.length
+    val avgC = cust.map(_.getAs[Long]("rank")).sum / cust.length
+    assert(avgS > 2 * avgC, s"supplier avg $avgS vs customer avg $avgC")
+  }
+
+  test("merged base+delta partials equal the one-shot aggregate exactly") {
+    val merged = EventsEtl.incrementalAgg(spark, sfDir).collect().toSeq
+    val oneShot = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+        min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .orderBy("event_type", "d").collect().toSeq
+    assert(merged == oneShot && merged.nonEmpty)
+    // the delta split is genuinely non-trivial on this data
+    val delta = graft.sources.Tables.events(spark, sfDir)
+      .filter(pmod(col("event_id"), lit(10)) === 0).count()
+    assert(delta > 0)
+  }
+}
