@@ -32,8 +32,9 @@ object PageRank {
     val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // no distinct after the union: e0 rows are (even, odd) and the
+    // reversed rows (odd, even) — disjoint sets, each already distinct
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one cached, src-partitioned structure reused by every round
     val adj = edges.join(deg, "src")
