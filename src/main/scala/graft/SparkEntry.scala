@@ -103,6 +103,9 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, d) => graft.text.CorpusOps.bpePairs(s, d)),
     "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
+    "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
+    "corpus_split" -> ((s, d) => graft.text.Curation.leakageSafeSplit(s, d)),
+    "corpus_shard" -> ((s, d) => graft.text.Curation.globalShuffleShards(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
@@ -1004,6 +1007,76 @@ object SparkEntry {
         | doc_id = cluster_id AS is_canonical
         |FROM lbl ORDER BY doc_id""".stripMargin,
 
+    "dedup_keep_best" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |p2 AS (SELECT a_id, b_id FROM p
+        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+        |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+        |        FROM documents d LEFT JOIN closure c ON c.a = d.doc_id GROUP BY d.doc_id),
+        |nw AS (SELECT doc_id,
+        |        CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |          x -> x <> '')) AS BIGINT) AS n_words FROM documents)
+        |SELECT doc_id, cluster_id, n_words, canonical_id,
+        |  doc_id = canonical_id AS kept
+        |FROM (
+        |  SELECT l.doc_id, l.cluster_id, nw.n_words,
+        |    FIRST_VALUE(l.doc_id) OVER (PARTITION BY l.cluster_id
+        |      ORDER BY nw.n_words DESC, l.doc_id) AS canonical_id
+        |  FROM lbl l JOIN nw USING (doc_id))
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_split" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |p2 AS (SELECT a_id, b_id FROM p
+        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+        |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+        |        FROM documents d LEFT JOIN closure c ON c.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CAST((cluster_id * 2654435761) % 1000003 AS BIGINT) AS split_key,
+        |  CASE WHEN ((cluster_id * 2654435761) % 1000003) * 10 < 8 * 1000003 THEN 'train'
+        |       WHEN ((cluster_id * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM lbl ORDER BY doc_id""".stripMargin,
+    "corpus_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 1000003 AS BIGINT) AS shard_key FROM documents)
+        |SELECT doc_id, CAST(shard_key % 8 AS BIGINT) AS shard, shard_key,
+        |  CAST(row_number() OVER (PARTITION BY shard_key % 8
+        |    ORDER BY shard_key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id, lang AS actual_lang,

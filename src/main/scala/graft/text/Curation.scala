@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation decisions a training pipeline executes AFTER
+  * dedup/quality signals exist: which copy of a duplicate cluster to
+  * keep, how to split train/val/test without near-dup leakage, and how
+  * to shuffle the corpus into training shards. All three are exactly
+  * SQL-oracle-able: canonical selection is an integer argmax, and both
+  * split and shard decisions use the same keyed Knuth-multiplicative
+  * pseudo-hash as `sample_stratified` — exact BIGINT arithmetic, so
+  * every engine (and every partition layout) agrees bit-for-bit.
+  */
+object Curation {
+
+  /** Keep-best dedup: within each near-dup cluster keep the HIGHEST
+    * QUALITY copy — here the exact word count (integer, ties to min
+    * doc_id) rather than `dedup_cluster`'s arbitrary min-id canonical.
+    * This is what real pipelines do: near-dup clusters mix a full
+    * article with truncated or boilerplate-wrapped copies, and min-id
+    * keeps a random one.
+    *
+    * Shape: cluster labels ride the near-dup pair graph (one CC loop
+    * over pair-graph nodes, not the corpus), word counts are one
+    * codegen'd pass over the text, and the argmax is a per-cluster
+    * window off a single hash exchange on cluster_id. Nothing driver-
+    * side, nothing quadratic. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nWords = TextOps.docsRepartitioned(spark, dir)
+      .select(col("doc_id"), expr("text_profile(text)").getField("n_words").as("n_words"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    TextOps.clusterLabels(spark, dir)
+      .join(nWords, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("kept", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_words"),
+        col("canonical_id"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe train/val/test split (80/10/10): the split key is a
+    * pseudo-hash of the near-dup CLUSTER id, not the document id, so
+    * every member of a cluster lands in the same split — hashing doc
+    * ids would put a training copy of a validation document in the
+    * train set, the classic eval-leakage bug. Thresholds compare
+    * key·10 against split·1000003 in exact integers (no doubles, no
+    * rounding seam), so assignment is reproducible on any engine and
+    * any shard layout. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val key = (col("cluster_id") * lit(2654435761L)) % lit(1000003L)
+    TextOps.clusterLabels(spark, dir)
+      .withColumn("split_key", key)
+      .withColumn("split",
+        when(col("split_key") * 10 < lit(8L * 1000003L), lit("train"))
+          .when(col("split_key") * 10 < lit(9L * 1000003L), lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_id"), col("split_key"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val Shards = 8
+
+  /** Deterministic global shuffle into training shards: the
+    * write-shuffled-shards step before training. Shard = keyed
+    * pseudo-hash mod `Shards`; within-shard order = (key, doc_id) —
+    * a reproducible pseudo-random permutation with NO global sort:
+    * one hash exchange on shard, then a per-partition sort
+    * (row_number's partition-local window). At cluster scale this is
+    * exactly "repartition by shard, sortWithinPartitions, write n
+    * files", and re-running it on different input layouts yields the
+    * identical permutation. */
+  def globalShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val key = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+    val w = Window.partitionBy("shard").orderBy(col("shard_key"), col("doc_id"))
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("shard_key", key)
+      .withColumn("shard", col("shard_key") % lit(Shards.toLong))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_key"), col("pos"))
+      .orderBy("doc_id")
+  }
+}

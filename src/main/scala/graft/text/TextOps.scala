@@ -26,7 +26,7 @@ object TextOps {
     * as ONE small file split, so without this every regex-heavy per-row
     * scan below runs single-threaded; on a real cluster the same line
     * turns one hot input split into `defaultParallelism` tasks. */
-  private def docsRepartitioned(spark: SparkSession, dir: String): DataFrame =
+  private[text] def docsRepartitioned(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
@@ -132,15 +132,23 @@ object TextOps {
     * size. The driver orchestrates the loop and reads only the 1-value
     * convergence count per round — all data stays distributed. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-    val labels = connectedComponents(pairs)
     val w = Window.partitionBy("cluster_id")
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    clusterLabels(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster_id) for EVERY document — singletons label
+    * themselves — without the presentation window/sort, for operators
+    * that consume cluster identity downstream (keep-best canonical
+    * selection, leakage-safe splitting). */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** Connected components of an undirected pair graph (`a_id`,`b_id`):

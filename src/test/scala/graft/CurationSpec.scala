@@ -1,0 +1,65 @@
+package graft
+
+import graft.text.{Curation, TextOps}
+
+/** Keep-best canonical selection, leakage-safe splitting, and
+  * deterministic corpus sharding. */
+class CurationSpec extends SparkSpec {
+
+  test("keep-best retains exactly one doc per cluster, the longest") {
+    val rows = Curation.dedupKeepBest(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.nonEmpty)
+    for ((_, docs) <- byCluster) {
+      val kept = docs.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == 1)
+      val maxWords = docs.map(_.getAs[Long]("n_words")).max
+      assert(kept.head.getAs[Long]("n_words") == maxWords)
+      // ties break to the smallest doc_id among max-length members
+      val tieIds = docs.filter(_.getAs[Long]("n_words") == maxWords)
+        .map(_.getAs[Long]("doc_id"))
+      assert(kept.head.getAs[Long]("doc_id") == tieIds.min)
+    }
+    // keep-best must differ from min-id canonical somewhere, or the
+    // testdata exercises nothing (a truncated copy with a lower id)
+    val minId = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, ds) => c -> ds.map(_.getAs[Long]("doc_id")).min }
+    val diverges = rows.exists { r =>
+      r.getAs[Boolean]("kept") &&
+        r.getAs[Long]("doc_id") != minId(r.getAs[Long]("cluster_id"))
+    }
+    assert(diverges, "keep-best never diverged from min-id — vacuous corpus")
+  }
+
+  test("no near-dup cluster spans two splits; all three splits populated") {
+    val rows = Curation.leakageSafeSplit(spark, sfDir).collect()
+    val perCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (_, ds) => ds.map(_.getAs[String]("split")).distinct.length }
+    assert(perCluster.forall(_ == 1), "cluster assigned to >1 split: eval leakage")
+    // every near-dup pair co-assigned (the contract, stated directly)
+    val split = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val labels = TextOps.clusterLabels(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).values.filter(_.length > 1)
+    assert(labels.nonEmpty)
+    for (c <- labels; ids = c.map(_.getAs[Long]("doc_id")))
+      assert(ids.map(split).distinct.length == 1)
+    val shares = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(shares.keySet == Set("train", "val", "test"), s"splits: $shares")
+    assert(shares("train") > shares("val") && shares("train") > shares("test"))
+  }
+
+  test("shards partition the corpus; positions are a contiguous permutation") {
+    val rows = Curation.globalShuffleShards(spark, sfDir).collect()
+    val total = rows.length
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet == (0L until Curation.Shards.toLong).toSet)
+    for ((_, docs) <- byShard) {
+      val pos = docs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to docs.length.toLong), "positions not contiguous")
+      // within-shard order follows (shard_key, doc_id) — the permutation
+      val ordered = docs.sortBy(r => (r.getAs[Long]("shard_key"), r.getAs[Long]("doc_id")))
+      assert(ordered.map(_.getAs[Long]("pos")).toSeq == (1L to docs.length.toLong))
+    }
+  }
+}
