@@ -71,6 +71,9 @@ object SparkEntry {
     "q_bloom_join" -> ((s, d) => graft.ops.BloomJoin.bloomPrunedRevenue(s, d)),
     "q_heavy_hitters" -> ((s, d) => graft.ops.HeavyHitters.heavyWords(s, d)),
     "q_pagerank" -> ((s, d) => graft.ops.PageRank.pageRank(s, d)),
+    "q_degree_dist" -> ((s, d) => graft.ops.PageRank.degreeDist(s, d)),
+    "q_concurrency" -> ((s, d) => graft.analytics.TemporalOps.concurrency(s, d)),
+    "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
@@ -597,6 +600,56 @@ object SparkEntry {
         |)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
         |ORDER BY node""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+        |  CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY side, degree""".stripMargin,
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (
+        |  SELECT e.*, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT f.*, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, session_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |  FROM g GROUP BY user_id, session_id),
+        |b AS (
+        |  SELECT start_us AS t_us, CAST(1 AS BIGINT) AS delta, user_id, session_id FROM s
+        |  UNION ALL
+        |  SELECT end_us + 1, CAST(-1 AS BIGINT), user_id, session_id FROM s),
+        |b2 AS (SELECT b.*, t_us // 3600000000 AS hour FROM b),
+        |loc AS (
+        |  SELECT b2.*, SUM(delta) OVER (PARTITION BY hour
+        |    ORDER BY t_us, delta, user_id, session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS local_run FROM b2),
+        |off AS (
+        |  SELECT hour, COALESCE(SUM(hour_total) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+        |  FROM (SELECT hour, SUM(delta) AS hour_total FROM b2 GROUP BY hour))
+        |SELECT CAST(l.hour * 3600000000 AS BIGINT) AS hour_us,
+        |  CAST(MAX(o.carry_in + l.local_run) AS BIGINT) AS max_concurrent,
+        |  COUNT(*) AS n_boundaries
+        |FROM loc l JOIN off o USING (hour)
+        |GROUP BY l.hour ORDER BY hour_us""".stripMargin,
+    "q_decay_score" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents FROM events),
+        |r AS (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, COUNT(*) AS n_recent,
+        |  CAST(SUM((1 << (5 - rn)) * value_cents) AS BIGINT) AS decayed_cents
+        |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -277,7 +277,14 @@ object Analytics {
   /** Sessionization: a >30-min silence starts a new session; flag with
     * lag, then a cumulative sum assigns session ids — two window ops,
     * one shuffle. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionsCore(spark, dir).orderBy("user_id", "session_id")
+
+  /** The 30-min-gap session table without the presentation sort:
+    * (user_id, session_id, n_events, start_us, end_us, sum_cents) —
+    * all windows + the aggregation ride ONE user_id hash exchange.
+    * Consumed by `sessionize` and the concurrency sweep. */
+  private[graft] def sessionsCore(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
@@ -291,7 +298,6 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"), max("ts_us").as("end_us"),
         sum("value_cents").as("sum_cents"))
-      .orderBy("user_id", "session_id")
   }
 
   /** Two-phase sessionization — the HOT-KEY answer for per-key ordered

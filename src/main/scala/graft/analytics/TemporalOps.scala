@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal analytics whose naive forms don't scale: interval
+  * concurrency (the quadratic interval self-join, done as a sweep)
+  * and recency-decayed scoring (exact integer weights).
+  */
+object TemporalOps {
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Peak session concurrency per hour — "how many vehicles/users were
+    * active simultaneously" (reference: active-trips-in-window reading
+    * of Part3's time-range queries). The naive plan is an interval
+    * self-join (quadratic in overlapping sessions); this is the
+    * sweep-line as a distributed plan: sessions → ±1 boundary events
+    * (+1 at start, −1 at end+1µs, departures before arrivals at equal
+    * timestamps), then a TWO-PHASE prefix sum — per-hour local running
+    * sums off one hour-bucket exchange, plus a one-row-per-hour global
+    * offset table (bounded by the time range, never by data volume;
+    * same shape as `seq_pack`). Peak per hour = carry-in + max local
+    * prefix. Everything is integer arithmetic on an exactly
+    * tie-broken ROWS window, so the result is layout-independent and
+    * hash-matches the SQL twin. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Analytics.sessionsCore(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+    val bounds = sess
+      .select(col("start_us").as("t_us"), lit(1L).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionByName(sess.select((col("end_us") + 1L).as("t_us"),
+        lit(-1L).as("delta"), col("user_id"), col("session_id")))
+      .withColumn("hour", expr(s"t_us div $HourUs"))
+    // phase 1: local running concurrency within each hour bucket
+    val byHour = Window.partitionBy("hour")
+      .orderBy(col("t_us"), col("delta"), col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bounds.withColumn("local_run", sum("delta").over(byHour))
+    // phase 2: one row per hour → cumulative carry-in of all prior hours
+    val byBucket = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bounds.groupBy("hour")
+      .agg(sum("delta").as("hour_total"))
+      .withColumn("carry_in", coalesce(sum("hour_total").over(byBucket), lit(0L)))
+      .select("hour", "carry_in")
+    local.join(broadcast(offsets), Seq("hour"))
+      .groupBy("hour")
+      .agg(max(col("carry_in") + col("local_run")).as("max_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+      .select((col("hour") * HourUs).as("hour_us"),
+        col("max_concurrent"), col("n_boundaries"))
+      .orderBy("hour_us")
+  }
+
+  /** Recency-decayed engagement score: each user's last 5 events
+    * weighted 16/8/4/2/1 by recency rank — the time-decay scoring
+    * behind "active user" metrics, kept EXACT by using halving integer
+    * weights on integer cents instead of float exp() decay (IEEE pow
+    * reproduces nowhere). One user_id exchange: rank window + filter +
+    * aggregation all share it. */
+  def decayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val byRecency = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        Analytics.cents(col("value")).as("value_cents"))
+      .withColumn("rn", row_number().over(byRecency).cast("long"))
+      .filter(col("rn") <= 5)
+      .withColumn("weight", expr("shiftleft(1, CAST(5 - rn AS INT))").cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent"),
+        sum(col("weight") * col("value_cents")).as("decayed_cents"))
+      .orderBy("user_id")
+  }
+}

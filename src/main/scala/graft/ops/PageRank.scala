@@ -26,15 +26,33 @@ object PageRank {
   val Iterations = 10
   val TotalMass = 1000000000000L // 10^12 integer rank units
 
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetric trade-graph edge list: distinct (cust·2, supp·2+1)
+    * pairs plus their reversals. No distinct after the union — forward
+    * rows are (even, odd) and reversed rows (odd, even), disjoint
+    * sets, each already distinct. */
+  private def symmetricEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // no distinct after the union: e0 rows are (even, odd) and the
-    // reversed rows (odd, even) — disjoint sets, each already distinct
-    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Degree distribution of the trade graph by side — the structural
+    * profile read before running anything iterative on a graph (hub
+    * detection, skew planning for the PageRank join). Two map-side-
+    * combinable aggregations, nothing else. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    symmetricEdges(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(when(col("src") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("side"), col("degree"))
+      .groupBy("side", "degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "degree")
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = symmetricEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one cached, src-partitioned structure reused by every round
     val adj = edges.join(deg, "src")

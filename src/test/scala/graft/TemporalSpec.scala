@@ -1,0 +1,60 @@
+package graft
+
+import graft.analytics.{Analytics, TemporalOps}
+import graft.ops.PageRank
+
+/** Concurrency sweep, decayed scoring, and degree distribution. */
+class TemporalSpec extends SparkSpec {
+
+  test("sweep concurrency equals the brute-force interval count per hour") {
+    val sessions = Analytics.sessionize(spark, sfDir)
+      .select("start_us", "end_us").collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    val got = TemporalOps.concurrency(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hour_us") -> r.getAs[Long]("max_concurrent")).toMap
+    assert(got.nonEmpty)
+    // brute force: at every boundary instant inside the hour, count
+    // sessions whose [start, end] covers it
+    val hourUs = 3600L * 1000000L
+    for ((hour, expected) <- got) {
+      val instants = sessions.flatMap { case (s, e) => Seq(s, e + 1) }
+        .filter(t => t >= hour && t < hour + hourUs).distinct
+      val brute = instants
+        .map(t => sessions.count { case (s, e) => s <= t && t <= e }.toLong)
+        .max
+      assert(brute == expected, s"hour $hour: brute $brute vs sweep $expected")
+    }
+    // peak concurrency must exceed 1 somewhere or the sweep is vacuous
+    assert(got.values.max > 1)
+  }
+
+  test("decayed score weights the most recent events geometrically") {
+    val rows = TemporalOps.decayedScore(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_recent") <= 5))
+    // recompute one user's score by hand off the raw events
+    val u = rows.head.getAs[Long]("user_id")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("user_id") === u)
+      .select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")).as("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        Analytics.cents(org.apache.spark.sql.functions.col("value")).as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (ts, id, _) => (-ts, -id) }.take(5)
+    val hand = ev.zipWithIndex.map { case ((_, _, vc), i) => (16L >> i) * vc }.sum
+    assert(rows.head.getAs[Long]("decayed_cents") == hand)
+  }
+
+  test("degree distribution accounts for every graph node once") {
+    val dist = PageRank.degreeDist(spark, sfDir).collect()
+    val nodes = dist.map(_.getAs[Long]("n_nodes")).sum
+    val ranked = PageRank.pageRank(spark, sfDir).count()
+    assert(nodes == ranked, s"degree-dist nodes $nodes vs pagerank nodes $ranked")
+    assert(dist.map(_.getAs[String]("side")).distinct.sorted.toSeq ==
+      Seq("customer", "supplier"))
+    // bipartite sanity: total degree mass equal on both sides
+    def mass(side: String) = dist.filter(_.getAs[String]("side") == side)
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(mass("customer") == mass("supplier"))
+  }
+}
