@@ -72,6 +72,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => graft.ops.HeavyHitters.heavyWords(s, d)),
     "q_pagerank" -> ((s, d) => graft.ops.PageRank.pageRank(s, d)),
     "q_degree_dist" -> ((s, d) => graft.ops.PageRank.degreeDist(s, d)),
+    "q_bfs_hops" -> ((s, d) => graft.ops.PageRank.bfsHops(s, d)),
     "q_concurrency" -> ((s, d) => graft.analytics.TemporalOps.concurrency(s, d)),
     "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
@@ -608,6 +609,19 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
         |  CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
         |FROM deg GROUP BY 1, 2 ORDER BY side, degree""".stripMargin,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |seeds AS (SELECT DISTINCT c_custkey*2 AS node FROM customer WHERE c_nationkey = 0),
+        |bfs(node, dist) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 6)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "q_concurrency" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

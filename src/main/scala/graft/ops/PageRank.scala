@@ -51,6 +51,44 @@ object PageRank {
       .groupBy("side", "degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("side", "degree")
 
+  val BfsMaxHops = 6
+
+  /** Level-synchronous BFS: minimum hop distance (≤ 6) from the seed
+    * set (nation-0 customers) to every reachable trade-graph node —
+    * the reachability/blast-radius primitive. Each round expands ONLY
+    * the new frontier (anti-join against nodes already reached, which
+    * is exactly the BFS invariant: a node seen earlier can never get a
+    * smaller distance later), so per-round work is frontier×degree,
+    * not graph×degree. The dense bipartite graph saturates in a few
+    * hops, keeping late frontiers empty. Distances are small exact
+    * integers — the bounded recursive-CTE oracle reproduces them
+    * bit-for-bit. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = symmetricEdges(spark, dir)
+      .repartition(col("src"))
+      .persist()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+      .distinct()
+    // seed ids not in the graph still get dist 0 in the oracle's seed
+    // anchor; keep the same contract (BFS FROM them finds nothing
+    // because their edges don't exist)
+    var reached = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = reached
+    for (hop <- 1 to BfsMaxHops) {
+      val next = edges.join(frontier.hint("SHUFFLE_HASH"), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint() // frontier is reused twice (union + next expansion)
+      reached = reached.unionByName(next)
+      frontier = next
+    }
+    edges.unpersist(blocking = false)
+    reached.orderBy("node")
+  }
+
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = symmetricEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))

@@ -68,7 +68,8 @@ object ScaleSmoke {
         "q_trip_view", "dedup_minhash", "dedup_ngram_jaccard", "q13_custdist",
         "q_range_join", "q_moving_agg", "etl_backfill_gaps", "q_arg_extremes",
         "q_skew_join", "dedup_cluster", "q_sessionize_scale", "etl_scd2",
-        "q_windowed_distinct", "vec_quantize")) {
+        "q_windowed_distinct", "vec_quantize", "q_pagerank", "q_degree_dist",
+        "q_concurrency", "q_decay_score", "etl_incremental_agg")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

@@ -27,6 +27,32 @@ class GraphIncrSpec extends SparkSpec {
     assert(avgS > 2 * avgC, s"supplier avg $avgS vs customer avg $avgC")
   }
 
+  test("bfs distances satisfy the shortest-path edge inequality") {
+    val rows = PageRank.bfsHops(spark, sfDir).collect()
+    val dist = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val seeds = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).collect()
+      .map(_.getAs[Long]("node")).toSet
+    assert(seeds.nonEmpty && seeds.forall(dist.get(_).contains(0L)))
+    assert(rows.exists(_.getAs[Long]("dist") > 0), "BFS never left the seeds")
+    // every edge connects distances differing by at most 1 (both ends
+    // reached), and no reached node is closer than a neighbor - 1
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    for ((u, v) <- edges; du <- dist.get(u); dv <- dist.get(v))
+      assert(math.abs(du - dv) <= 1, s"edge ($u,$v) dists $du,$dv")
+    // a node at dist d>0 must have SOME neighbor at d-1
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for ((n, d) <- dist if d > 0 && d < PageRank.BfsMaxHops.toLong)
+      assert(nbrs(n).exists(m => dist.get(m).contains(d - 1)), s"node $n orphan at $d")
+  }
+
   test("merged base+delta partials equal the one-shot aggregate exactly") {
     val merged = EventsEtl.incrementalAgg(spark, sfDir).collect().toSeq
     val oneShot = graft.sources.Tables.events(spark, sfDir)
