@@ -20,6 +20,38 @@ class IoSpec extends SparkSpec {
     assert(oneDay.count() > 0)
   }
 
+  test("selective dim join dynamically prunes fact partitions at the scan") {
+    // THE 100 TB read-side lever for a date-partitioned lake: a
+    // selective dimension join must prune fact PARTITIONS via a
+    // runtime (dynamicpruning) subquery, not scan the whole table and
+    // filter after. Static literal predicates must land in
+    // PartitionFilters the same way.
+    val out = Files.createTempDirectory("graft_dpp").toString
+    val clean = graft.etl.EventsEtl.cleanEvents(spark, sfDir)
+    Sink.writePartitioned(clean, out, Seq("event_date"))
+    val fact = spark.read.parquet(out)
+    // static pruning: literal partition predicate reaches the scan
+    val static = fact.filter(col("event_date") === "2024-01-02")
+    val staticPlan = static.queryExecution.executedPlan.toString
+    assert(staticPlan.contains("PartitionFilters:") &&
+      staticPlan.replaceAll("\\s+", " ").contains("event_date"),
+      s"partition predicate missing from scan:\n${staticPlan.take(1500)}")
+    // dynamic pruning: qualifying dates only known at runtime — a dim
+    // TABLE carrying a flag, filtered on a non-partition predicate
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    clean.select("event_date").distinct()
+      .withColumn("day_of_month", dayofmonth(col("event_date")))
+      .write.mode("overwrite").parquet(dimPath)
+    // attribute-vs-literal comparison: the shape DPP's selectivity
+    // heuristic recognizes (a bare boolean attribute does not qualify)
+    val dim = spark.read.parquet(dimPath).filter(col("day_of_month") <= 2)
+    val joined = fact.join(dim.hint("broadcast"), Seq("event_date"))
+    val dppPlan = joined.queryExecution.executedPlan.toString
+    assert(dppPlan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${dppPlan.take(2000)}")
+    assert(joined.count() > 0)
+  }
+
   test("partial re-load replaces only its partitions (dynamic overwrite)") {
     val out = Files.createTempDirectory("graft_sink2").toString
     val clean = graft.etl.EventsEtl.cleanEvents(spark, sfDir)
