@@ -114,6 +114,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
+    "ann_ivf_probe" -> ((s, d) => VectorOps.annIvfProbe(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),

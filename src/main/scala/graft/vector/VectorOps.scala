@@ -126,16 +126,21 @@ object VectorOps {
     * (capped rows — never the corpus), and cell assignment is a
     * broadcast-by-reference argmin (graft.functions.NearestCell) fused
     * into the corpus scan — one pass, no ML-pipeline job storm. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** Bounded-sample Lloyd training shared by the IVF variants: at most
+    * 4096 rows ever reach the driver, whatever the corpus size. */
+  private def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(4096)
       .collect().map(_.getSeq[Float](1).toArray)
     // empty corpus ⇒ no centroids; NearestCell degenerates to cell 0
     // over zero rows (day-one deployments must plan cleanly)
-    val centroids =
-      if (sample.isEmpty) Array.empty[Array[Double]] else lloyd(sample, 16, 10)
+    if (sample.isEmpty) Array.empty[Array[Double]] else lloyd(sample, 16, 10)
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = trainCentroids(spark, dir)
     val assigned = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
@@ -150,6 +155,44 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("cell"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multi-probe IVF (nprobe = `probes`): each query inspects its
+    * `probes` nearest cells instead of one, recovering true neighbors
+    * that landed just across a Voronoi boundary — the standard
+    * recall/cost dial on an IVF index. The corpus index is untouched
+    * (one cell per vector); only the 10-row query side fans out ×p via
+    * a codegen'd top-p cell expression + explode, so the join cost
+    * scales with probes × query count, never with the corpus. The
+    * candidate union is deduped on bare ids before the exact rerank.
+    * Single-probe results are a subset by construction (a vector's own
+    * cell is its nearest), which the spec pins as rank-wise cosine
+    * dominance. */
+  def annIvfProbe(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = trainCentroids(spark, dir)
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", expr("vec_norm(qe)"))
+      .withColumn("cell", explode(org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCells(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("qe")), centroids, probes))))
+    val c = assigned.toDF("neighbor_id", "ce", "cn", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell")).filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id") // same neighbor via 2 probed cells
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy("query_id", "rank")
   }
 

@@ -56,6 +56,35 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF recall dominates single-probe, measured against brute force") {
+    def top3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))))
+      .toMap
+    val bf = top3(VectorOps.annBruteForce(spark, sfDir))
+    val single = top3(VectorOps.annIvf(spark, sfDir))
+    val multi = top3(VectorOps.annIvfProbe(spark, sfDir))
+    def recall(approx: Map[Long, Array[(Int, Long, Double)]]): Double = {
+      val hits = bf.map { case (q, truth) =>
+        val found = approx.getOrElse(q, Array.empty).map(_._2).toSet
+        truth.map(_._2).count(found)
+      }.sum
+      hits.toDouble / bf.values.map(_.length).sum
+    }
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // 3/16 cells probed on a tiny corpus (L2 cells, cosine ranking):
+    // well above the ~0.19 cell-coverage baseline, below exact
+    assert(rm > 0.35, s"multi-probe recall $rm unreasonably low")
+    // probing MORE cells can only improve each rank's cosine (candidate
+    // superset: a vector's own cell is its nearest cell)
+    for ((q, srows) <- single; mrows = multi(q); (rank, _, scos) <- srows) {
+      val mcos = mrows.find(_._1 == rank).map(_._3).getOrElse(Double.MinValue)
+      assert(mcos >= scos, s"query $q rank $rank: multi $mcos < single $scos")
+    }
+  }
+
   test("ANN cosine never beats the brute-force top-1 for the same query") {
     val bfTop = VectorOps.annBruteForce(spark, sfDir)
       .filter(col("rank") === 1)
