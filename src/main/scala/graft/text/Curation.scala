@@ -67,20 +67,38 @@ object Curation {
   /** Deterministic global shuffle into training shards: the
     * write-shuffled-shards step before training. Shard = keyed
     * pseudo-hash mod `Shards`; within-shard order = (key, doc_id) —
-    * a reproducible pseudo-random permutation with NO global sort:
-    * one hash exchange on shard, then a per-partition sort
-    * (row_number's partition-local window). At cluster scale this is
-    * exactly "repartition by shard, sortWithinPartitions, write n
-    * files", and re-running it on different input layouts yields the
-    * identical permutation. */
+    * a reproducible pseudo-random permutation with NO global sort AND
+    * no task that scales with shard size: a window partitioned only by
+    * shard would funnel each shard through ONE task (a 12 TB sort per
+    * task at 100 TB / 8 shards), so the position is a two-phase prefix
+    * sum instead — ranks local to (shard, key-range sub-bucket), plus
+    * a one-row-per-sub-bucket offset table (bounded: Shards × 1000003/
+    * `SubBucket` rows, data-size-independent). Sub-buckets are key
+    * RANGES, so their concatenation in bucket order IS the (key,
+    * doc_id) order and the final position is exact. Re-running on any
+    * input layout yields the identical permutation. */
   def globalShuffleShards(spark: SparkSession, dir: String): DataFrame = {
     val key = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
-    val w = Window.partitionBy("shard").orderBy(col("shard_key"), col("doc_id"))
-    graft.sources.Tables.documents(spark, dir)
+    val SubBucket = 65536L // key-range width per sub-bucket
+    val keyed = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"))
       .withColumn("shard_key", key)
       .withColumn("shard", col("shard_key") % lit(Shards.toLong))
-      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("bucket", expr(s"shard_key div $SubBucket"))
+    // phase 1: rank within each (shard, key-range) cell — distributed
+    val inCell = Window.partitionBy("shard", "bucket")
+      .orderBy(col("shard_key"), col("doc_id"))
+    val local = keyed.withColumn("local_rank", row_number().over(inCell).cast("long"))
+    // phase 2: per-cell counts → prefix offsets within the shard
+    // (tiny: one row per occupied cell, windowed per shard)
+    val byShardBucket = Window.partitionBy("shard").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("shard", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cell_offset", coalesce(sum("n").over(byShardBucket), lit(0L)))
+      .select("shard", "bucket", "cell_offset")
+    local.join(broadcast(offsets), Seq("shard", "bucket"))
+      .withColumn("pos", col("cell_offset") + col("local_rank"))
       .select(col("doc_id"), col("shard"), col("shard_key"), col("pos"))
       .orderBy("doc_id")
   }
