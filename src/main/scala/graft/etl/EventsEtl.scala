@@ -279,20 +279,29 @@ object EventsEtl {
     * The 10%-of-event_ids delta split stands in for "today's
     * partition" arriving after the base was built. */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
-    def partial(df: DataFrame): DataFrame = df
-      .select(col("event_type"), col("ts").cast("date").as("d"),
-        unix_micros(col("ts")).as("ts_us"),
-        round(col("value") * 100).cast("long").as("vc"))
-      .groupBy("event_type", "d")
-      .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
-        min("ts_us").as("first_us"), max("ts_us").as("last_us"))
     val ev = graft.sources.Tables.events(spark, dir)
-    val base = partial(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
-    val delta = partial(ev.filter(pmod(col("event_id"), lit(10)) === 0))
-    base.unionByName(delta)
+    val base = eventPartials(ev.filter(pmod(col("event_id"), lit(10)) =!= 0))
+    val delta = eventPartials(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    mergePartials(base, delta).orderBy("event_type", "d")
+  }
+
+  /** The per-(type, day) partial-state aggregation — every kept state
+    * (count, integer-cents sum, min/max micros) is associative and
+    * commutative, so any partition of the input merges back exactly.
+    * Shared by the batch MV operator and the streaming maintainer. */
+  private[graft] def eventPartials(df: DataFrame): DataFrame = df
+    .select(col("event_type"), col("ts").cast("date").as("d"),
+      unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("vc"))
+    .groupBy("event_type", "d")
+    .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+      min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+
+  /** Merge two partial-state tables: the same groupBy that built each
+    * side, with count→sum promotion. */
+  private[graft] def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
       .groupBy("event_type", "d")
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
         min("first_us").as("first_us"), max("last_us").as("last_us"))
-      .orderBy("event_type", "d")
-  }
 }

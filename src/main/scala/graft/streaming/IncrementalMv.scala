@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.etl.EventsEtl
+
+/** Streaming materialized-view maintenance: each micro-batch folds
+  * into the per-(type, day) summary through the SAME partial-state
+  * algebra as the batch `etl_incremental_agg` — count / integer-cents
+  * sum / min-max merge, never a base rescan.
+  *
+  * Exactly-once under foreachBatch's at-least-once contract comes from
+  * VERSIONED snapshots, not a mutable table: batch b writes its merged
+  * state to `<path>/v=<b>` and then advances the `_latest` pointer.
+  * A replayed batch recomputes from the SAME predecessor snapshot and
+  * overwrites the SAME version directory — byte-identical, so replays
+  * and crash-retry races are idempotent by construction (the
+  * transaction-log pattern a table format provides, reduced to one
+  * pointer file). Blind re-merging into a mutable summary would
+  * double-count on every replay; count/sum states are not naturally
+  * idempotent.
+  */
+object IncrementalMv {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latestPath(root: String) = new Path(s"$root/_latest")
+
+  /** The committed version number, or -1 before the first commit. */
+  def latestVersion(spark: SparkSession, root: String): Long = {
+    val lp = latestPath(root)
+    val f = fs(spark, lp)
+    if (!f.exists(lp)) -1L
+    else {
+      val in = f.open(lp)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** The current summary table (empty-schema'd if nothing committed). */
+  def currentSummary(spark: SparkSession, root: String): Option[DataFrame] = {
+    val v = latestVersion(spark, root)
+    if (v < 0) None else Some(spark.read.parquet(s"$root/v=$v"))
+  }
+
+  /** Fold one micro-batch of raw events into the summary. Idempotent
+    * per batchId: a replay re-derives the same snapshot from the same
+    * predecessor and re-writes the same directory; a batch at or below
+    * the committed version is skipped outright. */
+  def mergeBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val spark = batch.sparkSession
+    val committed = latestVersion(spark, root)
+    if (batchId <= committed) return // replayed after commit: done
+    val delta = EventsEtl.eventPartials(batch)
+    val merged = currentSummary(spark, root) match {
+      case Some(base) => EventsEtl.mergePartials(base, delta)
+      case None       => delta
+    }
+    // materialize BEFORE touching the target version dir (a replay may
+    // be overwriting a partial crash leftover it would otherwise read)
+    val snap = merged.localCheckpoint(true)
+    snap.write.mode("overwrite").parquet(s"$root/v=$batchId")
+    val lp = latestPath(root)
+    val f = fs(spark, lp)
+    val out = f.create(lp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Attach the maintainer to an event stream. */
+  def maintain(events: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => mergeBatch(b, id, root))
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.IncrementalMv
+import graft.streaming.StreamingEtl.EventRow
+import graft.etl.EventsEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming materialized-view maintenance: per-batch merge equals the
+  * one-shot aggregate, and replays are idempotent (versioned
+  * snapshots, not blind re-merging). */
+class IncrementalMvSpec extends SparkSpec {
+
+  private def row(id: Long, tsMs: Long, typ: String, v: Double) =
+    EventRow(id, new Timestamp(tsMs), id % 7, typ, v, "{}")
+
+  private val base = 1704067200000L
+  private val day = 86400000L
+
+  test("three maintained micro-batches equal the one-shot aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_mv").toString
+    val ckpt = Files.createTempDirectory("graft_mv_ck").toString
+    val batches = Seq(
+      Seq(row(1, base, "click", 1.25), row(2, base + 3600000, "view", 2.5)),
+      Seq(row(3, base + day, "click", 0.75), row(4, base + 2000, "click", 4.0)),
+      Seq(row(5, base + day + 5000, "view", 3.125), row(6, base + 2 * day, "click", 9.5)))
+    val stream = MemoryStream[EventRow]
+    val q = IncrementalMv.maintain(stream.toDF(), root, ckpt)
+    for (b <- batches) { stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(IncrementalMv.latestVersion(spark, root) == 2)
+    val got = IncrementalMv.currentSummary(spark, root).get
+      .orderBy("event_type", "d").collect().toSeq
+    val oneShot = EventsEtl.eventPartials(batches.flatten.toDF())
+      .orderBy("event_type", "d").collect().toSeq
+    assert(got == oneShot && got.nonEmpty)
+
+    // replay of an already-committed batch: state must not change
+    IncrementalMv.mergeBatch(batches(1).toDF(), 1L, root)
+    val afterReplay = IncrementalMv.currentSummary(spark, root).get
+      .orderBy("event_type", "d").collect().toSeq
+    assert(afterReplay == got, "committed replay mutated the summary")
+
+    // crash-retry race: the NEXT batch runs twice (pointer advanced in
+    // between) — second run re-derives from the same predecessor and
+    // must land byte-identical, not double-count
+    val next = Seq(row(7, base + 3 * day, "view", 6.25))
+    IncrementalMv.mergeBatch(next.toDF(), 3L, root)
+    val after1 = IncrementalMv.currentSummary(spark, root).get
+      .orderBy("event_type", "d").collect().toSeq
+    IncrementalMv.mergeBatch(next.toDF(), 3L, root) // replay post-commit: skipped
+    val after2 = IncrementalMv.currentSummary(spark, root).get
+      .orderBy("event_type", "d").collect().toSeq
+    assert(after1 == after2)
+    val expect = EventsEtl.eventPartials((batches.flatten ++ next).toDF())
+      .orderBy("event_type", "d").collect().toSeq
+    assert(after2 == expect)
+  }
+}
