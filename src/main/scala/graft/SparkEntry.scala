@@ -75,6 +75,7 @@ object SparkEntry {
     "q_bfs_hops" -> ((s, d) => graft.ops.PageRank.bfsHops(s, d)),
     "q_concurrency" -> ((s, d) => graft.analytics.TemporalOps.concurrency(s, d)),
     "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
+    "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),

@@ -411,6 +411,26 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Mergeable-sketch rollup — the 100 TB distinct-count pattern: one
+    * pass builds a tiny Apache DataSketches HLL per (type, day)
+    * partition, and every coarser granularity (per type here) comes
+    * from UNIONING sketches, never rescanning events. Registers take
+    * pairwise max, so the union is associative/commutative/idempotent:
+    * any partitioning, any merge order, late-arriving daily sketches —
+    * same estimate. The spec pins the mergeability identity
+    * (union-of-daily == one-shot sketch) and a 5% error envelope
+    * against exact distincts. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"), col("user_id"))
+      .groupBy("event_type", "d")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Exact interpolated percentiles of event value per type (p50/p90). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -16,7 +16,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_ntile", "dedup_incremental", "dedup_embedding", "q_running_agg",
       "q_corr_moments", "q_pagerank", "etl_incremental_agg",
       "dedup_keep_best", "corpus_split", "corpus_shard", "q_concurrency",
-      "q_decay_score", "q_bfs_hops")
+      "q_decay_score", "q_bfs_hops", "q_sketch_rollup")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

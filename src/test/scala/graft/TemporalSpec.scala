@@ -45,6 +45,27 @@ class TemporalSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("decayed_cents") == hand)
   }
 
+  test("sketch rollup merges exactly and lands within the HLL error envelope") {
+    import org.apache.spark.sql.functions._
+    val rolled = Analytics.sketchRollup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est_users")).toMap
+    // mergeability identity: union of daily sketches == one-shot sketch
+    val oneShot = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("est")).toMap
+    assert(rolled == oneShot, s"sketch union drifted from one-shot: $rolled vs $oneShot")
+    // lgK=12 standard error ~1.6%; 5% is a safe deterministic envelope
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    for ((t, n) <- exact) {
+      val est = rolled(t)
+      assert(math.abs(est - n) <= math.max(1L, (n * 0.05).toLong),
+        s"type $t: est $est vs exact $n")
+    }
+  }
+
   test("degree distribution accounts for every graph node once") {
     val dist = PageRank.degreeDist(spark, sfDir).collect()
     val nodes = dist.map(_.getAs[Long]("n_nodes")).sum
