@@ -89,6 +89,13 @@ object PageRank {
     reached.orderBy("node")
   }
 
+  // Measured tuning note (sf0.1, local[32]): disabling AQE for the
+  // round loop was tried and is ~25% SLOWER at 32 shuffle partitions —
+  // AQE's partition coalescing on the per-round aggregations is what
+  // keeps the vertex-sized shuffles from paying 32 near-empty tasks
+  // each. Keep AQE on; the remaining cost is the 10 synchronous
+  // stage barriers, inherent to power iteration and amortized at
+  // real scale (10× edges costs only 1.6×).
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = symmetricEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
