@@ -41,9 +41,21 @@ object IncrementalMv {
   }
 
   /** The current summary table (empty-schema'd if nothing committed). */
-  def currentSummary(spark: SparkSession, root: String): Option[DataFrame] = {
-    val v = latestVersion(spark, root)
-    if (v < 0) None else Some(spark.read.parquet(s"$root/v=$v"))
+  def currentSummary(spark: SparkSession, root: String): Option[DataFrame] =
+    snapshotAt(spark, root, latestVersion(spark, root))
+
+  /** Time travel for free: versioned snapshots ARE a history, so any
+    * committed version reads back as the summary-as-of-that-batch.
+    * Versions above the committed pointer are invisible (a crashed
+    * write may have left a partial dir there). */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Option[DataFrame] = {
+    val committed = latestVersion(spark, root)
+    val v = math.min(version, committed)
+    if (v < 0) None
+    else {
+      val p = new Path(s"$root/v=$v")
+      if (fs(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
   }
 
   /** Fold one micro-batch of raw events into the summary. Idempotent

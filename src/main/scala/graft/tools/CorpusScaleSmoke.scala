@@ -76,7 +76,8 @@ object CorpusScaleSmoke {
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_simhash128", "dedup_cluster",
         "vec_stats", "vec_quantize", "vec_centroid",
-        "ann_lsh", "ann_ivf", "dedup_embedding")) {
+        "ann_lsh", "ann_ivf", "ann_ivf_probe", "dedup_embedding",
+        "dedup_keep_best", "corpus_split", "corpus_shard")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

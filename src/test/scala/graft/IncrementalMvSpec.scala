@@ -58,5 +58,18 @@ class IncrementalMvSpec extends SparkSpec {
     val expect = EventsEtl.eventPartials((batches.flatten ++ next).toDF())
       .orderBy("event_type", "d").collect().toSeq
     assert(after2 == expect)
+
+    // time travel: every committed version reads back as the
+    // summary-as-of-that-batch (versioned snapshots ARE a history)
+    for (v <- batches.indices) {
+      val hist = IncrementalMv.snapshotAt(spark, root, v.toLong).get
+        .orderBy("event_type", "d").collect().toSeq
+      val prefix = EventsEtl.eventPartials(batches.take(v + 1).flatten.toDF())
+        .orderBy("event_type", "d").collect().toSeq
+      assert(hist == prefix, s"version $v drifted from its prefix aggregate")
+    }
+    // versions past the pointer clamp to the committed state
+    assert(IncrementalMv.snapshotAt(spark, root, 99L).get
+      .orderBy("event_type", "d").collect().toSeq == after2)
   }
 }
