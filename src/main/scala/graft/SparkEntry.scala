@@ -76,6 +76,7 @@ object SparkEntry {
     "q_concurrency" -> ((s, d) => graft.analytics.TemporalOps.concurrency(s, d)),
     "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
+    "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
@@ -603,6 +604,29 @@ object SparkEntry {
         |)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
         |ORDER BY node""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type IN ('click','error')),
+        |w1 AS (
+        |  SELECT ev.*,
+        |   last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click,
+        |   first_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER
+        |     (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN prev_click IS NULL THEN next_click
+        |       WHEN next_click IS NULL THEN prev_click
+        |       WHEN ts_us - prev_click <= next_click - ts_us THEN prev_click
+        |       ELSE next_click END AS nearest_click_us,
+        |  ts_us - (CASE WHEN prev_click IS NULL THEN next_click
+        |       WHEN next_click IS NULL THEN prev_click
+        |       WHEN ts_us - prev_click <= next_click - ts_us THEN prev_click
+        |       ELSE next_click END) AS gap_us
+        |FROM w1 WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
     "q_degree_dist" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -411,6 +411,37 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Nearest-direction as-of: each error aligns to the CLOSEST click
+    * in either direction (ties → the earlier click) — sensor-alignment
+    * semantics, vs `asofJoin`'s backward-only lookup. Same
+    * sort-once/no-join shape: both directional candidates come from
+    * one union + two frames over ONE user_id exchange, then an exact
+    * integer argmin picks the side. Signed gap (positive = click
+    * before the error) keeps the direction visible. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val base = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts_us"))
+    ev.withColumn("prev_click", last(clickTs, ignoreNulls = true).over(back))
+      .withColumn("next_click", first(clickTs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "error")
+      .withColumn("nearest_click_us",
+        when(col("prev_click").isNull, col("next_click"))
+          .when(col("next_click").isNull, col("prev_click"))
+          .when(col("ts_us") - col("prev_click") <= col("next_click") - col("ts_us"),
+            col("prev_click"))
+          .otherwise(col("next_click")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("nearest_click_us"),
+        (col("ts_us") - col("nearest_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Mergeable-sketch rollup — the 100 TB distinct-count pattern: one
     * pass builds a tiny Apache DataSketches HLL per (type, day)
     * partition, and every coarser granularity (per type here) comes

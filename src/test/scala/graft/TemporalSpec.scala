@@ -66,6 +66,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of dominates the backward as-of gap, same rows") {
+    def gaps(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        (r.get(r.fieldIndex("gap_us")), r.get(r.fieldIndex(tsCol)))).toMap
+    val near = gaps(Analytics.asofNearest(spark, sfDir), "nearest_click_us")
+    val back = gaps(Analytics.asofJoin(spark, sfDir), "last_click_us")
+    assert(near.keySet == back.keySet, "variants disagree on the error set")
+    var strictly = 0
+    for ((id, (bGap, _)) <- back; (nGap, nTs) <- near.get(id)) {
+      if (bGap != null) {
+        assert(nGap != null && math.abs(nGap.asInstanceOf[Long]) <=
+          bGap.asInstanceOf[Long], s"event $id: nearest worse than backward")
+        if (math.abs(nGap.asInstanceOf[Long]) < bGap.asInstanceOf[Long]) strictly += 1
+      }
+      if (nGap != null && nGap.asInstanceOf[Long] < 0) assert(nTs != null)
+    }
+    assert(strictly > 0, "forward candidates never won — vacuous data")
+    // both directional frames + the argmin ride ONE user_id exchange
+    val plan = Analytics.asofNearest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+  }
+
   test("degree distribution accounts for every graph node once") {
     val dist = PageRank.degreeDist(spark, sfDir).collect()
     val nodes = dist.map(_.getAs[Long]("n_nodes")).sum
