@@ -77,6 +77,7 @@ object SparkEntry {
     "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
+    "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
@@ -604,6 +605,21 @@ object SparkEntry {
         |)
         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
         |ORDER BY node""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med_cents
+        |      FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.vc, m.med_cents,
+        |       abs(e.vc - m.med_cents) AS dev
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.med_cents, md.mad_cents, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > md.mad_cents * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type, d.med_cents, md.mad_cents
+        |ORDER BY event_type""".stripMargin,
     "q_asof_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

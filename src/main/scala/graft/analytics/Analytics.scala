@@ -411,6 +411,33 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Robust anomaly profile per event type: median + MAD (median
+    * absolute deviation) and the count of values beyond 3 MADs — the
+    * outlier screen that, unlike mean/stddev, a few extreme values
+    * cannot drag around. Two exact-percentile passes with the tiny
+    * per-type stats broadcast back between them. All arithmetic is on
+    * integer CENTS, so medians/MADs are exact binary fractions (.0/.5
+    * steps) and every engine agrees bit-for-bit. Exact percentile
+    * state stays bounded because the value domain is bounded (cents);
+    * on an unbounded domain the approx-percentile twin
+    * (`q_approx_stats`) is the scale path and this is the auditor. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(vc, 0.5)").as("med_cents"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("vc") - col("med_cents")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .select("event_type", "med_cents", "mad_cents", "n", "n_outliers")
+      .orderBy("event_type")
+  }
+
   /** Nearest-direction as-of: each error aligns to the CLOSEST click
     * in either direction (ties → the earlier click) — sensor-alignment
     * semantics, vs `asofJoin`'s backward-only lookup. Same

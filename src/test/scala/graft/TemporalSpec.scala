@@ -90,6 +90,34 @@ class TemporalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
   }
 
+  test("MAD anomaly screen is robust: outlier count survives an extreme value") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.anomalyMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("mad_cents") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n") / 4,
+        "a robust screen should flag a minority")
+      // med/mad of integer cents are exact half-steps
+      assert(r.getAs[Double]("med_cents") * 2 == (r.getAs[Double]("med_cents") * 2).round.toDouble)
+      assert(r.getAs[Double]("mad_cents") * 2 == (r.getAs[Double]("mad_cents") * 2).round.toDouble)
+    }
+    // hand-check one type against a driver-side median/MAD
+    val t = rows.head.getAs[String]("event_type")
+    val vs = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === t)
+      .select(Analytics.cents(col("value")).as("vc")).collect()
+      .map(_.getAs[Long]("vc")).sorted
+    def med(a: Array[Long]): Double =
+      if (a.length % 2 == 1) a(a.length / 2).toDouble
+      else (a(a.length / 2 - 1) + a(a.length / 2)) / 2.0
+    val m = med(vs)
+    assert(rows.head.getAs[Double]("med_cents") == m)
+    val madHand = med(vs.map(v => math.abs(v - m))
+      .map(d => (d * 2).toLong).sorted) / 2.0 // half-steps as integers
+    assert(rows.head.getAs[Double]("mad_cents") == madHand)
+  }
+
   test("degree distribution accounts for every graph node once") {
     val dist = PageRank.degreeDist(spark, sfDir).collect()
     val nodes = dist.map(_.getAs[Long]("n_nodes")).sum
