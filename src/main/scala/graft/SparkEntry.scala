@@ -111,6 +111,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
+    "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
     "corpus_split" -> ((s, d) => graft.text.Curation.leakageSafeSplit(s, d)),
     "corpus_shard" -> ((s, d) => graft.text.Curation.globalShuffleShards(s, d)),
     // Similarity search / vector stats (graft.vector)

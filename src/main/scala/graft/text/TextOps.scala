@@ -402,6 +402,45 @@ object TextOps {
     * candidate-sized far past the corpus size where `dedupSimhash`
     * saturates (SURVEY §4). Same pigeonhole recall contract: every
     * pair at hamming ≤ 3 shares a chunk and is emitted. */
+  /** Dedup-method evaluation report — the quality dashboard a pipeline
+    * owner reads before trading exactness for scale: each approximate
+    * path's emitted pair set scored against the exact Jaccard ≥ 0.5
+    * truth (precision/recall in exact integer ppm — `div`, no float
+    * seam). Rows: MinHash-LSH banding (verified output: precision 1 by
+    * construction, recall = what 32×4 banding misses near the 0.5
+    * boundary), the df-capped inverted index at two cap levels (recall
+    * = pairs whose only shared shingles are high-df), and SimHash
+    * Hamming ≤ 3 (a DIFFERENT similarity target scored against Jaccard
+    * truth — the cross-metric overlap is the honest comparison).
+    * Everything reuses the production operators; the truth set is
+    * computed once and joined against each method. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir).select("a_id", "b_id")
+      .persist()
+    val nTruth = truth.count()
+    def score(method: String, pairs: DataFrame): DataFrame = {
+      val p = pairs.select("a_id", "b_id").persist()
+      val nPairs = p.count()
+      val nHit = p.join(truth, Seq("a_id", "b_id")).count()
+      p.unpersist(blocking = false)
+      val spark2 = truth.sparkSession
+      import spark2.implicits._
+      Seq((method, nPairs, nTruth, nHit,
+        if (nPairs == 0) 0L else nHit * 1000000L / nPairs,
+        if (nTruth == 0) 0L else nHit * 1000000L / nTruth))
+        .toDF("method", "n_pairs", "n_truth", "n_hit",
+          "precision_ppm", "recall_ppm")
+    }
+    val report = Seq(
+      score("minhash_lsh_32x4", dedupMinhash(spark, dir)),
+      score("jaccard_dfcap_64", jaccardPairsCapped(spark, dir, 64L)),
+      score("jaccard_dfcap_8", jaccardPairsCapped(spark, dir, 8L)),
+      score("simhash64_h3", dedupSimhash(spark, dir)))
+      .reduce(_ unionByName _)
+    truth.unpersist(blocking = false)
+    report.orderBy("method")
+  }
+
   def dedupSimhash128(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sigs = docsRepartitioned(spark, dir)

@@ -48,6 +48,25 @@ class CurationSpec extends SparkSpec {
     assert(shares("train") > shares("val") && shares("train") > shares("test"))
   }
 
+  test("dedup eval report: verified methods score perfect precision, caps trade recall") {
+    val rows = TextOps.dedupEval(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("minhash_lsh_32x4", "jaccard_dfcap_64",
+      "jaccard_dfcap_8", "simhash64_h3"))
+    for ((_, r) <- rows) {
+      assert(r.getAs[Long]("n_truth") > 0)
+      assert(r.getAs[Long]("precision_ppm") <= 1000000L &&
+        r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // jaccard-verified outputs can never emit a false pair
+    for (m <- Seq("minhash_lsh_32x4", "jaccard_dfcap_64", "jaccard_dfcap_8"))
+      assert(rows(m).getAs[Long]("precision_ppm") == 1000000L ||
+        rows(m).getAs[Long]("n_pairs") == 0, s"$m emitted non-truth pairs")
+    // a looser df cap keeps at least the pairs of a tighter one
+    assert(rows("jaccard_dfcap_64").getAs[Long]("recall_ppm") >=
+      rows("jaccard_dfcap_8").getAs[Long]("recall_ppm"))
+  }
+
   test("shards partition the corpus; positions are a contiguous permutation") {
     val rows = Curation.globalShuffleShards(spark, sfDir).collect()
     val total = rows.length
