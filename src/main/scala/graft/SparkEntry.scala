@@ -79,6 +79,7 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
+    "etl_reconcile" -> ((s, d) => EventsEtl.reconcileKeys(s, d)),
     "layout_zorder" -> ((s, d) => Analytics.zorderLayout(s, d)),
     "etl_backfill_gaps" -> ((s, d) => EventsEtl.backfillGaps(s, d)),
     "etl_scd2" -> ((s, d) => EventsEtl.scd2History(s, d)),
@@ -707,6 +708,17 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_recent,
         |  CAST(SUM((1 << (5 - rn)) * value_cents) AS BIGINT) AS decayed_cents
         |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "etl_reconcile" ->
+      """WITH o AS (SELECT o_orderkey AS ok FROM orders),
+        |l AS (SELECT DISTINCT l_orderkey AS lk FROM lineitem)
+        |SELECT CASE WHEN ok IS NOT NULL AND lk IS NOT NULL THEN 'matched'
+        |            WHEN lk IS NULL THEN 'order_without_items'
+        |            ELSE 'items_without_order' END AS category,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(coalesce(ok, lk)) AS BIGINT) AS min_key,
+        |  CAST(MAX(coalesce(ok, lk)) AS BIGINT) AS max_key
+        |FROM o FULL OUTER JOIN l ON ok = lk
+        |GROUP BY 1 ORDER BY category""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -285,6 +285,30 @@ object EventsEtl {
     mergePartials(base, delta).orderBy("event_type", "d")
   }
 
+  /** Two-sided key reconciliation between orders and the lineitem
+    * fact — the referential-integrity audit a load pipeline runs after
+    * every batch: a FULL OUTER join on the key classifies each order
+    * key as matched, header-only (order without items), or orphaned
+    * (items without a header), with bounded per-class evidence
+    * (count + key range, never a row dump). One shuffle join on the
+    * key after a map-side distinct on the fact side. */
+  def reconcileKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"))
+    val l = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("lk")).distinct()
+    o.join(l, col("ok") === col("lk"), "full_outer")
+      .select(
+        when(col("ok").isNotNull && col("lk").isNotNull, "matched")
+          .when(col("lk").isNull, "order_without_items")
+          .otherwise("items_without_order").as("category"),
+        coalesce(col("ok"), col("lk")).as("key"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("category")
+  }
+
   /** The per-(type, day) partial-state aggregation — every kept state
     * (count, integer-cents sum, min/max micros) is associative and
     * commutative, so any partition of the input merges back exactly.
