@@ -75,6 +75,10 @@ object SparkEntry {
     "q_bfs_hops" -> ((s, d) => graft.ops.PageRank.bfsHops(s, d)),
     "q_concurrency" -> ((s, d) => graft.analytics.TemporalOps.concurrency(s, d)),
     "q_decay_score" -> ((s, d) => graft.analytics.TemporalOps.decayedScore(s, d)),
+    "q_interval_merge" -> ((s, d) => graft.analytics.TemporalOps.intervalMerge(s, d)),
+    "q_mode" -> ((s, d) => Analytics.modePerUser(s, d)),
+    "q_triangles" -> ((s, d) => graft.ops.Triangles.triangleCount(s, d)),
+    "etl_profile" -> ((s, d) => EventsEtl.profileColumns(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
@@ -110,6 +114,8 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) => graft.text.CorpusOps.corpusMix(s, d)),
     "text_bpe_pairs" -> ((s, d) => graft.text.CorpusOps.bpePairs(s, d)),
     "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
+    "text_pmi" -> ((s, d) => graft.text.CorpusOps.pmiCollocations(s, d)),
+    "text_diversity" -> ((s, d) => graft.text.CorpusOps.lexicalDiversity(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
     "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
@@ -814,6 +820,119 @@ object SparkEntry {
         |  AND e.ts_us >= j.valid_from
         |  AND (j.valid_to IS NULL OR e.ts_us < j.valid_to)
         |ORDER BY event_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |i AS (
+        |  SELECT user_id, event_id, ts_us, ts_us + 600000000 AS iv_end,
+        |   MAX(ts_us + 600000000) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR ts_us > prev_max THEN 1 ELSE 0 END AS brk
+        |  FROM i),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  FROM f)
+        |SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+        | MIN(ts_us) AS start_us, MAX(iv_end) AS end_us, COUNT(*) AS n_events,
+        | CAST((MAX(iv_end) - MIN(ts_us)) // 1000000 AS BIGINT) AS span_s
+        |FROM g GROUP BY user_id, island_id
+        |ORDER BY user_id, island_id""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM c),
+        |t AS (
+        |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_mode,
+        |   CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_types
+        |  FROM c GROUP BY user_id)
+        |SELECT t.user_id, r.event_type AS mode_type, t.n_mode, t.n_events, t.n_types
+        |FROM t JOIN r ON t.user_id = r.user_id AND r.rn = 1
+        |ORDER BY t.user_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |v AS (SELECT COUNT(DISTINCT node) AS n_nodes FROM
+        |  (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)),
+        |n AS (SELECT COUNT(*) AS n_edges FROM e),
+        |t AS (SELECT COUNT(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+        |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+        |SELECT v.n_nodes, n.n_edges, t.n_triangles FROM v, n, t""".stripMargin,
+
+    "etl_profile" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS value_cents, event_type, props
+        |  FROM events)
+        |SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        | COUNT(DISTINCT event_id) AS n_distinct,
+        | CAST(MIN(event_id) AS BIGINT) AS min_val, CAST(MAX(event_id) AS BIGINT) AS max_val FROM e
+        |UNION ALL
+        |SELECT 'user_id', COUNT(*),
+        | CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT user_id), CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 'ts_us', COUNT(*),
+        | CAST(SUM(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT ts_us), MIN(ts_us), MAX(ts_us) FROM e
+        |UNION ALL
+        |SELECT 'value_cents', COUNT(*),
+        | CAST(SUM(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT value_cents), MIN(value_cents), MAX(value_cents) FROM e
+        |UNION ALL
+        |SELECT 'event_type', COUNT(*),
+        | CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT event_type),
+        | CAST(MIN(length(event_type)) AS BIGINT), CAST(MAX(length(event_type)) AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 'props', COUNT(*),
+        | CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT props),
+        | CAST(MIN(length(props)) AS BIGINT), CAST(MAX(length(props)) AS BIGINT) FROM e
+        |ORDER BY col_name""".stripMargin,
+
+    "text_pmi" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS word FROM w),
+        |uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tok),
+        |bi0 AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) > 1),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM bi0),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi
+        |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.n_ab, u1.n AS n_a, u2.n AS n_b,
+        | CAST(bc.n_ab * t.n_tot * 1000000 // (u1.n * u2.n) AS BIGINT) AS lift_ppm
+        |FROM bc JOIN uni u1 ON bc.w1 = u1.word JOIN uni u2 ON bc.w2 = u2.word
+        |CROSS JOIN tot t
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "text_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id, word),
+        |d AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words, COUNT(*) AS n_types,
+        |  CAST(SUM(n*n) AS BIGINT) AS sum_sq FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_types,
+        | CAST(n_types * 1000000 // n_words AS BIGINT) AS ttr_ppm,
+        | CAST(sum_sq * 1000000 // (n_words * n_words) AS BIGINT) AS simpson_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->
       """WITH w AS (

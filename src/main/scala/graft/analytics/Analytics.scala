@@ -560,6 +560,26 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
+  /** Exact per-key mode (most frequent event_type per user, ties → the
+    * lexicographically smallest type). Two stacked hash aggregations —
+    * (user, type) counts, then a single-pass `min_by` argmax over
+    * `(-n, type)` struct ordering — so both levels are map-side
+    * combinable and there is NO per-user sort window anywhere: at
+    * 100 TB the shuffled payload is bounded by |users|×|types|, not by
+    * events. */
+  def modePerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), struct((-col("n")).as("neg_n"), col("event_type")))
+          .as("mode_type"),
+        max(col("n")).as("n_mode"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
   /** Fixed-width value histogram (bin = floor(value/20)) — the
     * distribution profile behind the reference's range validations;
     * a single map-side-combinable aggregation. */

@@ -77,4 +77,36 @@ object TemporalOps {
         sum(col("weight") * col("value_cents")).as("decayed_cents"))
       .orderBy("user_id")
   }
+
+  /** Gaps-and-islands interval coalescing: every event opens a 10-min
+    * activity interval [ts, ts+10min]; overlapping or touching
+    * intervals per user merge into maximal "activity islands"
+    * (interval union — the classic coverage/merge operator, distinct
+    * from `sessionize`'s gap-split which keys on inter-event deltas).
+    * An island break is `start > running-max(end) of all previous
+    * intervals`; the running max, the island counter (a running sum of
+    * break flags), and the per-island aggregation all ride ONE user_id
+    * hash exchange — no interval self-join anywhere, so per-user cost
+    * is sort + linear scan at any scale. Integer-exact micros. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val SpanUs = 600L * 1000000L
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val prevMax = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("iv_end", col("ts_us") + SpanUs)
+      .withColumn("new_island",
+        when(col("ts_us") > max("iv_end").over(prevMax), 1L)
+          .when(max("iv_end").over(prevMax).isNull, 1L).otherwise(0L))
+      .withColumn("island_id", sum("new_island").over(byTs))
+      .groupBy("user_id", "island_id")
+      .agg(min("ts_us").as("start_us"), max("iv_end").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_s", expr("(end_us - start_us) div 1000000"))
+      .select("user_id", "island_id", "start_us", "end_us", "n_events", "span_s")
+      .orderBy("user_id", "island_id")
+  }
 }

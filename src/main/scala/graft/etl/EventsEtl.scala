@@ -328,4 +328,43 @@ object EventsEtl {
       .groupBy("event_type", "d")
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
         min("first_us").as("first_us"), max("last_us").as("last_us"))
+
+  /** Per-column data-profiling report over the events table — the
+    * null-fraction / cardinality / range summary a pipeline owner reads
+    * before trusting a feed (the load-stage sanity check the reference
+    * does row-by-row in `load_breadcrumb.py`'s validation pass, done as
+    * ONE declarative scan). Numeric and temporal columns are scaled to
+    * exact integers (micros / cents) so min/max hash-match the oracle;
+    * string columns report NULL bounds and cardinality only. All six
+    * per-column profiles come from a single wide aggregation over one
+    * scan, then unpivot — the multi-distinct is planned as one Expand +
+    * one exchange; at 100 TB swap `count(distinct)` for
+    * `approx_count_distinct` (documented trade) and the plan is a plain
+    * combinable aggregate. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        col("event_type"), col("props"))
+    def nNull(c: String)   = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn")
+    def nDist(c: String)   = countDistinct(col(c)).as(s"${c}_nd")
+    val longCols = Seq("event_id", "user_id", "ts_us", "value_cents")
+    // string columns profile their LENGTH range (never NULL bounds —
+    // keeps the report column a plain non-null BIGINT in every engine)
+    val strCols = Seq("event_type", "props")
+    val aggs =
+      longCols.flatMap(c => Seq(nNull(c), nDist(c),
+        min(col(c)).as(s"${c}_mn"), max(col(c)).as(s"${c}_mx"))) ++
+      strCols.flatMap(c => Seq(nNull(c), nDist(c),
+        min(length(col(c))).cast("long").as(s"${c}_mn"),
+        max(length(col(c))).cast("long").as(s"${c}_mx")))
+    val wide = e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = (longCols ++ strCols).map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx")
+    wide.select(col("n_rows"), expr(
+        s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS (col_name, n_null, n_distinct, min_val, max_val)"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+      .orderBy("col_name")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Exact triangle counting over the part co-purchase graph (parts are
+  * adjacent when some order contains both). Triangle density is the
+  * standard cohesion metric for co-occurrence graphs — the "products
+  * bought together form cliques?" question — and the operator is the
+  * canonical example of a join whose naive form dies at scale.
+  *
+  * Scale design: the classic degree-ordered orientation (node rank =
+  * (degree, id); every edge points low→high). Wedge generation joins
+  * oriented out-edges with themselves on the source, so per-node work
+  * is out-degree², and orientation bounds every out-degree by O(√m) —
+  * the worst-case optimal bound — where the unoriented self-join is
+  * max-degree² on hub nodes. The closing-edge probe is a semi-join on
+  * the oriented edge set. Three shuffles total (degree agg, wedge
+  * self-join, closing probe), all on integer keys; nothing touches the
+  * driver.
+  */
+object Triangles {
+
+  /** Distinct undirected co-purchase edges (a < b), from a per-order
+    * self-join of lineitem. Per-order line counts are bounded (≤ 7 in
+    * TPC-H-ish data, small in any order system), so the intra-order
+    * pair expansion is linear in lineitem with a constant factor — not
+    * a quadratic blow-up. */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.toDF("ok", "a")
+    val b = li.toDF("ok", "b")
+    a.join(b.hint("shuffle_hash"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** One-row report: nodes, edges, and the exact triangle count. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    // degree table over the undirected graph
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (degree, id)-smaller endpoint to the
+    // larger; the rank join is two joins against the bounded degree
+    // table (it scales with |nodes|, but no broadcast hint — the
+    // planner broadcasts while it fits)
+    val da = deg.toDF("a", "deg_a")
+    val db = deg.toDF("b", "deg_b")
+    val oriented = edges.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // wedges: two oriented out-edges of the same source; ordering the
+    // endpoints avoids emitting each wedge twice
+    val o1 = oriented.toDF("src", "x")
+    val o2 = oriented.toDF("src", "y")
+    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
+      .filter(col("x") < col("y"))
+    // a wedge closes iff (x,y) is itself an edge — in EITHER
+    // orientation, since (degree, id) rank need not be monotone along
+    // the triangle; probe the canonical undirected edge set
+    val canon = oriented.select(
+      least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
+    val closed = wedges.join(canon.hint("shuffle_hash"), Seq("x", "y"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n"))
+    val nEdges = edges.agg(count(lit(1)).as("n"))
+    val nTri = closed.agg(count(lit(1)).as("n"))
+    nNodes.toDF("n_nodes").crossJoin(nEdges.toDF("n_edges"))
+      .crossJoin(nTri.toDF("n_triangles"))
+  }
+}

@@ -305,4 +305,53 @@ object CorpusOps {
       .select("doc_id", "rank", "term", "tf", "df", "score")
       .orderBy("doc_id", "rank")
   }
+
+  /** Corpus collocations: top-100 word bigrams by pointwise lift —
+    * n(a,b)·N / (n(a)·n(b)), the exp of PMI, kept in exact integer
+    * ppm (`div`) so the ranking is engine-independent where libm log
+    * is not. Token-LEVEL counts (every occurrence), unlike
+    * `ngramFreq`'s document frequency. The plan is two vocabulary-
+    * bounded hash aggregates (bigram counts, unigram counts) and two
+    * joins of the bigram table against the unigram table — everything
+    * map-side combinable, the 1-row total joined by broadcast cross.
+    * The ≥5-occurrence floor is the standard collocation support cut
+    * and bounds the report against hapax noise. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir).select(wordsCol.as("ws")).filter(size(col("ws")) > 1)
+    val uni = docs(spark, dir).select(explode(wordsCol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum("n").as("n_tot"))
+    val bi = ws.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    bi.join(uni.toDF("w1", "n_a"), Seq("w1"))
+      .join(uni.toDF("w2", "n_b"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm", expr("n_ab * n_tot * 1000000 div (n_a * n_b)"))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** Per-document lexical diversity: type count, type-token ratio, and
+    * the Simpson repetition index Σn_w² ·1e6 / N² (the probability two
+    * random tokens are the same word) — the gibberish/boilerplate
+    * signal that catches low-entropy docs without a libm log. All
+    * integer-exact ppm. Two stacked per-doc hash aggregations, both
+    * map-side combinable; embarrassingly parallel across documents. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), count(lit(1)).as("n_types"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_words"))
+      .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n_words * n_words)"))
+      .select("doc_id", "n_words", "n_types", "ttr_ppm", "simpson_ppm")
+      .orderBy("doc_id")
 }
