@@ -78,7 +78,11 @@ object SparkEntry {
     "q_interval_merge" -> ((s, d) => graft.analytics.TemporalOps.intervalMerge(s, d)),
     "q_mode" -> ((s, d) => Analytics.modePerUser(s, d)),
     "q_triangles" -> ((s, d) => graft.ops.Triangles.triangleCount(s, d)),
+    "q_kcore" -> ((s, d) => graft.ops.Triangles.kCore(s, d)),
     "etl_profile" -> ((s, d) => EventsEtl.profileColumns(s, d)),
+    "etl_debounce" -> ((s, d) => EventsEtl.debounce(s, d)),
+    "q_attribution" -> ((s, d) => Analytics.attribution(s, d)),
+    "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
@@ -842,6 +846,67 @@ object SparkEntry {
         | CAST((MAX(iv_end) - MIN(ts_us)) // 1000000 AS BIGINT) AS span_s
         |FROM g GROUP BY user_id, island_id
         |ORDER BY user_id, island_id""".stripMargin,
+
+    "etl_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT *,
+        |   CASE WHEN lag(ts_us) OVER w IS NULL
+        |        OR ts_us - lag(ts_us) OVER w >= 7200000000 THEN 1 ELSE 0 END AS lead_flag
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)),
+        |b AS (
+        |  SELECT *, SUM(lead_flag) OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+        |  FROM g)
+        |SELECT MIN(event_id) AS event_id, user_id, event_type, MIN(ts_us) AS ts_us,
+        | COUNT(*) - 1 AS n_suppressed
+        |FROM b GROUP BY user_id, event_type, burst_id
+        |ORDER BY event_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IN ('click','view','purchase')),
+        |t AS (
+        |  SELECT *,
+        |   last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+        |     OVER w AS t_us,
+        |   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |     OVER w AS t_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN t_us IS NULL THEN 'none'
+        |              WHEN ts_us - t_us > 86400000000 THEN 'none'
+        |              ELSE t_type END AS touch_type, vc
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT touch_type, COUNT(*) AS n_purchases,
+        | CAST(SUM(vc) AS BIGINT) AS attributed_cents
+        |FROM p GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type, MIN(vc) AS lo_cents, MAX(vc) AS hi_cents
+        |  FROM r WHERE rn = (n-1)*5//100 + 1 OR rn = (n-1)*95//100 + 1
+        |  GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n, MIN(lo_cents) AS lo_cents,
+        | MIN(hi_cents) AS hi_cents,
+        | CAST(SUM(vc) AS BIGINT) AS sum_raw_cents,
+        | CAST(SUM(least(greatest(vc, lo_cents), hi_cents)) AS BIGINT) AS sum_winsorized_cents,
+        | CAST(SUM(CASE WHEN vc < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        | CAST(SUM(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (

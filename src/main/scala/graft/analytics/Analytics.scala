@@ -421,6 +421,67 @@ object Analytics {
     * state stays bounded because the value domain is bounded (cents);
     * on an unbounded domain the approx-percentile twin
     * (`q_approx_stats`) is the scale path and this is the auditor. */
+  /** Last-touch marketing attribution: each purchase credits the most
+    * recent click/view of the same user within a 24 h lookback; outside
+    * the window (or with no prior touch) it books as 'none'. The touch
+    * lookup is an IGNORE-NULLS window over ONE user_id exchange — the
+    * as-of family without a join — pulling (ts, id, type) as one struct
+    * so all three attributes come from the SAME touch row; the rollup
+    * is a 3-row aggregate by credited channel. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("vc"))
+    val back = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("ts_us").as("t_us"), col("event_id").as("t_id"),
+        col("event_type").as("t_type")))
+    ev.withColumn("last_touch", last(touch, ignoreNulls = true).over(back))
+      .filter(col("event_type") === "purchase")
+      .withColumn("credited",
+        when(col("last_touch").isNull, "none")
+          .when(col("ts_us") - col("last_touch.t_us") > DayUs, "none")
+          .otherwise(col("last_touch.t_type")))
+      .groupBy(col("credited").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum("vc").as("attributed_cents"))
+      .orderBy("touch_type")
+  }
+
+  /** Percentile winsorization per event type: clip values to the exact
+    * p05/p95 ORDER STATISTICS (rank-based, index = (n−1)·p div 100 + 1 —
+    * integer arithmetic, no interpolated quantile, so every engine
+    * picks the identical row) and report clip counts and the
+    * winsorized sum against the raw sum — the outlier-capping step
+    * before a mean/σ is trustworthy. One value-ordered window per type
+    * finds both bounds; the bounded per-type stats table joins back by
+    * broadcast. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    val ranked = e.withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val bounds = ranked
+      .filter(col("rn") === expr("(n-1)*5 div 100 + 1") ||
+        col("rn") === expr("(n-1)*95 div 100 + 1"))
+      .groupBy("event_type")
+      .agg(min("vc").as("lo_cents"), max("vc").as("hi_cents"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min("lo_cents").as("lo_cents"), min("hi_cents").as("hi_cents"),
+        sum("vc").as("sum_raw_cents"),
+        sum(least(greatest(col("vc"), col("lo_cents")), col("hi_cents")))
+          .as("sum_winsorized_cents"),
+        sum(when(col("vc") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("vc") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .orderBy("event_type")
+  }
+
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), cents(col("value")).as("vc"))

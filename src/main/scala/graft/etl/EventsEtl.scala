@@ -329,6 +329,37 @@ object EventsEtl {
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
         min("first_us").as("first_us"), max("last_us").as("last_us"))
 
+  /** Duplicate-action debounce: collapse repeats of the SAME action by
+    * the same user within 2 h to the lead event, reporting how many
+    * repeats each kept event suppressed — the repeated-fire cleanup
+    * between raw telemetry and attribution/conversion counting (same
+    * family as the reference's repeated-breadcrumb guard; keyed by
+    * (user, action), unlike `intervalMerge`'s all-events islands).
+    * Burst membership is `gap from the previous RAW same-action event
+    * < 2 h`, so the rule is a lag + running flag-sum — one
+    * (user, type) exchange, no stateful loop — and has an exact
+    * streaming twin (StreamingEtl.debounceStream, same rule as keyed
+    * state). */
+  def debounce(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 7200L * 1000000L
+    val byTs = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byTs))
+      .withColumn("lead_flag",
+        when(col("gap_us").isNull || col("gap_us") >= GapUs, 1L).otherwise(0L))
+      .withColumn("burst_id", sum("lead_flag").over(byTs))
+      .groupBy("user_id", "event_type", "burst_id")
+      .agg(min_by(col("event_id"), struct(col("ts_us"), col("event_id"))).as("event_id"),
+        min("ts_us").as("ts_us"),
+        (count(lit(1)) - 1L).as("n_suppressed"))
+      .select("event_id", "user_id", "event_type", "ts_us", "n_suppressed")
+      .orderBy("event_id")
+  }
+
   /** Per-column data-profiling report over the events table — the
     * null-fraction / cardinality / range summary a pipeline owner reads
     * before trusting a feed (the load-stage sanity check the reference

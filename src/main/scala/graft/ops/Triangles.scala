@@ -74,4 +74,52 @@ object Triangles {
     nNodes.toDF("n_nodes").crossJoin(nEdges.toDF("n_edges"))
       .crossJoin(nTri.toDF("n_triangles"))
   }
+
+  /** k-core decomposition (k = 3) of the REPEAT co-purchase graph
+    * (parts adjacent when ≥ `minOrders` orders contain both — the
+    * count threshold prunes one-off coincidences, the standard
+    * sparsification before cohesion mining) by iterative peeling: drop
+    * every node whose CURRENT degree is below k, remove its edges,
+    * repeat to the fixpoint — the dense-substructure filter (spam
+    * rings, core communities) that no single-pass degree cut can
+    * compute, because removals cascade. Each round is two bounded
+    * shuffles (degree agg + anti-join edge prune) over the SHRINKING
+    * edge set; the driver reads one victim count per round and
+    * localCheckpoint truncates the per-round lineage — same loop
+    * discipline as connected components. Emits the surviving nodes
+    * with their in-core degree. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3,
+      minOrders: Long = 2L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = li.toDF("ok", "a")
+    val b = li.toDF("ok", "b")
+    var edges = a.join(b.hint("shuffle_hash"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select(col("a").as("src"), col("b").as("dst"))
+    edges = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val victims = deg.filter(col("deg") < k).select("src")
+      val nVictims = victims.limit(1).count()
+      if (nVictims == 0) converged = true
+      else {
+        edges = edges
+          .join(victims, Seq("src"), "left_anti")
+          .join(victims.toDF("dst"), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .localCheckpoint(true)
+      }
+      rounds += 1
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
 }

@@ -209,6 +209,36 @@ object StreamingEtl {
       }
   }
 
+  final case class DebounceState(lastRawTsUs: Long)
+  final case class DebounceOut(event_id: Long, user_id: Long, ts_us: Long)
+
+  /** Streaming debounce — the keyed-state twin of EventsEtl.debounce:
+    * an event is a burst LEAD (emitted) iff its gap from the previous
+    * RAW event of the same (user, action) key is ≥ the gap (2 h
+    * default, matching the batch twin); state is one timestamp per
+    * key, updated on every event whether emitted or not, so batch and
+    * stream agree row-for-row on in-order input (spec-pinned). */
+  def debounceStream(ds: Dataset[EventRow],
+      gapUs: Long = 7200L * 1000000L): Dataset[DebounceOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.user_id, r.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[DebounceState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var lastRaw = state.getOption.map(_.lastRawTsUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DebounceOut]
+          for (r <- sorted) {
+            val tsUs = r.ts.getTime * 1000L
+            val isLead = lastRaw.forall(p => tsUs - p >= gapUs)
+            if (isLead) out += DebounceOut(r.event_id, r.user_id, tsUs)
+            lastRaw = Some(tsUs)
+          }
+          lastRaw.foreach(t => state.update(DebounceState(t)))
+          out.iterator
+      }
+  }
+
   /** Stateful per-key speed derivation (streaming twin of
     * EventsEtl.deriveSpeed): keyed state holds the previous
     * (ts, value); each arriving event emits Δvalue/Δt against it.
