@@ -37,7 +37,19 @@ object Triangles {
       .select("a", "b").distinct()
   }
 
-  /** One-row report: nodes, edges, and the exact triangle count. */
+  /** One-row report: nodes, edges, and the exact triangle count.
+    *
+    * Edge-iterator formulation: orient, build per-node sorted
+    * out-neighbor arrays (payload Σd = m longs; each array bounded
+    * O(√m) by the orientation), then per oriented edge (u,v) count
+    * |N⁺(u) ∩ N⁺(v)| with codegen'd array_intersect and sum. Each
+    * triangle {a<b<c by rank} is counted exactly once — at its (a,b)
+    * edge, where c is a common out-neighbor. No wedge relation is ever
+    * materialized (the wedge-join form shuffles Σd² rows — 30× the
+    * edge count on this graph); the only per-edge payload is two
+    * bounded arrays. The oriented edge set is localCheckpoint'd once
+    * because three consumers read it — otherwise the scan+distinct+
+    * degree subtree executes three times. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(spark, dir)
     // degree table over the undirected graph
@@ -56,21 +68,22 @@ object Triangles {
           col("a")).otherwise(col("b")).as("src"),
         when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-    // wedges: two oriented out-edges of the same source; ordering the
-    // endpoints avoids emitting each wedge twice
-    val o1 = oriented.toDF("src", "x")
-    val o2 = oriented.toDF("src", "y")
-    val wedges = o1.join(o2.hint("shuffle_hash"), Seq("src"))
-      .filter(col("x") < col("y"))
-    // a wedge closes iff (x,y) is itself an edge — in EITHER
-    // orientation, since (degree, id) rank need not be monotone along
-    // the triangle; probe the canonical undirected edge set
-    val canon = oriented.select(
-      least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
-    val closed = wedges.join(canon.hint("shuffle_hash"), Seq("x", "y"), "left_semi")
-    val nNodes = deg.agg(count(lit(1)).as("n"))
-    val nEdges = edges.agg(count(lit(1)).as("n"))
-    val nTri = closed.agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+    val emptyArr = array().cast("array<bigint>")
+    val nTri = oriented
+      .join(adj.toDF("src", "u_nbrs"), Seq("src"))
+      // dst may have no out-edges: left join + empty-array default
+      .join(adj.toDF("dst", "v_nbrs"), Seq("dst"), "left")
+      .select(size(array_intersect(col("u_nbrs"),
+        coalesce(col("v_nbrs"), emptyArr))).cast("long").as("c"))
+      .agg(sum("c").as("n"))
+    // node/edge tallies read the CHECKPOINTED oriented set, not the
+    // scan subtree — otherwise the co-purchase join runs two more times
+    val nNodes = oriented.select(col("src").as("n"))
+      .unionAll(oriented.select(col("dst").as("n")))
+      .agg(countDistinct(col("n")).as("n"))
+    val nEdges = oriented.agg(count(lit(1)).as("n"))
     nNodes.toDF("n_nodes").crossJoin(nEdges.toDF("n_edges"))
       .crossJoin(nTri.toDF("n_triangles"))
   }
