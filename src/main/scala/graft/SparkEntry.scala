@@ -83,6 +83,9 @@ object SparkEntry {
     "etl_debounce" -> ((s, d) => EventsEtl.debounce(s, d)),
     "q_attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
+    "q_paths" -> ((s, d) => Analytics.pathMining(s, d)),
+    "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
+    "q_basket_lift" -> ((s, d) => graft.ops.Baskets.basketLift(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
@@ -120,6 +123,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
     "text_pmi" -> ((s, d) => graft.text.CorpusOps.pmiCollocations(s, d)),
     "text_diversity" -> ((s, d) => graft.text.CorpusOps.lexicalDiversity(s, d)),
+    "text_zipf" -> ((s, d) => graft.text.CorpusOps.zipfProfile(s, d)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
     "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
@@ -907,6 +911,69 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
         |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS d,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |t AS (
+        |  SELECT event_type AS step1,
+        |   lead(event_type, 1) OVER w AS step2,
+        |   lead(event_type, 2) OVER w AS step3
+        |  FROM e WINDOW w AS (PARTITION BY user_id, d ORDER BY ts_us, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM t WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH k AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total_rows,
+        |   COUNT(*) AS n_distinct_keys FROM k),
+        |top AS (
+        |  SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rank
+        |  FROM k ORDER BY n DESC, user_id LIMIT 10)
+        |SELECT CAST(rank AS BIGINT) AS rank, user_id, n,
+        | CAST(n * 1000000 // n_total_rows AS BIGINT) AS share_ppm,
+        | n_total_rows, n_distinct_keys
+        |FROM top CROSS JOIN t
+        |ORDER BY rank""".stripMargin,
+
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |o AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |s AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS a, b.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 3)
+        |SELECT p.a, p.b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+        | CAST(p.n_ab * o.n_orders * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+        |FROM p JOIN s sa ON p.a = sa.pk JOIN s sb ON p.b = sb.pk
+        |CROSS JOIN o
+        |ORDER BY lift_ppm DESC, p.a, p.b LIMIT 50""".stripMargin,
+
+    "text_zipf" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS word FROM w),
+        |uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY word),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM uni),
+        |top AS (
+        |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank,
+        |   SUM(n) OVER (ORDER BY n DESC, word
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  FROM uni ORDER BY n DESC, word LIMIT 500)
+        |SELECT CAST(rank AS BIGINT) AS rank, word, n,
+        | CAST(rank * n AS BIGINT) AS rank_x_n,
+        | CAST(cum_n * 1000000 // n_tot AS BIGINT) AS cum_share_ppm
+        |FROM top CROSS JOIN tot
+        |ORDER BY rank""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (

@@ -421,6 +421,49 @@ object Analytics {
     * state stays bounded because the value domain is bounded (cents);
     * on an unbounded domain the approx-percentile twin
     * (`q_approx_stats`) is the scale path and this is the auditor. */
+  /** User-journey path mining: the top-20 3-step event-type sequences
+    * walked within a (user, day) — the "what do users actually do"
+    * sequence profile behind funnel design. Trigram rows come straight
+    * from two `lead()`s on ONE (user, day) exchange — no per-session
+    * array collection, no explode; the count is a map-side-combinable
+    * aggregate bounded by |types|³. */
+  def pathMining(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("date").as("d"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  /** Join-key skew diagnosis — the operational report read BEFORE
+    * choosing salting/AQE strategies: the 10 hottest user_id keys with
+    * their row share, alongside global key stats (total rows, distinct
+    * keys) for the skew ratio. One combinable per-key count; the top-k
+    * is a bounded sort; the 1-row global tally broadcast-crosses in. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(sum("n").as("n_total_rows"),
+      count(lit(1)).as("n_distinct_keys"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    perKey.orderBy(col("n").desc, col("user_id")).limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("n * 1000000 div n_total_rows"))
+      .select("rank", "user_id", "n", "share_ppm",
+        "n_total_rows", "n_distinct_keys")
+      .orderBy("rank")
+  }
+
   /** Last-touch marketing attribution: each purchase credits the most
     * recent click/view of the same user within a 24 h lookback; outside
     * the window (or with no prior touch) it books as 'none'. The touch

@@ -337,6 +337,31 @@ object CorpusOps {
       .limit(100)
   }
 
+  /** Corpus Zipf profile: the top-500 vocabulary words by token count
+    * with rank, the rank×count product (≈constant under Zipf's law —
+    * the corpus-health eyeball), and cumulative token share in exact
+    * ppm. The vocabulary count is one combinable aggregate; the global
+    * order-by is over the VOCABULARY (bounded, never corpus rows), and
+    * the running share runs inside the already-limited 500-row slice,
+    * so the single-partition window is constant-size at any corpus
+    * scale. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val uni = docs(spark, dir).select(explode(wordsCol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum("n").as("n_tot"))
+    val top = uni.orderBy(col("n").desc, col("word")).limit(500)
+    val w = Window.orderBy(col("n").desc, col("word"))
+    val cum = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum("n").over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank_x_n", col("rank") * col("n"))
+      .withColumn("cum_share_ppm", expr("cum_n * 1000000 div n_tot"))
+      .select("rank", "word", "n", "rank_x_n", "cum_share_ppm")
+      .orderBy("rank")
+  }
+
   /** Per-document lexical diversity: type count, type-token ratio, and
     * the Simpson repetition index Σn_w² ·1e6 / N² (the probability two
     * random tokens are the same word) — the gibberish/boilerplate
