@@ -84,6 +84,8 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => Analytics.attribution(s, d)),
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_paths" -> ((s, d) => Analytics.pathMining(s, d)),
+    "q_wow_change" -> ((s, d) => Analytics.weekOverWeek(s, d)),
+    "mm_phash" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_basket_lift" -> ((s, d) => graft.ops.Baskets.basketLift(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
@@ -911,6 +913,36 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
         |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_wow_change" ->
+      """WITH wk AS (
+        |  SELECT event_type, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week_start,
+        |   COUNT(*) AS n_events,
+        |   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY event_type, 2),
+        |l AS (
+        |  SELECT *, lag(rev_cents) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_cents
+        |  FROM wk)
+        |SELECT event_type, week_start, n_events, rev_cents, prev_cents,
+        | CAST((rev_cents - prev_cents) * 1000000 // prev_cents AS BIGINT) AS wow_change_ppm
+        |FROM l ORDER BY event_type, week_start""".stripMargin,
+
+    "mm_phash" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   xor(xor(xor(xor(
+        |     ((doc_id // 25) * 2654435761) & ((CAST(1 AS BIGINT) << 60) - 1),
+        |     CASE WHEN doc_id % 5 >= 1 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 1) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 2 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 2) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 3 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 3) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 4 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 4) % 60 AS INT)) ELSE 0 END) AS phash
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_paths" ->
       """WITH e AS (

@@ -421,6 +421,28 @@ object Analytics {
     * state stays bounded because the value domain is bounded (cents);
     * on an unbounded domain the approx-percentile twin
     * (`q_approx_stats`) is the scale path and this is the auditor. */
+  /** Week-over-week revenue change per event type — the calendar-
+    * aligned period comparison behind every trend dashboard (vs
+    * `runningAgg`'s row-cumulative and `retention`'s cohort offsets):
+    * ISO-week buckets, integer cents, and the delta as exact integer
+    * ppm of the prior week. Weekly rollup is one combinable aggregate
+    * (output bounded by types × weeks); the lag window runs on that
+    * bounded table, never on events. */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val byWeek = Window.partitionBy("event_type").orderBy("week_start")
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week_start"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("rev_cents"))
+      .withColumn("prev_cents", lag("rev_cents", 1).over(byWeek))
+      .withColumn("wow_change_ppm",
+        expr("(rev_cents - prev_cents) * 1000000 div prev_cents"))
+      .select("event_type", "week_start", "n_events", "rev_cents",
+        "prev_cents", "wow_change_ppm")
+      .orderBy("event_type", "week_start")
+  }
+
   /** User-journey path mining: the top-20 3-step event-type sequences
     * walked within a (user, day) — the "what do users actually do"
     * sequence profile behind funnel design. Trigram rows come straight

@@ -154,4 +154,51 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Perceptual-hash near-duplicate detection for media: 60-bit pHash →
+    * 4×15-bit chunk LSH → exact Hamming ≤ 3 verify — the image near-dup
+    * operator (same banding machinery as dedup_simhash, over media
+    * signatures). The pHash itself is the documented STUB (a real
+    * pipeline computes it from decoded pixels; this container can't
+    * decode, so a deterministic fake stands in: a multiplicative group
+    * hash with per-item planted bit flips, giving the corpus genuine
+    * 0–3-bit near-pairs). Because the fake is closed-form arithmetic,
+    * the DuckDB oracle recomputes ALL-PAIRS Hamming ≤ 3 exactly — so
+    * this is the one LSH operator whose pigeonhole recall contract
+    * (≤ 3 errors leave one of 4 chunks clean ⇒ every qualifying pair
+    * surfaces) is PROVEN against an oracle, not just spec-sampled.
+    * Scale shape: candidates come from chunk-bucket joins (never
+    * all-pairs — the oracle's O(n²) join is the sf-small verifier
+    * only), dedup on bare ids precedes the verify. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val Mask60 = (1L << 60) - 1
+    // STUB pHash: items in the same group of 25 share a base signature;
+    // each member flips k = doc_id%5 bits at positions derived from its
+    // id — near-dups with Hamming 0..~8 inside a group, random across
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("base", expr(s"((doc_id div 25) * 2654435761) & ${Mask60}"))
+      .withColumn("phash", expr(
+        """base ^
+          | (CASE WHEN doc_id % 5 >= 1 THEN shiftleft(1L, CAST((doc_id * 1) % 60 AS INT)) ELSE 0L END) ^
+          | (CASE WHEN doc_id % 5 >= 2 THEN shiftleft(1L, CAST((doc_id * 2) % 60 AS INT)) ELSE 0L END) ^
+          | (CASE WHEN doc_id % 5 >= 3 THEN shiftleft(1L, CAST((doc_id * 3) % 60 AS INT)) ELSE 0L END) ^
+          | (CASE WHEN doc_id % 5 >= 4 THEN shiftleft(1L, CAST((doc_id * 4) % 60 AS INT)) ELSE 0L END)""".stripMargin))
+      .select("doc_id", "phash")
+    val chunked = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_id"),
+          shiftrightunsigned(col("phash"), j * 15)
+            .bitwiseAND(lit(0x7FFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("phash"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    val l = chunked.toDF("a_id", "a_h", "chunk_id", "chunk")
+    val r = chunked.toDF("b_id", "b_h", "chunk_id", "chunk")
+    l.join(r, Seq("chunk_id", "chunk")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(a_h ^ b_h) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -61,4 +61,27 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("digest").matches("[0-9a-f]{64}"))
     assert(r.getAs[Long]("batch_id") == 0L)
   }
+
+  test("phash LSH emits exactly the all-pairs Hamming<=3 set") {
+    // recompute the stub pHash by hand and brute-force all pairs — the
+    // chunk-LSH candidates must lose nothing (pigeonhole recall)
+    val mask = (1L << 60) - 1
+    def phash(id: Long): Long = {
+      var h = (id / 25) * 2654435761L & mask
+      for (i <- 1L to 4L if id % 5 >= i) h ^= 1L << ((id * i) % 60).toInt
+      h
+    }
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d = java.lang.Long.bitCount(phash(ids(i)) ^ phash(ids(j)))
+      if d <= 3
+    } yield (ids(i), ids(j), d.toLong)
+    val got = Multimodal.phashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("hamming")))
+    assert(got.toSeq.sorted == brute.toSeq.sorted)
+    // the planted flips must produce pairs at several Hamming levels
+    assert(got.map(_._3).distinct.length >= 3)
+  }
 }

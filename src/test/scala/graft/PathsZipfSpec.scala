@@ -74,6 +74,26 @@ class PathsZipfSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("week-over-week change is the exact ppm delta of adjacent weeks") {
+    val rows = Analytics.weekOverWeek(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((_, rs) <- byType) {
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("week_start").toString)
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_cents")))
+      for (Array(prev, cur) <- sorted.sliding(2)) {
+        assert(cur.getAs[Long]("prev_cents") == prev.getAs[Long]("rev_cents"))
+        val expect = (cur.getAs[Long]("rev_cents") - cur.getAs[Long]("prev_cents")) *
+          1000000L / cur.getAs[Long]("prev_cents")
+        assert(cur.getAs[Long]("wow_change_ppm") == expect)
+      }
+      // week starts must be Mondays (ISO week truncation)
+      for (r <- sorted)
+        assert(r.getAs[java.sql.Date]("week_start").toLocalDate.getDayOfWeek ==
+          java.time.DayOfWeek.MONDAY)
+    }
+  }
+
   test("basket lift reproduces hand-computed supports for its top pairs") {
     val rows = Baskets.basketLift(spark, sfDir).collect()
     assert(rows.nonEmpty)
