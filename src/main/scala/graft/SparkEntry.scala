@@ -85,6 +85,9 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     "q_paths" -> ((s, d) => Analytics.pathMining(s, d)),
     "q_wow_change" -> ((s, d) => Analytics.weekOverWeek(s, d)),
+    "q_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
+    "etl_dq_rules" -> ((s, d) => EventsEtl.dqRules(s, d)),
+    "text_dup_coverage" -> ((s, d) => TextOps.dupCoverage(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_basket_lift" -> ((s, d) => graft.ops.Baskets.basketLift(s, d)),
@@ -913,6 +916,71 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
         |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY o_custkey),
+        |seg AS (
+        |  SELECT rev.o_custkey, rev_cents, c_mktsegment
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY rev_cents, o_custkey) AS BIGINT) AS i
+        |  FROM seg),
+        |g AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |   CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+        |   CAST(SUM(i * rev_cents) AS BIGINT) AS s1
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n_customers, total_cents,
+        | CAST((CAST(2 AS HUGEINT) * s1 - CAST(n_customers + 1 AS HUGEINT) * total_cents)
+        |   * 1000000 // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "etl_dq_rules" ->
+      """WITH e AS (SELECT * FROM events)
+        |SELECT 'props_has_k' AS rule_name, COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN props LIKE '%"k"%' THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        | CAST(SUM(CASE WHEN props LIKE '%"k"%' THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT) AS violation_ppm
+        |FROM e
+        |UNION ALL
+        |SELECT 'ts_not_null', COUNT(*),
+        | CAST(SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+        | CAST(SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
+        |FROM e
+        |UNION ALL
+        |SELECT 'type_in_domain', COUNT(*),
+        | CAST(SUM(CASE WHEN event_type IN ('click','view','signup','purchase','error') THEN 0 ELSE 1 END) AS BIGINT),
+        | CAST(SUM(CASE WHEN event_type IN ('click','view','signup','purchase','error') THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
+        |FROM e
+        |UNION ALL
+        |SELECT 'user_nonneg', COUNT(*),
+        | CAST(SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) AS BIGINT),
+        | CAST(SUM(CASE WHEN user_id >= 0 THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
+        |FROM e
+        |UNION ALL
+        |SELECT 'value_in_range', COUNT(*),
+        | CAST(SUM(CASE WHEN value >= 0 AND value <= 300 THEN 0 ELSE 1 END) AS BIGINT),
+        | CAST(SUM(CASE WHEN value >= 0 AND value <= 300 THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
+        |FROM e
+        |ORDER BY rule_name""".stripMargin,
+
+    "text_dup_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+        |df AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh)
+        |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        | CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM ex JOIN df ON ex.sh = df.sh
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
 
     "q_wow_change" ->
       """WITH wk AS (

@@ -421,6 +421,36 @@ object Analytics {
     * state stays bounded because the value domain is bounded (cents);
     * on an unbounded domain the approx-percentile twin
     * (`q_approx_stats`) is the scale path and this is the auditor. */
+  /** Revenue-concentration (Gini) profile per market segment — the
+    * inequality metric behind "do 20% of customers drive 80% of
+    * revenue". Exact integer arithmetic throughout: with per-segment
+    * revenues x sorted ascending (rank i, 1-based), Gini numerator =
+    * 2·Σi·x_i − (n+1)·Σx — one rank window on the BOUNDED per-customer
+    * rollup (never on orders) and one aggregation; reported in ppm via
+    * integer div, so every engine reproduces identical bits. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
+    val byRev = Window.partitionBy("c_mktsegment")
+      .orderBy(col("rev_cents"), col("o_custkey"))
+    rev.withColumn("i", row_number().over(byRev).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev_cents").as("total_cents"),
+        sum(col("i") * col("rev_cents")).as("s1"))
+      // the ppm multiply exceeds BIGINT at scale (num ~ n·Σx ~ 10¹⁴ ×
+      // 10⁶) — widen to exact DECIMAL(38,0); IntegralDivide truncates
+      // and everything is non-negative, so this matches HUGEINT `//`
+      .withColumn("gini_ppm", expr(
+        """(CAST(2 AS DECIMAL(38,0)) * s1 - CAST(n_customers + 1 AS DECIMAL(38,0)) * total_cents)
+          | * 1000000 div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)""".stripMargin))
+      .select("c_mktsegment", "n_customers", "total_cents", "gini_ppm")
+      .orderBy("c_mktsegment")
+  }
+
   /** Week-over-week revenue change per event type — the calendar-
     * aligned period comparison behind every trend dashboard (vs
     * `runningAgg`'s row-cumulative and `retention`'s cohort offsets):

@@ -360,6 +360,35 @@ object EventsEtl {
       .orderBy("event_id")
   }
 
+  /** Declarative data-quality rule engine: rules are DATA — (name,
+    * SQL predicate) pairs compiled with `expr()` into ONE wide
+    * aggregation over one scan, so adding a rule never adds a pass
+    * (the reference hard-codes each assert as its own row loop,
+    * updated_subscriber.py:100-112). Per rule: rows checked,
+    * violations, violation rate in exact ppm. */
+  val DefaultDqRules: Seq[(String, String)] = Seq(
+    ("ts_not_null", "ts IS NOT NULL"),
+    ("user_nonneg", "user_id >= 0"),
+    ("value_in_range", "value >= 0 AND value <= 300"),
+    ("type_in_domain",
+      "event_type IN ('click','view','signup','purchase','error')"),
+    ("props_has_k", "props LIKE '%\"k\"%'"))
+
+  def dqRules(spark: SparkSession, dir: String,
+      rules: Seq[(String, String)] = DefaultDqRules): DataFrame = {
+    val e = graft.sources.Tables.events(spark, dir)
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(expr(pred), 0L).otherwise(1L)).as(s"v$i")
+    }
+    val wide = e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = rules.indices.map(i => s"'${rules(i)._1}', v$i").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${rules.size}, $stacked) AS (rule_name, n_violations)"))
+      .withColumn("violation_ppm", expr("n_violations * 1000000 div n_rows"))
+      .select("rule_name", "n_rows", "n_violations", "violation_ppm")
+      .orderBy("rule_name")
+  }
+
   /** Per-column data-profiling report over the events table — the
     * null-fraction / cardinality / range summary a pipeline owner reads
     * before trusting a feed (the load-stage sanity check the reference

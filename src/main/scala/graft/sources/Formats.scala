@@ -47,6 +47,28 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML event interchange (Spark 4 built-in XML source): one <event>
+    * element per row under a <events> root — the config/legacy-feed
+    * format B2B integrations still emit. Reads with an EXPLICIT schema
+    * (no inference pass at scale) and writes with the matching
+    * rowTag/rootTag so the round trip is lossless; same
+    * quarantine-aware posture as the JSON reader (malformed elements
+    * null out rather than kill the load). */
+  val eventXmlSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  def writeXmlEvents(df: DataFrame, path: String): Unit =
+    df.write.format("xml")
+      .option("rowTag", "event").option("rootTag", "events")
+      .mode("overwrite").save(path)
+
+  def readXmlEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .schema(eventXmlSchema)
+      .option("rowTag", "event")
+      .load(path)
+
   /** Headerless single-column key list (vehicle_ids.csv analog). */
   def readKeyList(spark: SparkSession, path: String): DataFrame =
     spark.read

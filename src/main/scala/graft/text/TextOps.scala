@@ -487,6 +487,27 @@ object TextOps {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Cross-document duplication coverage: for every document, the
+    * fraction of its distinct word-3-shingles that also appear in at
+    * least one OTHER document — the duplicated-n-gram quality signal
+    * (RefinedWeb/Gopher family) that catches template/boilerplate
+    * contamination which whole-doc dedup misses. Shingle document
+    * frequency is one combinable aggregate on hashed shingles; the
+    * coverage join is index-shaped (per-doc cost ∝ its shingle count),
+    * and the ppm is exact integer arithmetic. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingledDocs(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+    val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    ex.join(df.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_ppm", expr("n_dup_shingles * 1000000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     ((length(text) - length(expr(s"replace(lower(text), '$marker', '')")))
       / lit(marker.length)).cast("long")

@@ -39,6 +39,23 @@ class FormatsSpec extends SparkSpec {
       s"ORC column pruning regressed:\n${plan.take(1200)}")
   }
 
+  test("xml events round-trip losslessly with an explicit schema") {
+    val out = Files.createTempDirectory("graft_xml").toString + "/events"
+    val src = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+      .limit(200)
+    Formats.writeXmlEvents(src, out)
+    val back = Formats.readXmlEvents(spark, out)
+    assert(back.schema == Formats.eventXmlSchema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // files on disk are really XML with the configured row tag
+    val f = new java.io.File(out).listFiles().filter(_.getName.endsWith(".xml"))
+    assert(f.nonEmpty)
+    val head = scala.io.Source.fromFile(f.head).getLines().take(5).mkString("\n")
+    assert(head.contains("<events>") || head.contains("<event>"))
+  }
+
   test("csv key list reads headerless single column") {
     val d = Files.createTempDirectory("graft_csv")
     Files.writeString(d.resolve("keys.csv"), "3001\n3002\n3003\n")

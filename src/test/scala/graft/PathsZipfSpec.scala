@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
+import graft.etl.EventsEtl
 import graft.ops.Baskets
 import graft.text.CorpusOps
 
@@ -72,6 +73,73 @@ class PathsZipfSpec extends SparkSpec {
     // ranks strictly ordered by count desc
     val ns = rows.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("gini concentration matches the textbook formula per segment") {
+    val rows = Analytics.giniConcentration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rev = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(Analytics.cents(col("o_totalprice"))).as("rev"))
+      .join(graft.sources.Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("rev")))
+    for (r <- rows) {
+      val seg = r.getAs[String]("c_mktsegment")
+      val xs = rev.filter(_._1 == seg).sortBy(x => (x._3, x._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val num = BigInt(2) * s1 - BigInt(n + 1) * sx
+      val expect = (num * 1000000 / (BigInt(n) * sx)).toLong
+      assert(r.getAs[Long]("n_customers") == n)
+      assert(r.getAs[Long]("total_cents") == sx)
+      assert(r.getAs[Long]("gini_ppm") == expect, s"segment $seg")
+      // a revenue distribution is neither perfectly equal nor degenerate
+      assert(expect > 0 && expect < 1000000)
+    }
+  }
+
+  test("dq rule engine counts violations per declarative rule") {
+    val rows = EventsEtl.dqRules(spark, sfDir).collect()
+      .map(r => r.getAs[String]("rule_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"))).toMap
+    assert(rows.size == EventsEtl.DefaultDqRules.size)
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val n = e.count()
+    assert(rows.values.forall(_._1 == n))
+    assert(rows("ts_not_null")._2 == e.filter(col("ts").isNull).count())
+    assert(rows("value_in_range")._2 ==
+      e.filter(!(col("value") >= 0 && col("value") <= 300)).count())
+    // custom rule sets compile and evaluate too (the engine is generic)
+    val custom = EventsEtl.dqRules(spark, sfDir,
+      Seq(("always_true", "1 = 1"), ("id_even", "event_id % 2 = 0"))).collect()
+    assert(custom.length == 2)
+    assert(custom.find(_.getAs[String]("rule_name") == "always_true")
+      .get.getAs[Long]("n_violations") == 0L)
+  }
+
+  test("dup coverage counts cross-document shingle sharing exactly") {
+    val rows = graft.text.TextOps.dupCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    for (r <- rows.take(20)) {
+      val id = r.getAs[Long]("doc_id")
+      val sh = perDoc(id)
+      val nDup = sh.count(s => df(s) >= 2).toLong
+      assert(r.getAs[Long]("n_shingles") == sh.size.toLong)
+      assert(r.getAs[Long]("n_dup_shingles") == nDup)
+      assert(r.getAs[Long]("dup_ppm") == nDup * 1000000L / sh.size)
+    }
   }
 
   test("week-over-week change is the exact ppm delta of adjacent weeks") {
