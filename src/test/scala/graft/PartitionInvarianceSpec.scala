@@ -16,7 +16,15 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_ntile", "dedup_incremental", "dedup_embedding", "q_running_agg",
       "q_corr_moments", "q_pagerank", "etl_incremental_agg",
       "dedup_keep_best", "corpus_split", "corpus_shard", "q_concurrency",
-      "q_decay_score", "q_bfs_hops", "q_sketch_rollup")
+      "q_decay_score", "q_bfs_hops", "q_sketch_rollup",
+      // session-5 surface: iterative peeling, checkpointed graph
+      // tallies, rank-based bounds, LSH buckets, running windows,
+      // top-k limit boundaries — all layout-sensitive shapes
+      "q_interval_merge", "q_mode", "q_triangles", "q_kcore", "q_paths",
+      "q_winsorize", "q_attribution", "q_skew_profile", "q_basket_lift",
+      "q_gini", "q_wow_change", "etl_profile", "etl_debounce",
+      "etl_dq_rules", "text_pmi", "text_diversity", "text_zipf",
+      "text_dup_coverage", "mm_phash")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
