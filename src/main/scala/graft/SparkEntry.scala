@@ -139,6 +139,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => VectorOps.annIvfProbe(s, d)),
+    "ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),

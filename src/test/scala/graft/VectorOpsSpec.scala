@@ -150,4 +150,35 @@ class VectorOpsSpec extends SparkSpec {
       .getAs[Long]("sum_micro2")
     assert(got == expected)
   }
+
+  test("PQ ANN recalls most brute-force neighbors from 4-byte codes") {
+    val rows = VectorOps.annPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every query reports exactly 3 ranked neighbors
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rs) <- byQuery) {
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      // ADC distances are non-negative; cosines are valid
+      assert(rs.forall(r => r.getAs[Double]("adc_dist") >= 0.0))
+      assert(rs.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    }
+    // recall@3 against the exact brute-force top-3
+    val bf = VectorOps.annBruteForce(spark, sfDir).collect()
+      .filter(_.getAs[Number]("rank").longValue <= 3L)
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val hits = bf.map { case (q, truth) =>
+      val found = byQuery.getOrElse(q, Array.empty)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      truth.count(found)
+    }.sum
+    val recall = hits.toDouble / bf.values.map(_.size).sum
+    // 32-candidate ADC shortlist from 4-bit-per-subspace codes: far
+    // above chance, below exact — the compression trade made visible
+    assert(recall > 0.4, s"PQ recall@3 $recall unreasonably low")
+    // compression arithmetic the operator exists for: 8 codes × 4 bits
+    // vs 64 floats × 4 bytes = 64×
+    assert((64 * 4) / (8 * 4 / 8) == 64)
+  }
 }
