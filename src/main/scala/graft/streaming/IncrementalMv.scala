@@ -87,4 +87,30 @@ object IncrementalMv {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => mergeBatch(b, id, root))
       .start()
+
+  /** Snapshot retention (VACUUM): drop committed versions older than
+    * the `keepLast` most recent, never touching the `_latest` pointer,
+    * the version it names, or uncommitted (crash-leftover) dirs above
+    * it — the history of a versioned table grows forever without this,
+    * and table formats ship the same operation for the same reason.
+    * Time travel keeps working for every retained version; vacuuming
+    * below the pointer can never break a replay, because replays only
+    * re-derive versions ABOVE the committed pointer. Returns the
+    * versions removed. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 3): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the committed snapshot")
+    val committed = latestVersion(spark, root)
+    if (committed < 0) return Seq.empty
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val versions = f.listStatus(rootPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .map(p => p.getName.stripPrefix("v=").toLong)
+      .filter(_ <= committed) // never touch uncommitted leftovers
+      .sorted
+    val victims = versions.dropRight(keepLast)
+    victims.foreach(v => f.delete(new Path(s"$root/v=$v"), true))
+    victims
+  }
 }

@@ -209,6 +209,20 @@ object StreamingEtl {
       }
   }
 
+  /** Late-data audit off the engine's own per-batch state-operator
+    * metrics: total rows silently dropped by the watermark and the
+    * current state-row footprint, summed across a query's recent
+    * progress — the "are we losing late data, and is state bounded"
+    * numbers an operator watches on any watermarked aggregation. No
+    * extra pass over the data: the numbers ride the progress events
+    * the engine already emits. */
+  def watermarkAudit(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    val dropped = ops.map(_.numRowsDroppedByWatermark).sum
+    val stateRows = ops.lastOption.map(_.numRowsTotal).getOrElse(0L)
+    (dropped, stateRows)
+  }
+
   final case class DebounceState(lastRawTsUs: Long)
   final case class DebounceOut(event_id: Long, user_id: Long, ts_us: Long)
 

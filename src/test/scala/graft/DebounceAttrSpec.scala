@@ -78,6 +78,35 @@ class DebounceAttrSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("watermark audit reports late rows the engine silently dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def row(id: Long, tsMs: Long) =
+      EventRow(id, new Timestamp(tsMs), 7L, "click", 1.0, "{}")
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("wm_audit_out")
+      .outputMode("append").start()
+    // on-time data, then a 2 h jump that advances the watermark
+    stream.addData(row(1, base), row(2, base + 60000))
+    q.processAllAvailable()
+    stream.addData(row(3, base + 7200000))
+    q.processAllAvailable()
+    // a row 2 h behind the watermark: silently dropped by the engine
+    stream.addData(row(4, base + 1000))
+    q.processAllAvailable()
+    val (dropped, stateRows) = StreamingEtl.watermarkAudit(q)
+    q.stop()
+    assert(dropped >= 1L, s"late row not counted as dropped (dropped=$dropped)")
+    assert(stateRows >= 1L)
+    // and the dropped row really is absent: its bucket closed with n=2
+    val n = spark.table("wm_audit_out")
+      .filter(col("bucket_start") === new Timestamp(base))
+      .select("n").as[Long].collect()
+    assert(n.forall(_ == 2L), s"late row leaked into a closed bucket: ${n.toSeq}")
+  }
+
   test("attribution credits the last touch within 24h and books the rest to none") {
     val rows = Analytics.attribution(spark, sfDir).collect()
       .map(r => r.getAs[String]("touch_type") ->

@@ -71,5 +71,18 @@ class IncrementalMvSpec extends SparkSpec {
     // versions past the pointer clamp to the committed state
     assert(IncrementalMv.snapshotAt(spark, root, 99L).get
       .orderBy("event_type", "d").collect().toSeq == after2)
+
+    // VACUUM: retain the last 2 committed versions (of 0..3); the
+    // removed history stops time-travelling, the retained history and
+    // the current summary are untouched
+    val removed = IncrementalMv.vacuum(spark, root, keepLast = 2)
+    assert(removed == Seq(0L, 1L), s"unexpected vacuum victims $removed")
+    assert(IncrementalMv.snapshotAt(spark, root, 0L).isEmpty)
+    assert(IncrementalMv.snapshotAt(spark, root, 1L).isEmpty)
+    assert(IncrementalMv.snapshotAt(spark, root, 2L).nonEmpty)
+    assert(IncrementalMv.currentSummary(spark, root).get
+      .orderBy("event_type", "d").collect().toSeq == after2)
+    // idempotent: a second vacuum with the same retention removes nothing
+    assert(IncrementalMv.vacuum(spark, root, keepLast = 2).isEmpty)
   }
 }
