@@ -107,4 +107,47 @@ class PlanAuditSpec extends SparkSpec {
     val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
+
+  test("interval merge rides ONE user_id exchange for break, counter, and agg") {
+    val plan = executed(graft.analytics.TemporalOps.intervalMerge(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("debounce rides ONE (user, action) exchange for lag, flag-sum, and agg") {
+    val plan = executed(EventsEtl.debounce(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("path mining trigrams come from leads, never an array collection") {
+    val plan = executed(Analytics.pathMining(spark, sfDir))
+    assert(!plan.contains("collect_list"), s"paths regressed to array collection:\n${plan.take(1200)}")
+  }
+
+  test("mode per user is two stacked aggregates — no window anywhere") {
+    val plan = executed(Analytics.modePerUser(spark, sfDir))
+    assert(!plan.contains("Window"), s"mode regressed to a window plan:\n${plan.take(1200)}")
+  }
+
+  test("column profile is ONE scan of events — no union of per-column passes") {
+    val plan = executed(EventsEtl.profileColumns(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${plan.take(2000)}")
+  }
+
+  test("dq rule engine is ONE scan regardless of rule count") {
+    val plan = executed(EventsEtl.dqRules(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${plan.take(2000)}")
+  }
+
+  test("triangle count never plans a cartesian or nested-loop product") {
+    val plan = executed(graft.ops.Triangles.triangleCount(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle join degenerated:\n${plan.take(1500)}")
+    // the only BNLJ allowed is the 1-row tally crossJoin at the top
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected product joins ($bnlj):\n${plan.take(1500)}")
+  }
 }
