@@ -87,6 +87,7 @@ object SparkEntry {
     "q_wow_change" -> ((s, d) => Analytics.weekOverWeek(s, d)),
     "q_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
     "etl_dq_rules" -> ((s, d) => EventsEtl.dqRules(s, d)),
+    "etl_kanon" -> ((s, d) => EventsEtl.kAnonymity(s, d)),
     "text_dup_coverage" -> ((s, d) => TextOps.dupCoverage(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
@@ -938,6 +939,19 @@ object SparkEntry {
         | CAST((CAST(2 AS HUGEINT) * s1 - CAST(n_customers + 1 AS HUGEINT) * total_cents)
         |   * 1000000 // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
         |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "etl_kanon" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_hour,
+        |   CAST(floor(value / 30) AS BIGINT) AS value_band,
+        |   COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(MIN(n) AS BIGINT) AS k_min, COUNT(*) AS n_classes FROM c)
+        |SELECT event_type, event_hour, value_band, n, k_min, n_classes
+        |FROM c CROSS JOIN g WHERE n < 25
+        |ORDER BY event_type, event_hour, value_band""".stripMargin,
 
     "etl_dq_rules" ->
       """WITH e AS (SELECT * FROM events)

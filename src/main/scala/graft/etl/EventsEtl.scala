@@ -360,6 +360,30 @@ object EventsEtl {
       .orderBy("event_id")
   }
 
+  /** k-anonymity audit over the event microdata: quasi-identifier =
+    * (event_type, hour-of-day, value band) — the attribute combination
+    * an adversary could link on. Reports every equivalence class
+    * smaller than k=25 (the re-identifiable ones) with the global
+    * anonymity floor (k_min = smallest class anywhere) and total class
+    * count alongside — the release-gate check a training-data pipeline
+    * runs before publishing event-derived data. One combinable
+    * three-column aggregate; the 1-row global tally broadcast-crosses
+    * into the bounded risk set. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        hour(col("ts")).cast("long").as("event_hour"),
+        floor(col("value") / 30).cast("long").as("value_band"))
+      .agg(count(lit(1)).as("n"))
+    val global = classes.agg(min("n").as("k_min"),
+      count(lit(1)).as("n_classes"))
+    classes.filter(col("n") < 25)
+      .crossJoin(broadcast(global))
+      .select("event_type", "event_hour", "value_band", "n", "k_min", "n_classes")
+      .orderBy("event_type", "event_hour", "value_band")
+  }
+
   /** Declarative data-quality rule engine: rules are DATA — (name,
     * SQL predicate) pairs compiled with `expr()` into ONE wide
     * aggregation over one scan, so adding a rule never adds a pass

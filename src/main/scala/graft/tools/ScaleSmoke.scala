@@ -69,7 +69,12 @@ object ScaleSmoke {
         "q_range_join", "q_moving_agg", "etl_backfill_gaps", "q_arg_extremes",
         "q_skew_join", "dedup_cluster", "q_sessionize_scale", "etl_scd2",
         "q_windowed_distinct", "vec_quantize", "q_pagerank", "q_degree_dist",
-        "q_concurrency", "q_decay_score", "etl_incremental_agg")) {
+        "q_concurrency", "q_decay_score", "etl_incremental_agg",
+        // session-5 surface on the replicated fact tables
+        "q_interval_merge", "q_mode", "etl_debounce", "etl_profile",
+        "etl_dq_rules", "q_attribution", "q_winsorize", "q_paths",
+        "q_skew_profile", "q_wow_change", "q_gini", "q_triangles",
+        "q_kcore", "q_basket_lift")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

@@ -121,6 +121,28 @@ class PathsZipfSpec extends SparkSpec {
       .get.getAs[Long]("n_violations") == 0L)
   }
 
+  test("k-anonymity audit finds exactly the sub-k equivalence classes") {
+    val rows = EventsEtl.kAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no sub-25 classes at spec SF — audit vacuous")
+    val classes = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"),
+        floor(col("value") / 30).cast("long").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("h"),
+        r.getAs[Long]("b")), r.getAs[Long]("n"))).toMap
+    val kMin = classes.values.min
+    for (r <- rows) {
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("event_hour"),
+        r.getAs[Long]("value_band"))
+      assert(r.getAs[Long]("n") == classes(key) && classes(key) < 25)
+      assert(r.getAs[Long]("k_min") == kMin)
+      assert(r.getAs[Long]("n_classes") == classes.size.toLong)
+    }
+    // completeness: every sub-25 class is reported
+    assert(rows.length == classes.values.count(_ < 25))
+  }
+
   test("dup coverage counts cross-document shingle sharing exactly") {
     val rows = graft.text.TextOps.dupCoverage(spark, sfDir).collect()
     assert(rows.nonEmpty)
