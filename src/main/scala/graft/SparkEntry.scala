@@ -86,6 +86,8 @@ object SparkEntry {
     "q_paths" -> ((s, d) => Analytics.pathMining(s, d)),
     "q_wow_change" -> ((s, d) => Analytics.weekOverWeek(s, d)),
     "q_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
+    "q_ab_test" -> ((s, d) => Analytics.abTest(s, d)),
+    "q_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "etl_dq_rules" -> ((s, d) => EventsEtl.dqRules(s, d)),
     "etl_kanon" -> ((s, d) => EventsEtl.kAnonymity(s, d)),
     "text_dup_coverage" -> ((s, d) => TextOps.dupCoverage(s, d)),
@@ -918,6 +920,52 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
         |FROM e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |   MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |   MIN(CASE WHEN event_type = 'purchase'
+        |     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase_us
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id,
+        |   CASE WHEN first_purchase_us IS NOT NULL
+        |     AND first_purchase_us - first_us <= 86400000000 THEN 1 ELSE 0 END AS converted,
+        |   user_id % 2 AS cohort
+        |  FROM u0),
+        |c AS (
+        |  SELECT
+        |   CAST(SUM(CASE WHEN cohort = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+        |   CAST(SUM(CASE WHEN cohort = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_not,
+        |   CAST(SUM(CASE WHEN cohort = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+        |   CAST(SUM(CASE WHEN cohort = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_not
+        |  FROM u),
+        |e AS (
+        |  SELECT *, CAST(a_conv + a_not + b_conv + b_not AS DOUBLE) AS n_total,
+        |   (a_conv+a_not)*(a_conv+b_conv)/CAST(a_conv+a_not+b_conv+b_not AS DOUBLE) AS e_ac,
+        |   (a_conv+a_not)*(a_not+b_not)/CAST(a_conv+a_not+b_conv+b_not AS DOUBLE) AS e_an,
+        |   (b_conv+b_not)*(a_conv+b_conv)/CAST(a_conv+a_not+b_conv+b_not AS DOUBLE) AS e_bc,
+        |   (b_conv+b_not)*(a_not+b_not)/CAST(a_conv+a_not+b_conv+b_not AS DOUBLE) AS e_bn
+        |  FROM c)
+        |SELECT a_conv, a_not, b_conv, b_not,
+        | round((a_conv-e_ac)*(a_conv-e_ac)/e_ac + (a_not-e_an)*(a_not-e_an)/e_an
+        |  + (b_conv-e_bc)*(b_conv-e_bc)/e_bc + (b_not-e_bn)*(b_not-e_bn)/e_bn, 6) AS chi2
+        |FROM e""".stripMargin,
+
+    "q_burst_detect" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+        |   COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT *, COUNT(*) OVER w AS base_n, round(AVG(n) OVER w, 6) AS base_mean
+        |  FROM h WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_us, n, base_mean,
+        | round(base_mean + 3.0 * sqrt(base_mean), 6) AS threshold,
+        | n > round(base_mean + 3.0 * sqrt(base_mean), 6) AS is_burst
+        |FROM t WHERE base_n = 24
+        |ORDER BY hour_us""".stripMargin,
 
     "q_gini" ->
       """WITH rev AS (

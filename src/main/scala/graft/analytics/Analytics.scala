@@ -421,6 +421,69 @@ object Analytics {
     * state stays bounded because the value domain is bounded (cents);
     * on an unbounded domain the approx-percentile twin
     * (`q_approx_stats`) is the scale path and this is the auditor. */
+  /** A/B cohort comparison with a chi-square independence test: users
+    * split by the deterministic id parity (stand-in for an assignment
+    * column), outcome = EARLY conversion (first purchase within 24 h
+    * of first activity — "did they ever purchase" saturates on a
+    * long-lived panel). Emits the full 2×2 contingency table and the
+    * χ² statistic — the "is this difference real" gate on any
+    * experiment readout. All four (O−E)²/E terms are written out in
+    * one fixed expression over exact integer counts, so the
+    * arithmetic is IEEE-deterministic in every engine (+,−,×,÷ only,
+    * fixed order, round(6) presentation). One combinable per-user
+    * aggregate, then a 1-row reduction. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val perUser = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase_us"))
+      .withColumn("converted",
+        when(col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") - col("first_us") <= DayUs, 1L).otherwise(0L))
+      .withColumn("cohort", pmod(col("user_id"), lit(2)))
+    val cells = perUser.agg(
+      sum(when(col("cohort") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a_conv"),
+      sum(when(col("cohort") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("a_not"),
+      sum(when(col("cohort") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("b_conv"),
+      sum(when(col("cohort") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("b_not"))
+    cells
+      .withColumn("n_total", expr("CAST(a_conv + a_not + b_conv + b_not AS DOUBLE)"))
+      .withColumn("e_ac", expr("(a_conv+a_not) * (a_conv+b_conv) / n_total"))
+      .withColumn("e_an", expr("(a_conv+a_not) * (a_not+b_not) / n_total"))
+      .withColumn("e_bc", expr("(b_conv+b_not) * (a_conv+b_conv) / n_total"))
+      .withColumn("e_bn", expr("(b_conv+b_not) * (a_not+b_not) / n_total"))
+      .withColumn("chi2", expr(
+        """round((a_conv-e_ac)*(a_conv-e_ac)/e_ac + (a_not-e_an)*(a_not-e_an)/e_an
+          | + (b_conv-e_bc)*(b_conv-e_bc)/e_bc + (b_not-e_bn)*(b_not-e_bn)/e_bn, 6)""".stripMargin))
+      .select("a_conv", "a_not", "b_conv", "b_not", "chi2")
+  }
+
+  /** Hourly burst detection against a trailing baseline: an hour is a
+    * burst when its event count exceeds the trailing-24h-mean by 3
+    * Poisson standard deviations (mean + 3·√mean — the rate-alarm
+    * every ops dashboard runs). The hourly rollup is one combinable
+    * aggregate (bounded by the time range); the trailing window runs
+    * on that bounded table. √ is IEEE-correctly-rounded, so the
+    * flag and the round(6) scores are engine-identical. */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val trailing = Window.orderBy("hour_us").rowsBetween(-24, -1)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy((expr(s"unix_micros(ts) div $HourUs") * HourUs).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("base_n", count(lit(1)).over(trailing))
+      .withColumn("base_mean", round(avg(col("n")).over(trailing), 6))
+      .filter(col("base_n") === 24)
+      .withColumn("threshold", round(col("base_mean") + lit(3.0) * sqrt(col("base_mean")), 6))
+      .withColumn("is_burst", col("n") > col("threshold"))
+      .select("hour_us", "n", "base_mean", "threshold", "is_burst")
+      .orderBy("hour_us")
+  }
+
   /** Revenue-concentration (Gini) profile per market segment — the
     * inequality metric behind "do 20% of customers drive 80% of
     * revenue". Exact integer arithmetic throughout: with per-segment

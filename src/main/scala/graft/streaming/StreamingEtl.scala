@@ -209,6 +209,18 @@ object StreamingEtl {
       }
   }
 
+  /** Stream-static dimension enrichment: each micro-batch of the event
+    * stream joins the STATIC user-dimension table (the broadcast-join
+    * pattern for streaming fact enrichment — no state, no watermark:
+    * the static side re-reads per batch, so dimension updates between
+    * batches are picked up, which is exactly the lookup-table
+    * contract). Output keeps provenance (dim match or not) instead of
+    * silently inner-joining away unknown keys. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .withColumn("dim_matched", col("segment").isNotNull)
+
   /** Late-data audit off the engine's own per-batch state-operator
     * metrics: total rows silently dropped by the watermark and the
     * current state-row footprint, summed across a query's recent

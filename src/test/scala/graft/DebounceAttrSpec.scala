@@ -167,6 +167,27 @@ class DebounceAttrSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment joins the dimension per batch with provenance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    def row(id: Long, uid: Long) =
+      EventRow(id, new Timestamp(base + id * 1000), uid, "click", 1.0, "{}")
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "segment")
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.enrichStream(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    stream.addData(row(1, 7), row(2, 8), row(3, 99)) // 99: unknown key
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+      .select("event_id", "segment", "dim_matched").collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("segment")),
+        r.getAs[Boolean]("dim_matched"))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, Some("gold"), true), (2L, Some("silver"), true),
+      (3L, None, false)), s"got ${out.toSeq}")
+  }
+
   test("3-core equals brute-force iterative peeling") {
     // replicate the thresholded edge build: parts co-occurring in >= 3
     // distinct orders (sf0.001's non-vacuous threshold)

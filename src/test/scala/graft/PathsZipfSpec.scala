@@ -121,6 +121,55 @@ class PathsZipfSpec extends SparkSpec {
       .get.getAs[Long]("n_violations") == 0L)
   }
 
+  test("chi-square matches a hand computation on the hand-built contingency") {
+    val r = Analytics.abTest(spark, sfDir).collect().head
+    val (ac, an, bc, bn) = (r.getAs[Long]("a_conv"), r.getAs[Long]("a_not"),
+      r.getAs[Long]("b_conv"), r.getAs[Long]("b_not"))
+    // a saturated or empty margin would make the test vacuous
+    assert(ac + an > 0 && bc + bn > 0 && ac + bc > 0 && an + bn > 0)
+    val n = (ac + an + bc + bn).toDouble
+    def e(row: Long, colSum: Long) = row * colSum / n
+    val hand = math.rint((
+      math.pow(ac - e(ac + an, ac + bc), 2) / e(ac + an, ac + bc) +
+      math.pow(an - e(ac + an, an + bn), 2) / e(ac + an, an + bn) +
+      math.pow(bc - e(bc + bn, ac + bc), 2) / e(bc + bn, ac + bc) +
+      math.pow(bn - e(bc + bn, an + bn), 2) / e(bc + bn, an + bn)) * 1e6) / 1e6
+    assert(math.abs(r.getAs[Double]("chi2") - hand) < 1e-9)
+    // contingency cells recount from raw events (early conversion)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(rr => (rr.getLong(0), rr.getString(1), rr.getLong(2)))
+    val conv = ev.groupBy(_._1).map { case (u, rows) =>
+      val first = rows.map(_._3).min
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      u -> fp.exists(_ - first <= 86400000000L)
+    }
+    assert(ac == conv.count { case (u, c) => u % 2 == 0 && c }.toLong)
+    assert(bn == conv.count { case (u, c) => u % 2 == 1 && !c }.toLong)
+  }
+
+  test("burst detection flags exactly the hours above the trailing Poisson band") {
+    val rows = Analytics.burstDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every row has a full 24h baseline and a consistent flag
+    for (r <- rows) {
+      val thr = r.getAs[Double]("threshold")
+      val mean = r.getAs[Double]("base_mean")
+      assert(math.abs(thr - math.rint((mean + 3.0 * math.sqrt(mean)) * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[Boolean]("is_burst") == (r.getAs[Long]("n") > thr))
+    }
+    // hourly counts recheck for one flagged-or-not hour
+    val hourUs = 3600L * 1000000L
+    val counts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy((expr(s"unix_micros(ts) div $hourUs") * hourUs).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("n")).toMap
+    for (r <- rows.take(5))
+      assert(counts(r.getAs[Long]("hour_us")) == r.getAs[Long]("n"))
+  }
+
   test("k-anonymity audit finds exactly the sub-k equivalence classes") {
     val rows = EventsEtl.kAnonymity(spark, sfDir).collect()
     assert(rows.nonEmpty, "no sub-25 classes at spec SF — audit vacuous")
