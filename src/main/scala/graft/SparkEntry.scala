@@ -143,6 +143,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => VectorOps.annIvfProbe(s, d)),
     "ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
+    "ann_eval" -> ((s, d) => VectorOps.annEval(s, d)),
+    "q_rfm" -> ((s, d) => Analytics.rfmSegmentation(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
@@ -952,6 +954,26 @@ object SparkEntry {
         | round((a_conv-e_ac)*(a_conv-e_ac)/e_ac + (a_not-e_an)*(a_not-e_an)/e_an
         |  + (b_conv-e_bc)*(b_conv-e_bc)/e_bc + (b_not-e_bn)*(b_not-e_bn)/e_bn, 6) AS chi2
         |FROM e""".stripMargin,
+
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |   COUNT(*) AS freq,
+        |   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+        |s AS (
+        |  SELECT *,
+        |   (MAX(last_us) OVER () - last_us) // 86400000000 AS recency_days
+        |  FROM u),
+        |t AS (
+        |  SELECT *,
+        |   CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r,
+        |   CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f,
+        |   CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m
+        |  FROM s)
+        |SELECT r * 100 + f * 10 + m AS rfm_cell, COUNT(*) AS n_users,
+        | CAST(SUM(freq) AS BIGINT) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY 1 ORDER BY rfm_cell""".stripMargin,
 
     "q_burst_detect" ->
       """WITH h AS (

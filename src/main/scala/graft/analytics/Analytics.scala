@@ -461,6 +461,37 @@ object Analytics {
       .select("a_conv", "a_not", "b_conv", "b_not", "chi2")
   }
 
+  /** RFM customer segmentation over the event panel: per user recency
+    * (days since last activity, against the corpus max date so the
+    * result is data-determined, not wall-clock), frequency (events),
+    * monetary (integer cents) — each quintile-scored with ntile(5)
+    * (deterministic user_id tie-break), best = 5. Output is the
+    * BOUNDED cell table (≤125 rows): members + per-cell totals — the
+    * standard retention/marketing segmentation. Per-user rollup is one
+    * combinable aggregate; the ntiles sort the USER table, not events
+    * (at 100 TB user counts, swap ntile for percentile_approx quintile
+    * cuts — documented trade: the cells stay, exact boundary ties
+    * move). */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val perUser = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"), sum(cents(col("value"))).as("cents"))
+    val scored = perUser
+      .withColumn("recency_days",
+        expr(s"(max(last_us) OVER () - last_us) div $DayUs"))
+      // best recency = smallest gap ⇒ order DESC so ntile 5 = freshest
+      .withColumn("r", ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+      .withColumn("f", ntile(5).over(Window.orderBy(col("freq"), col("user_id"))).cast("long"))
+      .withColumn("m", ntile(5).over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+    scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_cell"))
+      .agg(count(lit(1)).as("n_users"), sum("freq").as("n_events"),
+        sum("cents").as("sum_cents"))
+      .orderBy("rfm_cell")
+  }
+
   /** Hourly burst detection against a trailing baseline: an hour is a
     * burst when its event count exceeds the trailing-24h-mean by 3
     * Poisson standard deviations (mean + 3·√mean — the rate-alarm

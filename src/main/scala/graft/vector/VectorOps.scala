@@ -467,6 +467,38 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN-method quality report — the vector twin of `dedup_eval`: each
+    * approximate path's top-3 neighbor set scored against the exact
+    * brute-force truth in integer ppm (recall@3) plus its candidate
+    * volume — the dashboard a pipeline owner reads before trading
+    * exactness for index cost. Truth computed once and joined against
+    * each method; everything reuses the production operators. */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteForce(spark, dir)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val nTruth = truth.count()
+    def score(method: String, pairs: DataFrame): DataFrame = {
+      val p = pairs.select("query_id", "neighbor_id").persist()
+      val nPairs = p.count()
+      val nHit = p.join(truth, Seq("query_id", "neighbor_id")).count()
+      p.unpersist(blocking = false)
+      val s2 = truth.sparkSession
+      import s2.implicits._
+      Seq((method, nPairs, nTruth, nHit,
+        if (nTruth == 0) 0L else nHit * 1000000L / nTruth))
+        .toDF("method", "n_returned", "n_truth", "n_hits", "recall_ppm")
+    }
+    val report = Seq(
+      score("lsh_hyperplane", annLsh(spark, dir)),
+      score("ivf_1probe", annIvf(spark, dir)),
+      score("ivf_3probe", annIvfProbe(spark, dir)),
+      score("pq_adc", annPq(spark, dir)))
+      .reduce(_ unionByName _)
+    truth.unpersist(blocking = false)
+    report.orderBy("method")
+  }
+
   def vecGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val micro = Tables.embeddings(spark, dir)

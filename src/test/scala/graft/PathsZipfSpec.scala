@@ -170,6 +170,24 @@ class PathsZipfSpec extends SparkSpec {
       assert(counts(r.getAs[Long]("hour_us")) == r.getAs[Long]("n"))
   }
 
+  test("rfm cells partition all users with quintile-consistent scores") {
+    val rows = Analytics.rfmSegmentation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    for (r <- rows) {
+      val cell = r.getAs[Long]("rfm_cell")
+      val (rr, f, m) = (cell / 100, cell / 10 % 10, cell % 10)
+      assert(rr >= 1 && rr <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"cell $cell")
+    }
+    // quintiles are balanced: each r-score holds ~1/5 of users
+    val byR = rows.groupBy(_.getAs[Long]("rfm_cell") / 100)
+      .view.mapValues(_.map(_.getAs[Long]("n_users")).sum)
+    assert(byR.values.max - byR.values.min <= 1,
+      s"r-quintiles unbalanced: $byR")
+  }
+
   test("k-anonymity audit finds exactly the sub-k equivalence classes") {
     val rows = EventsEtl.kAnonymity(spark, sfDir).collect()
     assert(rows.nonEmpty, "no sub-25 classes at spec SF — audit vacuous")

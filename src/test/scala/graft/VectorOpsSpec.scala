@@ -181,4 +181,23 @@ class VectorOpsSpec extends SparkSpec {
     // vs 64 floats × 4 bytes = 64×
     assert((64 * 4) / (8 * 4 / 8) == 64)
   }
+
+  test("ann eval report scores every method against the same truth") {
+    val rows = VectorOps.annEval(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_truth"),
+          r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(rows.keySet ==
+      Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "pq_adc"))
+    val nTruth = rows.values.head._2
+    for ((m, (ret, t, hits, ppm)) <- rows) {
+      assert(t == nTruth, s"$m scored against a different truth")
+      assert(hits <= ret && hits <= t, s"$m hits exceed candidates/truth")
+      assert(ppm == hits * 1000000L / t, s"$m ppm inconsistent")
+    }
+    // multi-probe must dominate single-probe (candidate superset)
+    assert(rows("ivf_3probe")._3 >= rows("ivf_1probe")._3)
+    // every method beats the empty index
+    assert(rows.values.forall(_._3 > 0))
+  }
 }
