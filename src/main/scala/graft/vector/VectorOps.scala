@@ -60,7 +60,7 @@ object VectorOps {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(hofDot(asDouble(col("e")), planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     val vecs = Tables.embeddings(spark, dir)
