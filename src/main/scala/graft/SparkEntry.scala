@@ -90,6 +90,8 @@ object SparkEntry {
     "q_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "etl_dq_rules" -> ((s, d) => EventsEtl.dqRules(s, d)),
     "etl_kanon" -> ((s, d) => EventsEtl.kAnonymity(s, d)),
+    "etl_disorder" -> ((s, d) => EventsEtl.disorderAudit(s, d)),
+    "q_changepoint" -> ((s, d) => Analytics.changepoint(s, d)),
     "text_dup_coverage" -> ((s, d) => TextOps.dupCoverage(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
@@ -1009,6 +1011,46 @@ object SparkEntry {
         | CAST((CAST(2 AS HUGEINT) * s1 - CAST(n_customers + 1 AS HUGEINT) * total_cents)
         |   * 1000000 // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
         |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    "etl_disorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 2) * 300000000 AS arrival_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |h AS (
+        |  SELECT *, MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arrival_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+        |  FROM e),
+        |l AS (
+        |  SELECT *, hwm_us IS NOT NULL AND ts_us < hwm_us AS late FROM h)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(COALESCE(MAX(CASE WHEN late THEN hwm_us - ts_us END), 0) AS BIGINT) AS max_lateness_us,
+        | CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (
+        |  SELECT *,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |   CAST(SUM(vc) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+        |   CAST(row_number() OVER o AS BIGINT) AS i,
+        |   CAST(SUM(vc) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_i
+        |  FROM e WINDOW o AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |c AS (
+        |  SELECT *, s_i * n - i * sx AS cusum, abs(s_i * n - i * sx) AS abs_cusum FROM w),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs_cusum DESC, ts_us, event_id) AS rn,
+        |   MAX(abs_cusum) OVER (PARTITION BY event_type) AS max_abs_cusum
+        |  FROM c)
+        |SELECT event_type, n, ts_us AS peak_ts_us, i AS peak_pos,
+        | CAST(cusum AS BIGINT) AS peak_cusum, CAST(max_abs_cusum AS BIGINT) AS max_abs_cusum
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "etl_kanon" ->
       """WITH c AS (

@@ -461,6 +461,42 @@ object Analytics {
       .select("a_conv", "a_not", "b_conv", "b_not", "chi2")
   }
 
+  /** Offline changepoint estimation per event type — the CUSUM argmax:
+    * with S_i = (running value sum)·n − i·(total sum) (an EXACT
+    * integer, = n²·(running mean − global mean) up to scale), the
+    * drift point estimate is argmax |S_i|, and max|S_i| is the drift
+    * magnitude. Detects "the level shifted somewhere" without any
+    * libm: all integer arithmetic, deterministic (abs, ts, id)
+    * tie-break, one ordered window + one argmax aggregate per type
+    * off a single exchange. BIGINT bound: |S| ≤ n·Σx — swap to
+    * DECIMAL38 beyond ~10⁹ cents·rows per type (same trade as
+    * q_gini). */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ordered = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("vc"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("sx", sum("vc").over(byType))
+      .withColumn("i", row_number().over(ordered).cast("long"))
+      .withColumn("s_i", sum("vc").over(ordered))
+      .withColumn("cusum", col("s_i") * col("n") - col("i") * col("sx"))
+      .withColumn("abs_cusum", abs(col("cusum")))
+      .groupBy(col("event_type"))
+      .agg(max("n").as("n"),
+        max_by(struct(col("ts_us"), col("i"), col("cusum")),
+          struct(col("abs_cusum"), (-col("ts_us")).as("nt"),
+            (-col("event_id")).as("ni"))).as("peak"),
+        max("abs_cusum").as("max_abs_cusum"))
+      .select(col("event_type"), col("n"),
+        col("peak.ts_us").as("peak_ts_us"), col("peak.i").as("peak_pos"),
+        col("peak.cusum").as("peak_cusum"), col("max_abs_cusum"))
+      .orderBy("event_type")
+  }
+
   /** RFM customer segmentation over the event panel: per user recency
     * (days since last activity, against the corpus max date so the
     * result is data-determined, not wall-clock), frequency (events),

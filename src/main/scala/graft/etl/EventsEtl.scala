@@ -360,6 +360,36 @@ object EventsEtl {
       .orderBy("event_id")
   }
 
+  /** Feed-disorder audit — the number that SIZES a watermark: an event
+    * is LATE when its EVENT time precedes the running max event time
+    * already delivered for its key, and max lateness says exactly what
+    * `withWatermark` horizon loses data vs what state a longer one
+    * costs. Arrival order is the two-source ingestion the reference
+    * actually runs (two pub/sub subscriptions): source = id parity,
+    * the second feed delivering 5 min behind — so the on-time feed
+    * overtakes it and genuine late events exist (the raw table is
+    * stored time-sorted; replaying it as-is would audit nothing). One
+    * running-max window and one aggregate off a single user_id
+    * exchange. */
+  def disorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.partitionBy("user_id").orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival_us",
+        col("ts_us") + pmod(col("event_id"), lit(2)) * lit(300L * 1000000L))
+      .withColumn("hwm_us", max("ts_us").over(arrival))
+      .withColumn("late", col("hwm_us").isNotNull && col("ts_us") < col("hwm_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("late"), col("hwm_us") - col("ts_us"))), lit(0L))
+          .as("max_lateness_us"))
+      .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
+      .orderBy("user_id")
+  }
+
   /** k-anonymity audit over the event microdata: quasi-identifier =
     * (event_type, hour-of-day, value band) — the attribute combination
     * an adversary could link on. Reports every equivalence class

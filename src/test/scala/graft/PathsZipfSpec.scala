@@ -170,6 +170,65 @@ class PathsZipfSpec extends SparkSpec {
       assert(counts(r.getAs[Long]("hour_us")) == r.getAs[Long]("n"))
   }
 
+  test("changepoint peak is the exact CUSUM argmax per type") {
+    val rows = Analytics.changepoint(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), Analytics.cents(col("value")).as("vc"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Long]("vc")))
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val seq = ev.filter(_._1 == t).sortBy(x => (x._3, x._2))
+      val n = seq.length.toLong
+      val sx = seq.map(_._4).sum
+      var s = 0L
+      val cusums = seq.zipWithIndex.map { case ((_, _, ts, vc), idx) =>
+        s += vc; (ts, idx + 1L, s * n - (idx + 1L) * sx)
+      }
+      val maxAbs = cusums.map(c => math.abs(c._3)).max
+      val peak = cusums.filter(c => math.abs(c._3) == maxAbs)
+        .minBy(c => (c._1, c._2))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("max_abs_cusum") == maxAbs, s"type $t")
+      assert(r.getAs[Long]("peak_ts_us") == peak._1)
+      assert(r.getAs[Long]("peak_pos") == peak._2)
+      assert(r.getAs[Long]("peak_cusum") == peak._3)
+      // last CUSUM is identically zero — the telescoping sanity check
+      assert(cusums.last._3 == 0L)
+    }
+  }
+
+  test("disorder audit: lateness bounded by the injected source delay") {
+    val rows = EventsEtl.disorderAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalLate = rows.map(_.getAs[Long]("n_late")).sum
+    assert(totalLate > 0, "no late events — disorder audit vacuous")
+    for (r <- rows) {
+      // lateness can never exceed the 5-min two-source skew
+      assert(r.getAs[Long]("max_lateness_us") <= 300L * 1000000L)
+      assert(r.getAs[Long]("late_ppm") ==
+        r.getAs[Long]("n_late") * 1000000L / r.getAs[Long]("n_events"))
+    }
+    // hand-replay one user's arrival stream
+    val u = rows.filter(_.getAs[Long]("n_late") > 0).head.getAs[Long]("user_id")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id") === u)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, ts) => (ts + (id % 2) * 300000000L, id, ts) }
+      .sortBy(x => (x._1, x._2))
+    var hwm = Long.MinValue; var nLate = 0L
+    for ((_, _, ts) <- ev) {
+      if (hwm != Long.MinValue && ts < hwm) nLate += 1
+      hwm = math.max(hwm, ts)
+    }
+    assert(rows.find(_.getAs[Long]("user_id") == u).get.getAs[Long]("n_late") == nLate)
+  }
+
   test("rfm cells partition all users with quintile-consistent scores") {
     val rows = Analytics.rfmSegmentation(spark, sfDir).collect()
     assert(rows.nonEmpty)
