@@ -159,6 +159,12 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "mm_batch_infer" -> ((s, d) => Multimodal.batchInfer(s, d)),
+    // Fuzzy-key record linkage (graft.ops.RecordLinkage)
+    "dedup_editdist" -> ((s, d) => graft.ops.RecordLinkage.editDistancePairs(s, d)),
+    "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
+    "q_interpolate" -> ((s, d) => graft.analytics.TemporalOps.interpolate(s, d)),
+    "q_benford" -> ((s, d) => Analytics.benfordAudit(s, d)),
+    "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -1842,5 +1848,85 @@ object SparkEntry {
         |f AS (SELECT doc_id, unnest(generate_series(0, least(n - 1, 6), 2)) AS i FROM d)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS BIGINT) AS frame_ts_ms
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "dedup_editdist" ->
+      """SELECT s1.s_suppkey AS a_key, s2.s_suppkey AS b_key,
+        | CAST(levenshtein(s1.s_name, s2.s_name) AS BIGINT) AS dist
+        |FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
+        |WHERE levenshtein(s1.s_name, s2.s_name) <= 2
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "text_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1,2,3)
+        |SELECT a_id, b_id, round(inter / CAST(a_n AS DOUBLE), 6) AS containment
+        |FROM p WHERE round(inter / CAST(a_n AS DOUBLE), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(hour_us), max(hour_us), 3600000000)) AS hour_us
+        |  FROM hourly GROUP BY user_id),
+        |g AS (
+        |  SELECT s.user_id, s.hour_us, h.c, h.n,
+        |   last_value(h.c IGNORE NULLS) OVER wb AS pc,
+        |   last_value(h.n IGNORE NULLS) OVER wb AS pn,
+        |   last_value(CASE WHEN h.c IS NOT NULL THEN s.hour_us END IGNORE NULLS) OVER wb AS ph,
+        |   first_value(h.c IGNORE NULLS) OVER wf AS nc,
+        |   first_value(h.n IGNORE NULLS) OVER wf AS nn,
+        |   first_value(CASE WHEN h.c IS NOT NULL THEN s.hour_us END IGNORE NULLS) OVER wf AS nh
+        |  FROM spine s LEFT JOIN hourly h USING (user_id, hour_us)
+        |  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.hour_us
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wf AS (PARTITION BY s.user_id ORDER BY s.hour_us
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |i AS (
+        |  SELECT user_id, hour_us, c, n, pc, pn, nc, nn,
+        |   (hour_us - ph) // 3600000000 AS dh, (nh - ph) // 3600000000 AS span
+        |  FROM g)
+        |SELECT user_id, hour_us,
+        | CASE WHEN c IS NOT NULL THEN c * 10000 // n
+        |      ELSE (pc*nn*span + (nc*pn - pc*nn)*dh) * 10000 // (pn*nn*span)
+        | END AS value_uv,
+        | c IS NULL AS interpolated
+        |FROM i ORDER BY user_id, hour_us""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |r AS (
+        |  SELECT digit, n,
+        |   round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS obs_share,
+        |   round(log10(1.0 + 1.0 / digit), 6) AS exp_share
+        |  FROM c)
+        |SELECT digit, n, obs_share, exp_share,
+        | round(pow(obs_share - exp_share, 2) / exp_share, 6) AS chi2_term
+        |FROM r ORDER BY digit""".stripMargin,
+
+    "q_disjunctive" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nat, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bkt FROM customer),
+        |s AS (
+        |  SELECT s_nationkey AS nat, CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_bkt FROM supplier),
+        |n1 AS (SELECT COUNT(*) AS n_nation FROM c JOIN s ON c.nat = s.nat),
+        |n2 AS (SELECT COUNT(*) AS n_bucket FROM c JOIN s ON c.bal_bkt = s.bal_bkt),
+        |n3 AS (SELECT COUNT(*) AS n_both FROM c JOIN s ON c.nat = s.nat AND c.bal_bkt = s.bal_bkt)
+        |SELECT n_nation, n_bucket, n_both,
+        | CAST(n_nation + n_bucket - n_both AS BIGINT) AS n_union
+        |FROM n1, n2, n3""".stripMargin,
   )
 }

@@ -1130,4 +1130,58 @@ object Analytics {
         sum(col("cnt")).over(Window.partitionBy("from_type")).cast("double"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-numbers screen: observed leading-digit shares vs the
+    * Benford expectation log10(1+1/d), with the chi-square distance.
+    * The digit comes from exact integer cents (round→bigint→string),
+    * never from float log10, whose boundary error at exact powers of
+    * ten would misclassify. One map-side-combinable 9-group aggregate:
+    * embarrassingly parallel at any scale. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    digits
+      .withColumn("obs_share", round(col("n") / sum("n").over(total), 6))
+      .withColumn("exp_share", round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("chi2_term", round(
+        pow(col("obs_share") - col("exp_share"), 2) / col("exp_share"), 6))
+      .select("digit", "n", "obs_share", "exp_share", "chi2_term")
+      .orderBy("digit")
+  }
+
+  /** Disjunctive (OR-predicate) join without a nested loop: count
+    * customer×supplier pairs matching `same nation OR same
+    * account-balance bucket`. A literal OR join degenerates to a
+    * cartesian BroadcastNestedLoopJoin; the scalable rewrite is
+    * inclusion-exclusion over three EQUI-joins — |A∪B| = |A| + |B| −
+    * |A∩B|, where each term is a hash-join count (the intersection
+    * joins on the composite key). Counts flow as partial aggregates;
+    * no pair set ever materializes. */
+  def disjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bkt"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nat"),
+        floor(col("s_acctbal") / 1000).cast("long").as("bal_bkt"))
+    def pairCount(name: String, keys: Seq[String]): DataFrame = {
+      val c = cust.groupBy(keys.map(col): _*).agg(count(lit(1)).as("nc"))
+      val s = sup.groupBy(keys.map(col): _*).agg(count(lit(1)).as("ns"))
+      // per-key pair count = nc*ns; joining the two PRE-AGGREGATED key
+      // histograms makes the join size |distinct keys|, not |rows|
+      c.join(s, keys).agg(coalesce(sum(col("nc") * col("ns")), lit(0L)).as(name))
+    }
+    // three 1-row scalar aggregates composed declaratively (cross joins
+    // of single-row frames — no driver action, one submitted job)
+    pairCount("n_nation", Seq("nat"))
+      .crossJoin(pairCount("n_bucket", Seq("bal_bkt")))
+      .crossJoin(pairCount("n_both", Seq("nat", "bal_bkt")))
+      .select(col("n_nation"), col("n_bucket"), col("n_both"),
+        (col("n_nation") + col("n_bucket") - col("n_both")).as("n_union"))
+  }
 }

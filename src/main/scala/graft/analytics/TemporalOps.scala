@@ -109,4 +109,62 @@ object TemporalOps {
       .select("user_id", "island_id", "start_us", "end_us", "n_events", "span_s")
       .orderBy("user_id", "island_id")
   }
+
+  /** Time-grid regularization with linear interpolation: each user's
+    * irregular event stream becomes a dense hourly series — observed
+    * hours carry the hour's mean value, missing hours interpolate
+    * linearly between the nearest observed neighbors (the resampling
+    * step before any fixed-step model: forecasting, FFT, change
+    * detection).
+    *
+    * Scale shape: the hourly rollup is one map-side-combinable
+    * aggregate; the per-user spine (`sequence` over [min,max] hour)
+    * explodes to user×hours rows with NO join against a global
+    * calendar; the neighbor lookup is two IGNORE-NULLS window scans on
+    * the SAME user_id exchange the rollup already created — sort +
+    * linear scan per user, no self-join, no spine table. Interior gaps
+    * always have both neighbors by construction (the spine is bounded
+    * by observed hours). */
+  def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = Window.partitionBy("user_id").orderBy("hour_us")
+    val back = byHour.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = byHour.rowsBetween(0, Window.unboundedFollowing)
+    // INTEGER arithmetic end-to-end: the hour mean is (cents sum, count)
+    // and the interpolated value is emitted as exact micro-units via a
+    // common-denominator rational — v = [pc·nn·span + (nc·pn − pc·nn)·dh]
+    // / (100·pn·nn·span), scaled by 1e6 with integral `div`. A float
+    // pipeline here lands on exact binary ties (cent averages are
+    // dyadic rationals) where engines' round() modes disagree; integers
+    // are layout- and engine-reproducible. Hour offsets are in hours
+    // (≤ 1e3), counts ≤ per-key-hour volume, cents ≤ 1e8 — every
+    // intermediate stays far inside BIGINT until per-key-hour counts
+    // reach ~1e6, where the same expressions move to DECIMAL(38,0).
+    val hourly = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"),
+        count(lit(1)).as("n"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("hour_us"))
+    val obsHour = when(col("c").isNotNull, col("hour_us"))
+    spine.join(hourly, Seq("user_id", "hour_us"), "left")
+      .withColumn("pc", last("c", ignoreNulls = true).over(back))
+      .withColumn("pn", last("n", ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+      .withColumn("nc", first("c", ignoreNulls = true).over(fwd))
+      .withColumn("nn", first("n", ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+      .withColumn("dh", expr("(hour_us - ph) div 3600000000"))
+      .withColumn("span", expr("(nh - ph) div 3600000000"))
+      .withColumn("value_uv",
+        when(col("c").isNotNull, expr("c * 10000 div n"))
+          .otherwise(expr(
+            "(pc*nn*span + (nc*pn - pc*nn)*dh) * 10000 div (pn*nn*span)")))
+      .withColumn("interpolated", col("c").isNull)
+      .select("user_id", "hour_us", "value_uv", "interpolated")
+      .orderBy("user_id", "hour_us")
+  }
 }

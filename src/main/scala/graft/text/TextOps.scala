@@ -95,6 +95,29 @@ object TextOps {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** Asymmetric shingle containment C(a→b) = |A∩B| / |A| ≥ 0.6: ORDERED
+    * pairs where most of a's shingles appear in b — the
+    * wholesale-inclusion signal (a quoted/embedded inside b) that
+    * symmetric Jaccard misses whenever the containing document is much
+    * larger (|A∩B|/|A∪B| collapses as |B| grows, |A∩B|/|A| does not).
+    * Same inverted-index join as `jaccardPairs` — one extra column, no
+    * new shuffle — emitting both directions of each intersecting pair. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+    val a = ex.toDF("a_id", "a_n", "sh")
+    val b = ex.toDF("b_id", "b_n", "sh")
+    a.join(b.hint("shuffle_hash"), Seq("sh")).filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id", "a_n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(col("inter") / col("a_n"), 6))
+      .filter(col("containment") >= 0.6)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** The 100 TB shape of the exact shingle join: drop shingles whose
     * document frequency exceeds `dfCap` from the inverted index before
     * the self-join. Ultra-common shingles ("one of the", boilerplate)

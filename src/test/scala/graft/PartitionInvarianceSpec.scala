@@ -24,7 +24,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_winsorize", "q_attribution", "q_skew_profile", "q_basket_lift",
       "q_gini", "q_wow_change", "etl_profile", "etl_debounce",
       "etl_dq_rules", "text_pmi", "text_diversity", "text_zipf",
-      "text_dup_coverage", "mm_phash")
+      "text_dup_coverage", "mm_phash",
+      // linkage/interpolation batch: variant-index joins, window
+      // stacks over a generated spine, 1-row scalar composition
+      "dedup_editdist", "text_containment", "q_interpolate",
+      "q_disjunctive")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
