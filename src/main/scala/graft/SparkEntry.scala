@@ -165,6 +165,9 @@ object SparkEntry {
     "q_interpolate" -> ((s, d) => graft.analytics.TemporalOps.interpolate(s, d)),
     "q_benford" -> ((s, d) => Analytics.benfordAudit(s, d)),
     "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
+    "q_weighted_median" -> ((s, d) => Analytics.weightedMedian(s, d)),
+    "text_tfidf" -> ((s, d) => TextOps.tfidfPairs(s, d)),
+    "vec_pca" -> ((s, d) => VectorOps.vecPca(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -1928,5 +1931,48 @@ object SparkEntry {
         |SELECT n_nation, n_bucket, n_both,
         | CAST(n_nation + n_bucket - n_both AS BIGINT) AS n_union
         |FROM n1, n2, n3""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, cents, w,
+        |   CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        |   CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM h)
+        |SELECT l_returnflag, MIN(cents) AS wmedian_cents, MAX(tw) AS total_weight
+        |FROM c WHERE cumw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH wd AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM wd WHERE len(words) >= 3),
+        |tf AS (SELECT doc_id, unnest(shingles) AS term FROM sh),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |idf AS (
+        |  SELECT term, CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000, 0) AS BIGINT) AS idf_milli
+        |  FROM tf, nd GROUP BY term, n_docs),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.term, idf.idf_milli AS w
+        |  FROM tf JOIN idf USING (term)),
+        |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc_id),
+        |dot AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cosv AS (
+        |  SELECT a_id, b_id,
+        |   round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_tfidf
+        |  FROM dot JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id)
+        |SELECT a_id, b_id, cos_tfidf FROM cosv
+        |WHERE cos_tfidf >= 0.5 ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -1131,6 +1131,31 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Exact weighted median (lower-median convention: least v with
+    * 2·cumweight(v) ≥ totalweight) of line price weighted by quantity,
+    * per return flag — the "median price paid per unit" statistic,
+    * where the plain median over rows mis-weights multi-unit lines.
+    *
+    * Scale shape: pre-aggregating to (flag, DISTINCT cents) first means
+    * the ordered cumulative window runs over the value histogram, not
+    * the row stream — |distinct prices| per flag, corpus-independent
+    * for bounded price domains. Everything is exact integers (cents ×
+    * long weights); no percentile_approx sketch error, no driver sort. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("l_returnflag").orderBy("cents")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "cents").agg(sum("qty").as("w"))
+      .withColumn("cumw", sum("w").over(byVal))
+      .withColumn("tw", sum("w").over(Window.partitionBy("l_returnflag")))
+      .filter(col("cumw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min("cents").as("wmedian_cents"), max("tw").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   /** Benford first-digit audit over order totals — the classic
     * fabricated-numbers screen: observed leading-digit shares vs the
     * Benford expectation log10(1+1/d), with the chi-square distance.

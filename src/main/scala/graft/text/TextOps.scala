@@ -531,6 +531,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sparse lexical similarity: TF-IDF cosine ≥ 0.3 document pairs via
+    * an inverted term index — the bag-of-words complement to the
+    * embedding-cosine path (dedup_embedding) and the shingle paths
+    * (order-sensitive): catches topical near-dups that share vocabulary
+    * but not phrasing.
+    *
+    * Numerics: IDF is quantized to integer milli-units once per term
+    * (one rounding of one ln() per DISTINCT term — the only float
+    * touch), so per-doc weights, dot products, and squared norms are
+    * all EXACT integer sums in any order/layout; the cosine is then a
+    * fixed 3-op IEEE sequence (√·√, ×, ÷) on identical integers —
+    * engine- and partition-reproducible, unlike a float-weight pipeline
+    * whose sum order drifts.
+    *
+    * Scale shape: index join on hashed terms (8-byte shuffle keys),
+    * per-term fan-out bounded by document frequency — the same hot-key
+    * profile as the shingle index, so the df-cap twin pattern
+    * (`jaccardPairsCapped`) applies verbatim when stopword-like terms
+    * dominate; norms ride a map-side-combinable aggregate. */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    // term space = distinct word-3-shingles, NOT unigrams: the shingle
+    // index stays sparse as the corpus grows (per-term df bounded by
+    // genuine phrase reuse), where a fixed-vocabulary unigram space
+    // degenerates to a dense all-pairs join. Distinct shingles make
+    // tf ≡ 1, so each weight IS the term's integer milli-IDF.
+    val tf = shingledDocs(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("t"))
+    val nDocs = tf.select(countDistinct("doc_id").as("n_docs"))
+    val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("t"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000, 0)
+          .cast("long").as("idf_milli"))
+    val weighted = tf.join(idf.hint("shuffle_hash"), Seq("t"))
+      .select(col("doc_id"), col("t"), col("idf_milli").as("w"))
+    val norms = weighted.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val a = weighted.toDF("a_id", "t", "a_w")
+    val b = weighted.toDF("b_id", "t", "b_w")
+    a.join(b.hint("shuffle_hash"), Seq("t")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("a_w") * col("b_w")).as("dot"))
+      .join(norms.toDF("a_id", "a_n2"), Seq("a_id"))
+      .join(norms.toDF("b_id", "b_n2"), Seq("b_id"))
+      .withColumn("cos_tfidf", round(col("dot") /
+        (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+      .filter(col("cos_tfidf") >= 0.5)
+      .select("a_id", "b_id", "cos_tfidf")
+      .orderBy("a_id", "b_id")
+  }
+
   private def occurrences(text: Column, marker: String): Column =
     ((length(text) - length(expr(s"replace(lower(text), '$marker', '')")))
       / lit(marker.length)).cast("long")

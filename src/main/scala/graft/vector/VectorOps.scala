@@ -499,6 +499,138 @@ object VectorOps {
     report.orderBy("method")
   }
 
+  /** Deterministic cyclic-Jacobi symmetric eigendecomposition —
+    * fixed sweep order, fixed tolerance, no randomness, so the same
+    * Gram gives the same basis on every run and every driver. Returns
+    * (eigenvalues, eigenvectors as ROWS), unordered. d ≤ ~512 keeps
+    * the O(d³) driver cost trivial. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 64)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val m = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val mip = m(i)(p); val miq = m(i)(q)
+              m(i)(p) = c * mip - s * miq
+              m(i)(q) = s * mip + c * miq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val mpi = m(p)(i); val mqi = m(q)(i)
+              m(p)(i) = c * mpi - s * mqi
+              m(q)(i) = s * mpi + c * mqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d - 1) {
+        var j = i + 1
+        while (j < d) { off += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => m(i)(i)), Array.tabulate(d, d)((c, i) => v(i)(c)))
+  }
+
+  /** Top-`k` principal components of the embedding covariance, with a
+    * deterministic basis (eigenvalue-desc order, index tie-break, sign
+    * fixed so each component's largest-|coordinate| entry is positive).
+    * Driver cost is O(d²) collect + O(d³) Jacobi — CONSTANT in the
+    * corpus, the same sample-train/broadcast-assign contract as IVF/PQ:
+    * the data-scaled work is one Gram/centroid aggregate in exact
+    * integer micro-units and one codegen'd projection pass. */
+  private[graft] def pcaBasis(spark: SparkSession, dir: String, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import spark.implicits._
+    val micro = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+      .as[Array[Long]]
+    val g = micro.select(GramAgg.toColumn).head()
+    require(g.nonEmpty, "empty embeddings table")
+    val n = g(0).toDouble
+    val d = ((math.sqrt(8.0 * (g.length - 1) + 1) - 1) / 2).toInt
+    // per-dim sums (bounded d-row aggregate) for the mean vector
+    val sums = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), floor(col("v").cast("double") * 1e6 + 0.5)
+        .cast("long").as("vm"))
+      .groupBy("pos").agg(sum("vm").as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    val mu = sums.map(_ / n / 1e6)
+    // covariance in ORIGINAL units: (G/n − μμᵀ), G in micro²
+    val cov = Array.ofDim[Double](d, d)
+    var kk = 1
+    for (i <- 0 until d; j <- i until d) {
+      val c = g(kk) / n / 1e12 - mu(i) * mu(j); kk += 1
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-evals(i), i)).take(k)
+    val basis = order.map { i =>
+      val v = evecs(i)
+      val amax = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      if (v(amax) < 0) v.map(x => -x) else v
+    }.toArray
+    (order.map(evals(_)).toArray, basis, mu)
+  }
+
+  /** PCA projection: each embedding reduced to its top-4 principal
+    * coordinates (exact micro-unit output) plus the squared residual —
+    * the dimensionality-reduction / whitening prep step of an embedding
+    * pipeline, and the variance-explained diagnostic in one result.
+    * The projection is z_c = x·v_c − μ·v_c with the constant μ·v_c
+    * folded on the driver — one zip_with/aggregate chain per component,
+    * no UDF, no per-row driver work. */
+  def vecPca(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    // day-one robustness: no vectors yet -> empty result, same schema
+    if (Tables.embeddings(spark, dir).isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("vec_id", "comp", "z_micro", "eval_nano")
+    }
+    val (evals, basis, mu) = pcaBasis(spark, dir, k)
+    val e = asDouble(col("embedding"))
+    val comps = basis.zipWithIndex.map { case (v, c) =>
+      val vLit = typedLit(v.toSeq)
+      val shift = v.indices.map(i => v(i) * mu(i)).sum
+      struct(lit(c).cast("long").as("comp"),
+        round((hofDot(e, vLit) - lit(shift)) * 1e6, 0).cast("long").as("z_micro"),
+        lit(math.round(evals(c) * 1e9)).as("eval_nano"))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(array(comps: _*)).as("p"))
+      .select(col("vec_id"), col("p.comp").as("comp"),
+        col("p.z_micro").as("z_micro"), col("p.eval_nano").as("eval_nano"))
+      .orderBy("vec_id", "comp")
+  }
+
   def vecGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val micro = Tables.embeddings(spark, dir)

@@ -133,6 +133,41 @@ class LinkageInterpSpec extends SparkSpec {
     assert(b.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  // ---- q_weighted_median ---------------------------------------------
+
+  test("weighted median matches the driver-side definition per flag") {
+    val got = Analytics.weightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("wmedian_cents"),
+        r.getAs[Long]("total_weight"))).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((flag, (gotMed, gotTw)) <- got) {
+      val xs = rows.filter(_._1 == flag).map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = xs.map(_._2).sum
+      var cum = 0L
+      val med = xs.find { case (_, w) => cum += w; 2 * cum >= tw }.get._1
+      assert(gotMed == med && gotTw == tw, s"flag $flag")
+    }
+  }
+
+  // ---- text_tfidf ----------------------------------------------------
+
+  test("tfidf shingle cosine: exact duplicates score 1.0, output bounded and ordered") {
+    val p = TextOps.tfidfPairs(spark, sfDir).cache()
+    assert(p.filter(col("cos_tfidf") > 1.0 || col("cos_tfidf") < 0.5).count() == 0)
+    assert(p.filter(col("a_id") >= col("b_id")).count() == 0)
+    // identical normalized text => identical shingle sets => cosine 1.0
+    val dups = TextOps.dedupExact(spark, sfDir)
+      .filter(col("is_dup")).select(col("canonical_id").as("a_id"), col("doc_id").as("b_id"))
+    val hit = dups.join(p, Seq("a_id", "b_id"))
+    assert(hit.count() == dups.count())
+    assert(hit.filter(col("cos_tfidf") =!= 1.0).count() == 0)
+    p.unpersist(blocking = false)
+  }
+
   // ---- q_disjunctive --------------------------------------------------
 
   test("inclusion-exclusion OR-join count equals the brute-force cross join") {

@@ -200,4 +200,53 @@ class VectorOpsSpec extends SparkSpec {
     // every method beats the empty index
     assert(rows.values.forall(_._3 > 0))
   }
+
+  test("jacobi eigendecomposition recovers a known spectrum") {
+    val (evals, evecs) = VectorOps.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(evals.sorted.zip(Array(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigenvectors orthonormal
+    val dot = evecs(0).indices.map(i => evecs(0)(i) * evecs(1)(i)).sum
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  test("pca basis is orthonormal, eigenvalue-ordered, and deterministic") {
+    val (evals, basis, _) = VectorOps.pcaBasis(spark, sfDir, 4)
+    assert(evals.length == 4 && basis.length == 4)
+    assert(evals.sliding(2).forall(p => p(0) >= p(1)), "eigenvalues not descending")
+    for (i <- basis.indices; j <- i until basis.length) {
+      val d = basis(i).indices.map(x => basis(i)(x) * basis(j)(x)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"basis not orthonormal at ($i,$j): $d")
+    }
+    // sign convention: largest-|coordinate| entry positive
+    for (v <- basis) assert(v(v.indices.maxBy(j => (math.abs(v(j)), -j))) > 0)
+    val (evals2, basis2, _) = VectorOps.pcaBasis(spark, sfDir, 4)
+    assert(evals.sameElements(evals2))
+    assert(basis.indices.forall(i => basis(i).sameElements(basis2(i))))
+  }
+
+  test("pca projections carry per-component variance equal to the eigenvalue") {
+    import org.apache.spark.sql.functions._
+    val p = VectorOps.vecPca(spark, sfDir).cache()
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(p.count() == n * 4)
+    // projected coordinates are centered: per-comp mean ~ 0
+    val stats = p.groupBy("comp")
+      .agg(avg(col("z_micro")).as("mean_micro"),
+        avg(col("z_micro") * col("z_micro")).as("m2"),
+        first("eval_nano").as("ev"))
+      .collect()
+    for (r <- stats) {
+      val mean = r.getAs[Double]("mean_micro") / 1e6
+      val varz = r.getAs[Double]("m2") / 1e12 - mean * mean
+      val ev = r.getAs[Long]("ev") / 1e9
+      assert(math.abs(mean) < 1e-3, s"comp ${r.get(0)} not centered: $mean")
+      // population variance of the projection IS the eigenvalue
+      assert(math.abs(varz - ev) <= 0.02 * ev + 1e-6,
+        s"comp ${r.get(0)} variance $varz != eigenvalue $ev")
+    }
+    p.unpersist(blocking = false)
+  }
 }
