@@ -150,4 +150,40 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected product joins ($bnlj):\n${plan.take(1500)}")
   }
+
+  test("edit-distance blocking plans as a shuffled hash join, never a product") {
+    val plan = executed(graft.ops.RecordLinkage.editDistancePairs(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"variant index join lost its SHJ hint:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking degenerated to an all-pairs product:\n${plan.take(1500)}")
+  }
+
+  test("disjunctive join is three equi-joins — no nested-loop OR join") {
+    val plan = executed(Analytics.disjunctiveJoin(spark, sfDir))
+    // the three 1-row scalar results may legitimately cross-join at the
+    // top; the DATA-scaled joins must all be hash equi-joins
+    assert(!plan.contains("CartesianProduct"),
+      s"OR join degenerated:\n${plan.take(1500)}")
+    val hashJoins = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("SortMergeJoin"))
+    assert(hashJoins >= 3, s"expected >=3 equi-joins, got $hashJoins:\n${plan.take(1500)}")
+  }
+
+  test("weighted median windows ride ONE exchange over the value histogram") {
+    val plan = executed(Analytics.weightedMedian(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one exchange for the (flag, cents) pre-agg, one to co-partition
+    // the flag-level windows — and nothing beyond
+    assert(hashExchanges <= 2, s"expected <=2 hash exchanges, got $hashExchanges:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("interpolation never joins a calendar table — spine is generated per key") {
+    val plan = executed(graft.analytics.TemporalOps.interpolate(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <=2 scans of events, got $scans:\n${plan.take(2000)}")
+    assert(plan.contains("Generate explode"), s"spine generation missing:\n${plan.take(1500)}")
+  }
 }
