@@ -168,6 +168,7 @@ object SparkEntry {
     "q_weighted_median" -> ((s, d) => Analytics.weightedMedian(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidfPairs(s, d)),
     "vec_pca" -> ((s, d) => VectorOps.vecPca(s, d)),
+    "text_top_quality" -> ((s, d) => TextOps.topQualityPerLang(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -1974,5 +1975,26 @@ object SparkEntry {
         |  FROM dot JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id)
         |SELECT a_id, b_id, cos_tfidf FROM cosv
         |WHERE cos_tfidf >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "text_top_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> '')) AS BIGINT) AS n_words,
+        |   CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |   round(least(1.0, n_words / 100.0) * 0.5 +
+        |     (1.0 - round(n_punct / CAST(n_chars AS DOUBLE), 6)) * 0.3 +
+        |     least(1.0, round(n_stop / CAST(n_words AS DOUBLE), 6) * 5.0) * 0.2, 6) AS quality_score
+        |  FROM b),
+        |k AS (
+        |  SELECT lang, doc_id, quality_score,
+        |   row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn
+        |  FROM r)
+        |SELECT lang, doc_id, quality_score FROM k WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -736,12 +736,20 @@ object Analytics {
       .filter(col("event_type").isin("click", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val base = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // both directions as RUNNING frames: an unbounded-FOLLOWING frame
+    // makes WindowExec re-scan the partition tail per row (O(rows²)
+    // per key — latent here because per-user partitions are small at
+    // test SF, lethal on a hot key at scale); the forward scan rides
+    // a descending sort instead, on the same user_id exchange
+    val back = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val clickTs = when(col("event_type") === "click", col("ts_us"))
     ev.withColumn("prev_click", last(clickTs, ignoreNulls = true).over(back))
-      .withColumn("next_click", first(clickTs, ignoreNulls = true).over(fwd))
+      .withColumn("next_click", last(clickTs, ignoreNulls = true).over(fwd))
       .filter(col("event_type") === "error")
       .withColumn("nearest_click_us",
         when(col("prev_click").isNull, col("next_click"))

@@ -69,25 +69,45 @@ object RecordLinkage {
 
   /** The blocking join over any (key, name) frame — factored out so
     * specs can pin the recall contract on adversarial constructed
-    * names (shifted inserts, paired deletes, mixed scripts). */
+    * names (shifted inserts, paired deletes, mixed scripts).
+    *
+    * Runs on DISTINCT names: real key corpora carry heavy duplicate
+    * multiplicity (N records of one canonical name), and blocking on
+    * records would put every replica of a name in every one of its
+    * variant buckets — candidate work ×multiplicity² (measured: 80 s
+    * vs 3 s at a 10× replicated supplier table). Collapsing first
+    * makes the expensive join scale with UNIQUE names; duplicate
+    * multiplicity is paid only in the final expansion joins, which are
+    * output-bound (a pair per emitted row — irreducible). */
   private[graft] def editDistancePairsFromNames(sup: DataFrame): DataFrame = {
-    val ex = sup
-      .select(col("key"), col("name"),
-        explode(deletionNeighborhood(col("name"), 2)).as("v"))
+    val names = sup.select("name").distinct()
+    val ex = names
+      .select(col("name"), explode(deletionNeighborhood(col("name"), 2)).as("v"))
       // hash the variant: the self-join shuffles 8-byte longs instead of
       // ~17-char strings (same trick as the shingle index); collisions
       // only ADD candidates, which the exact verify then rejects
-      .select(col("key"), col("name"), xxhash64(col("v")).as("v"))
-    val a = ex.toDF("a_key", "a_name", "v")
-    val b = ex.toDF("b_key", "b_name", "v")
+      .select(col("name"), xxhash64(col("v")).as("v"))
+    val a = ex.toDF("a_name", "v")
+    val b = ex.toDF("b_name", "v")
     // shuffled-hash: the variant index is large and uniformly keyed —
     // hashing one side per partition beats sorting both
-    a.join(b.hint("shuffle_hash"), Seq("v"))
-      .filter(col("a_key") < col("b_key"))
-      .select("a_key", "b_key", "a_name", "b_name").distinct()
+    val namePairs = a.join(b.hint("shuffle_hash"), Seq("v"))
+      .filter(col("a_name") < col("b_name"))
+      .select("a_name", "b_name").distinct()
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= 2)
-      .select("a_key", "b_key", "dist")
+    // expansion: distinct-name pairs × their key lists, plus the
+    // distance-0 pairs WITHIN each duplicate-name group
+    val cross = namePairs
+      .join(sup.toDF("a_key", "a_name"), Seq("a_name"))
+      .join(sup.toDF("b_key", "b_name"), Seq("b_name"))
+      .select(least(col("a_key"), col("b_key")).as("a_key"),
+        greatest(col("a_key"), col("b_key")).as("b_key"), col("dist"))
+    val same = sup.toDF("a_key", "name")
+      .join(sup.toDF("b_key", "name").hint("shuffle_hash"), Seq("name"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), lit(0L).as("dist"))
+    cross.unionByName(same)
       .orderBy("a_key", "b_key")
   }
 

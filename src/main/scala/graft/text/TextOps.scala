@@ -648,6 +648,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Best-K curation per language: top-5 documents by quality score in
+    * each lang bucket, through the custom heap-based TopKPerKey
+    * physical operator (graft.plans) — per-language selection is the
+    * curation step after scoring, and the heap operator does it in one
+    * pass with k-bounded memory per key, no per-partition sort, where
+    * the window idiom sorts every partition. Ranked (score DESC,
+    * doc_id ASC) — deterministic under score ties. */
+  def topQualityPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    graft.plans.TopK.perKey(scored.join(langs, "doc_id"), 5,
+        Seq("lang"), "quality_score", "doc_id")
+      .select("lang", "doc_id", "quality_score")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Key-collision fingerprint (sorted distinct words → md5): catches
     * reordered/duplicated-content docs that exact hashing misses. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -77,7 +77,11 @@ object CorpusScaleSmoke {
         "dedup_simhash", "dedup_simhash128", "dedup_cluster",
         "vec_stats", "vec_quantize", "vec_centroid",
         "ann_lsh", "ann_ivf", "ann_ivf_probe", "dedup_embedding",
-        "dedup_keep_best", "corpus_split", "corpus_shard")) {
+        "dedup_keep_best", "corpus_split", "corpus_shard",
+        // session-6 surface: containment + IDF-cosine ride the same
+        // shingle index; pca re-trains its basis on the replicated
+        // corpus; top-quality reruns the heap curation per lang
+        "text_containment", "text_tfidf", "text_top_quality", "vec_pca")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

@@ -43,8 +43,21 @@ object ScaleSmoke {
         .reduce(_ unionAll _)
         .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw long nanos-ish
         .write.mode("overwrite").parquet(s"$out/events_us.parquet")
-      // documents / embeddings / dims: copy as-is
-      Seq("customer", "supplier", "part", "nation", "region", "documents", "embeddings")
+      // supplier names are SALTED per replica (suffix letter): 10×
+      // UNIQUE names measures the deletion-variant blocking itself.
+      // (Replicating identical names instead measures the contractual
+      // output — every record pair of a duplicated name, multiplicity²
+      // rows — which the distinct-name collapse already makes
+      // output-bound: 16.5 M pairs in ~100 s, ~6 µs/pair.)
+      val sup = graft.sources.Tables.load(spark, src, "supplier")
+      val maxSup = sup.agg(max(col("s_suppkey"))).head().getLong(0) + 1L
+      (0 until reps).map { r =>
+        sup.withColumn("s_suppkey", col("s_suppkey") + lit(r * maxSup))
+          .withColumn("s_name", concat(col("s_name"), lit(('a' + r).toChar.toString)))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      // documents / embeddings / remaining dims: copy as-is
+      Seq("customer", "part", "nation", "region", "documents", "embeddings")
         .foreach(t => graft.sources.Tables.load(spark, src, t)
           .write.mode("overwrite").parquet(s"$out/$t.parquet"))
     }
@@ -74,7 +87,12 @@ object ScaleSmoke {
         "q_interval_merge", "q_mode", "etl_debounce", "etl_profile",
         "etl_dq_rules", "q_attribution", "q_winsorize", "q_paths",
         "q_skew_profile", "q_wow_change", "q_gini", "q_triangles",
-        "q_kcore", "q_basket_lift")) {
+        "q_kcore", "q_basket_lift",
+        // session-6 surface on the replicated facts: dense-grid
+        // interpolation (events 10×), histogram-window median
+        // (lineitem 10×), digit audit (orders 10×), OR-join counts
+        "q_interpolate", "q_weighted_median", "q_benford",
+        "q_disjunctive", "dedup_editdist")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

@@ -30,6 +30,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"), plan.take(800))
   }
 
+  test("per-language quality curation rides the heap operator and matches the window idiom") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.text.TextOps.topQualityPerLang(spark, sfDir)
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val scored = graft.text.TextOps.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.sources.Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val windowed = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("lang", "doc_id", "quality_score")
+    assert(got.count() == windowed.count())
+    assert(got.join(windowed, Seq("lang", "doc_id"), "left_anti").count() == 0)
+  }
+
   test("handles ties deterministically and k larger than group") {
     import spark.implicits._
     val df = Seq(
