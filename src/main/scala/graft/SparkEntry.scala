@@ -169,6 +169,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfidfPairs(s, d)),
     "vec_pca" -> ((s, d) => VectorOps.vecPca(s, d)),
     "text_top_quality" -> ((s, d) => TextOps.topQualityPerLang(s, d)),
+    "q_funnel_time" -> ((s, d) => Analytics.funnelTime(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -1996,5 +1998,54 @@ object SparkEntry {
         |  FROM r)
         |SELECT lang, doc_id, quality_score FROM k WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(ts) AS t2, MIN(t1) AS t1 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL '24 hours'
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(ts) AS t3, MIN(t2) AS t2 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL '24 hours'
+        |  GROUP BY e.user_id),
+        |g AS (
+        |  SELECT 'view_to_click' AS transition,
+        |   (epoch_us(CAST(t2 AS TIMESTAMP)) - epoch_us(CAST(t1 AS TIMESTAMP))) // 1000000 AS gap_s
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |   (epoch_us(CAST(t3 AS TIMESTAMP)) - epoch_us(CAST(t2 AS TIMESTAMP))) // 1000000
+        |  FROM s3),
+        |h AS (SELECT transition, gap_s, COUNT(*) AS w FROM g GROUP BY 1, 2),
+        |c AS (
+        |  SELECT transition, gap_s, w,
+        |   CAST(SUM(w) OVER (PARTITION BY transition ORDER BY gap_s
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |   CAST(SUM(w) OVER (PARTITION BY transition) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT transition, MAX(n) AS n_users, MIN(gap_s) AS min_s,
+        | MIN(CASE WHEN cum * 2 >= n THEN gap_s END) AS median_s,
+        | MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_s,
+        | MAX(gap_s) AS max_s
+        |FROM c GROUP BY transition ORDER BY transition""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS ws FROM documents),
+        |d AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+        |p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |       i -> struct_pack(w1 := ws[i], bg := ws[i] || ' ' || ws[i+1]))) AS st FROM d),
+        |q AS (SELECT doc_id, st.w1 AS w1, st.bg AS bg FROM p),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM q GROUP BY 1),
+        |c2 AS (SELECT w1, bg, COUNT(*) AS c2 FROM q GROUP BY 1, 2),
+        |nll AS (SELECT c2.bg, CAST(round(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * 1000, 0) AS BIGINT) AS nll_milli
+        |        FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(nll_milli) AS BIGINT) // COUNT(*) AS avg_nll_milli
+        |FROM q JOIN nll USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

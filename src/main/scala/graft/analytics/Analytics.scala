@@ -1055,7 +1055,10 @@ object Analytics {
     * user frame — no fan-out, monotonically shrinking step tables, and
     * every join/aggregate shares the user_id shuffle key. The window
     * predicate uses exact timestamp arithmetic (no FP). */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's per-user step frames — shared by the count funnel and
+    * the step-latency distribution. */
+  private def funnelSteps(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
     def step(prev: DataFrame, prevTs: String, etype: String, outTs: String) =
@@ -1063,11 +1066,16 @@ object Analytics {
         .join(prev.select(col("user_id"), col(prevTs)), "user_id")
         .filter(col("ts") > col(prevTs) &&
           col("ts") <= col(prevTs) + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min("ts").as(outTs))
+        .groupBy("user_id").agg(min("ts").as(outTs), min(col(prevTs)).as(prevTs))
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t1"))
     val s2 = step(s1, "t1", "click", "t2")
     val s3 = step(s2, "t2", "purchase", "t3")
+    (s1, s2, s3)
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val (s1, s2, s3) = funnelSteps(spark, dir)
     def counted(df: DataFrame, idx: Int, name: String) =
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(idx.toLong).as("step"), lit(name).as("step_name"),
@@ -1076,6 +1084,33 @@ object Analytics {
       .unionAll(counted(s2, 2, "click"))
       .unionAll(counted(s3, 3, "purchase"))
       .orderBy("step")
+  }
+
+  /** Step-latency distribution for funnel converters: per transition,
+    * exact integer min / lower-median / lower-p90 / max seconds between
+    * the step timestamps. Same histogram-window shape as
+    * `weightedMedian`: the cumulative scan runs over (transition,
+    * DISTINCT gap-seconds), bounded by distinct latencies, and every
+    * quantile is a least-value-crossing filter in exact integers — no
+    * percentile_approx sketch, no driver sort, no float. */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val (_, s2, s3) = funnelSteps(spark, dir)
+    def gaps(df: DataFrame, name: String, from: String, to: String) =
+      df.select(lit(name).as("transition"),
+        expr(s"(unix_micros($to) - unix_micros($from)) div 1000000").as("gap_s"))
+    val g = gaps(s2, "view_to_click", "t1", "t2")
+      .unionByName(gaps(s3, "click_to_purchase", "t2", "t3"))
+    val byGap = Window.partitionBy("transition").orderBy("gap_s")
+    g.groupBy("transition", "gap_s").agg(count(lit(1)).as("w"))
+      .withColumn("cum", sum("w").over(byGap))
+      .withColumn("n", sum("w").over(Window.partitionBy("transition")))
+      .groupBy("transition")
+      .agg(max("n").as("n_users"),
+        min("gap_s").as("min_s"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_s"))).as("median_s"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).as("p90_s"),
+        max("gap_s").as("max_s"))
+      .orderBy("transition")
   }
 
   /** Cohort retention matrix: users grouped by first-active date, then

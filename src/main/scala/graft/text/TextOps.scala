@@ -648,6 +648,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Statistical language-model quality score (CCNet-family filter):
+    * per-document mean bigram negative log-likelihood under the
+    * corpus's own bigram model — low = predictable/fluent relative to
+    * the corpus, high = atypical/noisy. The per-bigram NLL
+    * −ln(c₂(w₁w₂)/c₁(w₁)) is quantized once per DISTINCT bigram to
+    * integer milli-nats, so per-doc sums and the mean are exact
+    * integer arithmetic (`div`), engine- and layout-reproducible.
+    *
+    * Scale shape: model tables are corpus-bounded aggregates (vocab
+    * and vocab² at most); scoring is an index join on hashed bigrams —
+    * per-doc cost ∝ its length, model cost amortized across the
+    * corpus. Nothing driver-side; the same plan trains-and-scores any
+    * corpus size. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .filter(size(col("ws")) >= 2)
+    // NON-distinct adjacent bigrams: LM statistics need multiplicity,
+    // unlike the set-semantics shingle index
+    val pairs = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.w1")).as("w1"),
+        xxhash64(col("p.bg")).as("bg"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = pairs.groupBy("w1", "bg").agg(count(lit(1)).as("c2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .select(col("bg"),
+        round(-log(col("c2").cast("double") / col("c1").cast("double")) * 1000, 0)
+          .cast("long").as("nll_milli"))
+    pairs.join(c2.hint("shuffle_hash"), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_milli").as("sum_nll"))
+      .withColumn("avg_nll_milli", expr("sum_nll div n_bigrams"))
+      .select("doc_id", "n_bigrams", "avg_nll_milli")
+      .orderBy("doc_id")
+  }
+
   /** Best-K curation per language: top-5 documents by quality score in
     * each lang bucket, through the custom heap-based TopKPerKey
     * physical operator (graft.plans) — per-language selection is the

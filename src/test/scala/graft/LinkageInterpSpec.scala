@@ -168,6 +168,42 @@ class LinkageInterpSpec extends SparkSpec {
     p.unpersist(blocking = false)
   }
 
+  // ---- q_funnel_time --------------------------------------------------
+
+  test("funnel latency quantiles are ordered, window-bounded, and count the converters") {
+    val t = Analytics.funnelTime(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t.keySet == Set("view_to_click", "click_to_purchase"))
+    for ((_, r) <- t) {
+      val (mn, md, p90, mx) = (r.getAs[Long]("min_s"), r.getAs[Long]("median_s"),
+        r.getAs[Long]("p90_s"), r.getAs[Long]("max_s"))
+      assert(mn >= 0 && mn <= md && md <= p90 && p90 <= mx && mx <= 86400)
+    }
+    // converter counts equal the funnel's step counts
+    val f = Analytics.funnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step_name") -> r.getAs[Long]("n_users")).toMap
+    assert(t("view_to_click").getAs[Long]("n_users") == f("click"))
+    assert(t("click_to_purchase").getAs[Long]("n_users") == f("purchase"))
+  }
+
+  // ---- text_lm_score --------------------------------------------------
+
+  test("bigram LM score covers every multi-word doc with n-1 bigrams and non-negative NLL") {
+    val s = TextOps.lmScore(spark, sfDir).cache()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+          w => w =!= "")).as("nw"))
+    assert(s.count() == docs.filter(col("nw") >= 2).count())
+    // every scored doc has exactly words-1 bigrams
+    val bad = s.join(docs, "doc_id").filter(col("n_bigrams") =!= col("nw") - 1)
+    assert(bad.count() == 0)
+    // NLL is non-negative (c2 <= c1 always) and a deterministic corpus
+    // statistic: a bigram that always follows its head word scores 0
+    assert(s.filter(col("avg_nll_milli") < 0).count() == 0)
+    s.unpersist(blocking = false)
+  }
+
   // ---- q_disjunctive --------------------------------------------------
 
   test("inclusion-exclusion OR-join count equals the brute-force cross join") {

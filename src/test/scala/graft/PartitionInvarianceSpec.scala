@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       // linkage/interpolation batch: variant-index joins, window
       // stacks over a generated spine, 1-row scalar composition
       "dedup_editdist", "text_containment", "q_interpolate",
-      "q_disjunctive", "q_weighted_median", "text_tfidf", "vec_pca")
+      "q_disjunctive", "q_weighted_median", "text_tfidf", "vec_pca",
+      "text_top_quality", "q_funnel_time", "text_lm_score")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
