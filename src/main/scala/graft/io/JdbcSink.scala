@@ -20,10 +20,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *    the target transactionally. Row-at-a-time upserts from executors
   *    would serialize on row locks; a set-based merge is one statement.
   *
-  * The sandbox ships no JDBC driver, so the write paths cannot run
-  * here; the merge-statement generator is a pure function and is
-  * spec-pinned, and the plan shape (partition-parallel `df.write.jdbc`)
-  * is Spark's stock JDBC relation — nothing bespoke to test.
+  * Both write paths run end-to-end in the spec suite against embedded
+  * Derby (the one row store on the classpath): append round-trip,
+  * upsert key-overwrite, and re-apply idempotence. The merge statement
+  * comes in two dialects — Postgres `ON CONFLICT` (the reference's
+  * target database) and ANSI `MERGE INTO` (Derby/Oracle/DB2/SQL
+  * Server) — both pure spec-pinned string generation.
   */
 object JdbcSink {
 
@@ -43,14 +45,20 @@ object JdbcSink {
     * key conflict — the idempotent re-run story the reference's plain
     * COPY lacks. Re-applying the same batch is a no-op row-wise. */
   def upsertJdbc(df: DataFrame, url: String, table: String,
-      keyCols: Seq[String], props: Properties): Unit = {
+      keyCols: Seq[String], props: Properties,
+      dialect: String = "postgres"): Unit = {
     val staging = table + "_stage"
     df.write
       .mode(SaveMode.Overwrite)
       .option("truncate", "true") // reuse the staging table, don't re-DDL
       .jdbc(url, staging, props)
-    val sql = mergeSql(table, staging, keyCols,
-      df.columns.toSeq.filterNot(keyCols.contains))
+    val valueCols = df.columns.toSeq.filterNot(keyCols.contains)
+    val sql = dialect match {
+      case "postgres" => mergeSql(table, staging, keyCols, valueCols)
+      case "ansi"     => mergeSqlStandard(table, staging, keyCols, valueCols)
+      case other      => throw new IllegalArgumentException(
+        s"unknown jdbc merge dialect: $other")
+    }
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
@@ -61,7 +69,13 @@ object JdbcSink {
   /** The set-based merge statement (Postgres `INSERT .. ON CONFLICT`
     * dialect, matching the reference's target database): insert every
     * staged row, and on key conflict overwrite the non-key columns with
-    * the staged values. Pure string generation — spec-pinned. */
+    * the staged values. Pure string generation — spec-pinned.
+    *
+    * TABLE names interpolate RAW, exactly as handed to `df.write.jdbc`
+    * (which also interpolates them unquoted): quoting them here would
+    * resolve a different identifier on case-folding databases than the
+    * one Spark created. COLUMN names are quoted — Spark's DDL quotes
+    * them, so the created case is preserved and must be matched. */
   private[graft] def mergeSql(target: String, staging: String,
       keyCols: Seq[String], valueCols: Seq[String]): String = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
@@ -72,9 +86,30 @@ object JdbcSink {
       else valueCols.map(c => s"${quoteIdent(c)} = EXCLUDED.${quoteIdent(c)}")
         .mkString(" DO UPDATE SET ", ", ", "")
     val action = if (updates.isEmpty) " DO NOTHING" else updates
-    s"INSERT INTO ${quoteIdent(target)} ($allCols) " +
-      s"SELECT $allCols FROM ${quoteIdent(staging)} " +
+    s"INSERT INTO $target ($allCols) " +
+      s"SELECT $allCols FROM $staging " +
       s"ON CONFLICT ($conflictKeys)$action"
+  }
+
+  /** The same set-based merge in ANSI SQL:2003 `MERGE INTO` form
+    * (Derby, Oracle, DB2, SQL Server). Semantics identical to the
+    * Postgres form: key match → overwrite non-key columns with staged
+    * values, no match → insert. */
+  private[graft] def mergeSqlStandard(target: String, staging: String,
+      keyCols: Seq[String], valueCols: Seq[String]): String = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val allCols = keyCols ++ valueCols
+    val on = keyCols.map(c => s"t.${quoteIdent(c)} = s.${quoteIdent(c)}")
+      .mkString(" AND ")
+    val matched =
+      if (valueCols.isEmpty) ""
+      else valueCols.map(c => s"t.${quoteIdent(c)} = s.${quoteIdent(c)}")
+        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+    val insertCols = allCols.map(quoteIdent).mkString(", ")
+    val insertVals = allCols.map(c => s"s.${quoteIdent(c)}").mkString(", ")
+    s"MERGE INTO $target t USING $staging s " +
+      s"ON ($on)$matched " +
+      s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
   }
 
   /** Double-quote an SQL identifier (escaping embedded quotes) so

@@ -133,17 +133,17 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
-  test("jdbc merge statement: postgres ON CONFLICT upsert, quoted identifiers") {
+  test("jdbc merge statement: postgres ON CONFLICT upsert, raw tables + quoted columns") {
     val sql = graft.io.JdbcSink.mergeSql("breadcrumb", "breadcrumb_stage",
       Seq("trip_id", "tstamp"), Seq("lat", "lon", "speed"))
     assert(sql ==
-      """INSERT INTO "breadcrumb" ("trip_id", "tstamp", "lat", "lon", "speed") """ +
-      """SELECT "trip_id", "tstamp", "lat", "lon", "speed" FROM "breadcrumb_stage" """ +
+      """INSERT INTO breadcrumb ("trip_id", "tstamp", "lat", "lon", "speed") """ +
+      """SELECT "trip_id", "tstamp", "lat", "lon", "speed" FROM breadcrumb_stage """ +
       """ON CONFLICT ("trip_id", "tstamp") DO UPDATE SET "lat" = EXCLUDED."lat", """ +
       """"lon" = EXCLUDED."lon", "speed" = EXCLUDED."speed"""")
     // key-only table degrades to DO NOTHING (idempotent insert)
     val keysOnly = graft.io.JdbcSink.mergeSql("t", "t_stage", Seq("id"), Seq.empty)
-    assert(keysOnly == """INSERT INTO "t" ("id") SELECT "id" FROM "t_stage" ON CONFLICT ("id") DO NOTHING""")
+    assert(keysOnly == """INSERT INTO t ("id") SELECT "id" FROM t_stage ON CONFLICT ("id") DO NOTHING""")
   }
 
   test("bucketed tables join without a shuffle exchange") {
