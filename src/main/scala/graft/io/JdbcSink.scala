@@ -48,6 +48,11 @@ object JdbcSink {
       keyCols: Seq[String], props: Properties,
       dialect: String = "postgres"): Unit = {
     val staging = table + "_stage"
+    // first-ever batch: materialize the target's schema (zero-row
+    // append creates the table when missing, appends nothing when
+    // present) so the merge below always has somewhere to land —
+    // the day-one state of a streaming foreachBatch upsert
+    df.limit(0).write.mode(SaveMode.Append).jdbc(url, table, props)
     df.write
       .mode(SaveMode.Overwrite)
       .option("truncate", "true") // reuse the staging table, don't re-DDL
