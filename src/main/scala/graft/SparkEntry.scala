@@ -171,6 +171,7 @@ object SparkEntry {
     "text_top_quality" -> ((s, d) => TextOps.topQualityPerLang(s, d)),
     "q_funnel_time" -> ((s, d) => Analytics.funnelTime(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "vec_kmeans" -> ((s, d) => VectorOps.vecKmeans(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under

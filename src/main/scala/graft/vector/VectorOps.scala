@@ -499,6 +499,87 @@ object VectorOps {
     report.orderBy("method")
   }
 
+  /** Distributed Lloyd k-means over the FULL corpus (vs the IVF coarse
+    * quantizer, which trains on a bounded driver sample): per round,
+    * assignment is the broadcast-by-reference NearestCell argmin fused
+    * into the scan, and the centroid update is ONE map-side-combinable
+    * aggregate of EXACT integer micro-unit sums per (cell, dim) — so
+    * centroids, assignments, and the whole trajectory are layout- and
+    * run-reproducible (float accumulation order never enters). The
+    * driver holds k×d sums per round — constant in the corpus. Inertia
+    * per round comes free from the same sums via
+    * Σ‖x−μ_c‖² = Σ‖x‖² − Σ_c ‖s_c‖²/n_c (exact integers in micro²).
+    * Init = the k lowest-id vectors (deterministic; any seeded bounded
+    * sample works at scale). Returns (centroids, inertia history). */
+  private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (Array[Array[Double]], Array[Double]) = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      // iterated `iters` times: cache if it fits, recompute if not
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = base.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      if (init.isEmpty) return (Array.empty, Array.empty)
+      val d = init.head.length
+      val micro = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
+      val totSq = base.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(micro.as("vm"))
+        .agg(sum(col("vm") * col("vm"))).head().getLong(0)
+      var cent = init
+      val hist = new Array[Double](iters)
+      for (it <- 0 until iters) {
+        val stats = base
+          .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
+            graft.functions.NearestCell(
+              org.apache.spark.sql.GraftPlanBridge.expression(col("embedding")), cent)))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("cell"), col("pos"), micro.as("vm"))
+          .groupBy("cell", "pos")
+          .agg(sum("vm").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.ofDim[Long](k, d)
+        val counts = new Array[Long](k)
+        stats.foreach { r =>
+          val c = r.getInt(0); val p = r.getInt(1)
+          sums(c)(p) = r.getLong(2); counts(c) = r.getLong(3)
+        }
+        cent = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cent(c) // empty cell keeps its centroid
+          else sums(c).map(_.toDouble / counts(c) / 1e6)
+        }
+        var within = 0.0
+        for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
+          within += sums(c)(i).toDouble * sums(c)(i).toDouble / counts(c)
+        hist(it) = (totSq - within) / 1e12
+      }
+      (cent, hist)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Corpus clustering: every vector's final k-means cell plus the
+    * cell population — the prototype/clustering prep step (topic
+    * bucketing, stratified curation) done with the distributed trainer
+    * above; one extra broadcast-argmin pass emits the assignment. */
+  def vecKmeans(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 8): DataFrame = {
+    val (cent, _) = kmeansFit(spark, dir, k, iters)
+    if (cent.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("vec_id", "cluster", "cluster_n")
+    }
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.NearestCell(
+            org.apache.spark.sql.GraftPlanBridge.expression(col("embedding")),
+            cent)).as("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    assigned.join(sizes, "cluster")
+      .select("vec_id", "cluster", "cluster_n")
+      .orderBy("vec_id")
+  }
+
   /** Deterministic cyclic-Jacobi symmetric eigendecomposition —
     * fixed sweep order, fixed tolerance, no randomness, so the same
     * Gram gives the same basis on every run and every driver. Returns

@@ -29,7 +29,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       // stacks over a generated spine, 1-row scalar composition
       "dedup_editdist", "text_containment", "q_interpolate",
       "q_disjunctive", "q_weighted_median", "text_tfidf", "vec_pca",
-      "text_top_quality", "q_funnel_time", "text_lm_score")
+      "text_top_quality", "q_funnel_time", "text_lm_score", "vec_kmeans")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

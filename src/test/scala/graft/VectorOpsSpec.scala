@@ -201,6 +201,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.values.forall(_._3 > 0))
   }
 
+  test("distributed k-means: inertia non-increasing, deterministic, full coverage") {
+    val (cent, hist) = VectorOps.kmeansFit(spark, sfDir, 8, 6)
+    assert(cent.length == 8 && hist.length == 6)
+    // Lloyd monotonicity: each round's inertia never exceeds the last
+    // (exact integer sums -> tolerance only for the final double ops)
+    assert(hist.sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      s"inertia increased: ${hist.toSeq}")
+    val (cent2, hist2) = VectorOps.kmeansFit(spark, sfDir, 8, 6)
+    assert(hist.sameElements(hist2))
+    assert(cent.indices.forall(i => cent(i).sameElements(cent2(i))))
+    val km = VectorOps.vecKmeans(spark, sfDir)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(km.count() == n)
+    import org.apache.spark.sql.functions._
+    assert(km.filter(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+    // cluster_n is consistent with the actual assignment counts
+    val bad = km.groupBy("cluster", "cluster_n").agg(count(lit(1)).as("real"))
+      .filter(col("real") =!= col("cluster_n"))
+    assert(bad.count() == 0)
+  }
+
   test("jacobi eigendecomposition recovers a known spectrum") {
     val (evals, evecs) = VectorOps.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
