@@ -172,6 +172,7 @@ object SparkEntry {
     "q_funnel_time" -> ((s, d) => Analytics.funnelTime(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "vec_kmeans" -> ((s, d) => VectorOps.vecKmeans(s, d)),
+    "etl_variant" -> ((s, d) => EventsEtl.variantProps(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2048,5 +2049,11 @@ object SparkEntry {
         | CAST(SUM(nll_milli) AS BIGINT) // COUNT(*) AS avg_nll_milli
         |FROM q JOIN nll USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "etl_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -173,6 +173,24 @@ object EventsEtl {
         round(avg(col("k").cast("double")), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** Semi-structured ingestion through Spark 4's VARIANT type: the
+    * props payload parses ONCE into the binary variant encoding
+    * (`parse_json`), and every downstream extraction (`variant_get`)
+    * reads the parsed form — the columnar-JSON path that replaces
+    * per-path string re-parsing (get_json_object re-scans the text per
+    * path). Same aggregate contract as `jsonProps`, so the two oracles
+    * pin the engines agree; typed extraction with an explicit cast
+    * keeps the schema stable whatever the payload holds. */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
   /** SCD2 change history: collapse each key's event stream into
     * validity-interval versions of the tracked attribute (event_type) —
     * change detection via lag, version numbering via cumulative sum,
