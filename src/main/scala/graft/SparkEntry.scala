@@ -1883,7 +1883,7 @@ object SparkEntry {
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
         |   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c, COUNT(*) AS n
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
         |spine AS (
         |  SELECT user_id, unnest(generate_series(min(hour_us), max(hour_us), 3600000000)) AS hour_us
         |  FROM hourly GROUP BY user_id),
@@ -1968,7 +1968,8 @@ object SparkEntry {
         |wt AS (
         |  SELECT tf.doc_id, tf.term, idf.idf_milli AS w
         |  FROM tf JOIN idf USING (term)),
-        |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc_id),
+        |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt
+        |        GROUP BY doc_id HAVING CAST(SUM(w * w) AS BIGINT) > 0),
         |dot AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id

@@ -146,8 +146,11 @@ object TemporalOps {
     // (≤ 1e3), counts ≤ per-key-hour volume, cents ≤ 1e8 — every
     // intermediate stays far inside BIGINT until per-key-hour counts
     // reach ~1e6, where the same expressions move to DECIMAL(38,0).
+    // value non-null too: otherwise an all-null hour desynchronizes
+    // the (c, n) neighbor pair — last-ignoreNulls skips the null c but
+    // picks up that hour's n, corrupting the interpolated mean
     val hourly = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .groupBy(col("user_id"),
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"),

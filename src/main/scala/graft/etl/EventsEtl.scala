@@ -184,7 +184,9 @@ object EventsEtl {
   def variantProps(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        // try_parse_json: a malformed payload row yields NULL instead
+        // of aborting the whole load (ETL ingest must absorb bad rows)
+        expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("k").cast("long")).as("sum_k"),

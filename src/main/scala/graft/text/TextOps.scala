@@ -531,7 +531,7 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Sparse lexical similarity: TF-IDF cosine ≥ 0.3 document pairs via
+  /** Sparse lexical similarity: TF-IDF cosine ≥ 0.5 document pairs via
     * an inverted term index — the bag-of-words complement to the
     * embedding-cosine path (dedup_embedding) and the shingle paths
     * (order-sensitive): catches topical near-dups that share vocabulary
@@ -567,7 +567,11 @@ object TextOps {
           .cast("long").as("idf_milli"))
     val weighted = tf.join(idf.hint("shuffle_hash"), Seq("t"))
       .select(col("doc_id"), col("t"), col("idf_milli").as("w"))
+    // zero-norm docs (every shingle in every document → all IDF 0)
+    // carry no signal and would divide 0/0 into NaN — and Spark's
+    // NaN-is-largest ordering would pass NaN through the ≥ filter
     val norms = weighted.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      .filter(col("n2") > 0)
     val a = weighted.toDF("a_id", "t", "a_w")
     val b = weighted.toDF("b_id", "t", "b_w")
     a.join(b.hint("shuffle_hash"), Seq("t")).filter(col("a_id") < col("b_id"))

@@ -521,12 +521,13 @@ object VectorOps {
       val init = base.orderBy("vec_id").limit(k).collect()
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
       if (init.isEmpty) return (Array.empty, Array.empty)
+      // tiny corpora: fewer vectors than requested cells — train with
+      // what exists rather than indexing past the centroid array
+      val kEff = math.min(k, init.length)
       val d = init.head.length
       val micro = floor(col("v").cast("double") * 1e6 + 0.5).cast("long")
-      val totSq = base.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(micro.as("vm"))
-        .agg(sum(col("vm") * col("vm"))).head().getLong(0)
-      var cent = init
+      var cent = init.take(kEff)
+      var totSq = 0L // Σ‖x‖² rides the round-1 aggregate — no extra scan
       val hist = new Array[Double](iters)
       for (it <- 0 until iters) {
         val stats = base
@@ -536,20 +537,22 @@ object VectorOps {
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .select(col("cell"), col("pos"), micro.as("vm"))
           .groupBy("cell", "pos")
-          .agg(sum("vm").as("s"), count(lit(1)).as("n"))
+          .agg(sum("vm").as("s"), count(lit(1)).as("n"),
+            sum(col("vm") * col("vm")).as("sq"))
           .collect()
-        val sums = Array.ofDim[Long](k, d)
-        val counts = new Array[Long](k)
+        val sums = Array.ofDim[Long](kEff, d)
+        val counts = new Array[Long](kEff)
         stats.foreach { r =>
           val c = r.getInt(0); val p = r.getInt(1)
           sums(c)(p) = r.getLong(2); counts(c) = r.getLong(3)
         }
-        cent = Array.tabulate(k) { c =>
+        if (it == 0) totSq = stats.map(_.getLong(4)).sum
+        cent = Array.tabulate(kEff) { c =>
           if (counts(c) == 0) cent(c) // empty cell keeps its centroid
           else sums(c).map(_.toDouble / counts(c) / 1e6)
         }
         var within = 0.0
-        for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
+        for (c <- 0 until kEff if counts(c) > 0; i <- 0 until d)
           within += sums(c)(i).toDouble * sums(c)(i).toDouble / counts(c)
         hist(it) = (totSq - within) / 1e12
       }

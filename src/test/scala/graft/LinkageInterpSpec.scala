@@ -157,7 +157,10 @@ class LinkageInterpSpec extends SparkSpec {
 
   test("tfidf shingle cosine: exact duplicates score 1.0, output bounded and ordered") {
     val p = TextOps.tfidfPairs(spark, sfDir).cache()
-    assert(p.filter(col("cos_tfidf") > 1.0 || col("cos_tfidf") < 0.5).count() == 0)
+    // isnan explicitly: NaN compares false to range predicates, so the
+    // bounds check alone would let a 0/0 cosine slip through
+    assert(p.filter(isnan(col("cos_tfidf")) || col("cos_tfidf").isNull
+      || col("cos_tfidf") > 1.0 || col("cos_tfidf") < 0.5).count() == 0)
     assert(p.filter(col("a_id") >= col("b_id")).count() == 0)
     // identical normalized text => identical shingle sets => cosine 1.0
     val dups = TextOps.dedupExact(spark, sfDir)
@@ -184,6 +187,12 @@ class LinkageInterpSpec extends SparkSpec {
       .map(r => r.getAs[String]("step_name") -> r.getAs[Long]("n_users")).toMap
     assert(t("view_to_click").getAs[Long]("n_users") == f("click"))
     assert(t("click_to_purchase").getAs[Long]("n_users") == f("purchase"))
+  }
+
+  test("variant ingestion absorbs malformed payload rows as NULL instead of aborting") {
+    val r = spark.sql(
+      "SELECT variant_get(try_parse_json('{bad json'), '$.k', 'int') AS k").head()
+    assert(r.isNullAt(0))
   }
 
   // ---- text_lm_score --------------------------------------------------

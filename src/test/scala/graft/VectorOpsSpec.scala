@@ -222,6 +222,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("k-means clamps k to the corpus size instead of indexing past it") {
+    val (cent, hist) = VectorOps.kmeansFit(spark, sfDir, 100000, 2)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(cent.length == math.min(100000L, n))
+    assert(hist.length == 2 && hist(1) <= hist(0) + 1e-9)
+  }
+
   test("jacobi eigendecomposition recovers a known spectrum") {
     val (evals, evecs) = VectorOps.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
