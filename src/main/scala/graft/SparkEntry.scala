@@ -1754,7 +1754,8 @@ object SparkEntry {
 
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
         |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -1765,7 +1766,8 @@ object SparkEntry {
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)

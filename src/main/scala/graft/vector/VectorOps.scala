@@ -31,6 +31,10 @@ object VectorOps {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
     val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn")
     val c = vecs.toDF("neighbor_id", "ce", "cn")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -66,6 +70,10 @@ object VectorOps {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
       .withColumn("bucket", sigBits.reduce((a, b) => a.bitwiseOR(b)))
     val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe", "qn", "bucket")
     val c = vecs.toDF("neighbor_id", "ce", "cn", "bucket")
@@ -144,6 +152,10 @@ object VectorOps {
     val assigned = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
       .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
         graft.functions.NearestCell(
           org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
@@ -175,6 +187,10 @@ object VectorOps {
     val assigned = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
       .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
         graft.functions.NearestCell(
           org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
@@ -182,6 +198,7 @@ object VectorOps {
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("qn", expr("vec_norm(qe)"))
+      .filter(col("qn") > 0)
       .withColumn("cell", explode(org.apache.spark.sql.GraftPlanBridge.column(
         graft.functions.NearestCells(
           org.apache.spark.sql.GraftPlanBridge.expression(col("qe")), centroids, probes))))
@@ -224,6 +241,10 @@ object VectorOps {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
       .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
     // role-split replication — each vector pair meets EXACTLY once:
     // the "lo role" copy of a block-i row serves keys (i, j≥i), the
@@ -411,6 +432,10 @@ object VectorOps {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      // (0/0 -> NaN, and Spark's NaN-is-largest comparison semantics
+      // would rank the garbage FIRST, not drop it)
+      .filter(col("nrm") > 0)
     if (books.isEmpty)
       return vecs.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
         col("vec_id").as("neighbor_id"), lit(0.0).as("cos"),
@@ -459,6 +484,7 @@ object VectorOps {
     val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     shortlist
       .withColumn("qn", expr("vec_norm(qe)"))
+      .filter(col("qn") > 0)
       .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(wCos).cast("long"))
       .filter(col("rank") <= 3)
