@@ -1329,7 +1329,7 @@ object SparkEntry {
         |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS n_stop
         |  FROM documents),
         |r AS (SELECT doc_id, n_words, n_stop,
-        |       round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio FROM b),
+        |       round(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 6) AS punct_ratio FROM b),
         |f AS (SELECT r.*, CASE WHEN n_words < 20 THEN 'too_few_words'
         |    WHEN n_stop = 0 THEN 'no_stopword'
         |    WHEN punct_ratio > 0.05 THEN 'high_symbol'
@@ -1718,9 +1718,9 @@ object SparkEntry {
         |  FROM documents),
         |r AS (
         |  SELECT b.*,
-        |   round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) AS avg_word_len,
-        |   round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
-        |   round(n_stop / CAST(n_words AS DOUBLE), 6) AS stop_ratio
+        |   round((n_chars - n_words + 1) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS avg_word_len,
+        |   round(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 6) AS punct_ratio,
+        |   round(n_stop / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS stop_ratio
         |  FROM b)
         |SELECT doc_id, n_chars, n_words, n_punct, n_stop, avg_word_len, punct_ratio, stop_ratio,
         | round(least(1.0, n_words / 100.0) * 0.5 + (1.0 - punct_ratio) * 0.3 +
@@ -1994,8 +1994,8 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id, lang,
         |   round(least(1.0, n_words / 100.0) * 0.5 +
-        |     (1.0 - round(n_punct / CAST(n_chars AS DOUBLE), 6)) * 0.3 +
-        |     least(1.0, round(n_stop / CAST(n_words AS DOUBLE), 6) * 5.0) * 0.2, 6) AS quality_score
+        |     (1.0 - round(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 6)) * 0.3 +
+        |     least(1.0, round(n_stop / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) * 5.0) * 0.2, 6) AS quality_score
         |  FROM b),
         |k AS (
         |  SELECT lang, doc_id, quality_score,

@@ -625,10 +625,15 @@ object TextOps {
       .select(col("doc_id"), col("p.n_chars").as("n_chars"),
         col("p.n_words").as("n_words"), col("p.n_punct").as("n_punct"),
         col("p.n_stop").as("n_stop"))
+      // nullif denominators: a no-letter document has n_words = 0, and
+      // Spark nulls a zero-divisor while DuckDB returns inf — the
+      // explicit NULLIF pins both engines to the same (null) answer
       .withColumn("avg_word_len", round((col("n_chars") - col("n_words") + 1) /
-        col("n_words").cast("double"), 6))
-      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars").cast("double"), 6))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_words").cast("double"), 6))
+        nullif(col("n_words"), lit(0)).cast("double"), 6))
+      .withColumn("punct_ratio", round(col("n_punct") /
+        nullif(col("n_chars"), lit(0)).cast("double"), 6))
+      .withColumn("stop_ratio", round(col("n_stop") /
+        nullif(col("n_words"), lit(0)).cast("double"), 6))
       .withColumn("quality_score", round(
         least(lit(1.0), col("n_words") / lit(100.0)) * 0.5 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
@@ -773,7 +778,8 @@ object TextOps {
       .select(col("doc_id"), col("p.n_words").as("n_words"),
         col("p.n_punct").as("n_punct"), col("p.n_chars").as("n_chars"),
         col("p.n_stop").as("n_stop"))
-      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars").cast("double"), 6))
+      .withColumn("punct_ratio", round(col("n_punct") /
+        nullif(col("n_chars"), lit(0)).cast("double"), 6))
       .withColumn("reason",
         when(col("n_words") < 20, "too_few_words")
           .when(col("n_stop") === 0, "no_stopword")
