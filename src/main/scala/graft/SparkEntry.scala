@@ -211,13 +211,15 @@ object SparkEntry {
     "etl_quarantine" ->
       """SELECT event_id, user_id, event_type, value,
         | CASE WHEN ts IS NULL THEN 'null_ts'
+        |      WHEN user_id IS NULL THEN 'null_user'
         |      WHEN user_id < 0 THEN 'bad_user'
+        |      WHEN value IS NULL THEN 'null_value'
         |      WHEN value < 0 THEN 'neg_value'
         |      WHEN value > 300 THEN 'over_max'
         |      ELSE 'bad_type' END AS reason
         |FROM events
-        |WHERE NOT (ts IS NOT NULL AND user_id >= 0 AND value >= 0 AND value <= 300
-        |  AND event_type IN ('click','view','signup','purchase','error'))
+        |WHERE NOT coalesce(ts IS NOT NULL AND user_id >= 0 AND value >= 0 AND value <= 300
+        |  AND event_type IN ('click','view','signup','purchase','error'), FALSE)
         |ORDER BY event_id""".stripMargin,
 
     "etl_derive_speed" ->
@@ -1193,7 +1195,7 @@ object SparkEntry {
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 3)
         |SELECT p.a, p.b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
-        | CAST(p.n_ab * o.n_orders * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+        | CAST(CAST(p.n_ab AS HUGEINT) * o.n_orders * 1000000 // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
         |FROM p JOIN s sa ON p.a = sa.pk JOIN s sb ON p.b = sb.pk
         |CROSS JOIN o
         |ORDER BY lift_ppm DESC, p.a, p.b LIMIT 50""".stripMargin,
@@ -1289,7 +1291,7 @@ object SparkEntry {
         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi
         |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
         |SELECT bc.w1, bc.w2, bc.n_ab, u1.n AS n_a, u2.n AS n_b,
-        | CAST(bc.n_ab * t.n_tot * 1000000 // (u1.n * u2.n) AS BIGINT) AS lift_ppm
+        | CAST(CAST(bc.n_ab AS HUGEINT) * t.n_tot * 1000000 // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS lift_ppm
         |FROM bc JOIN uni u1 ON bc.w1 = u1.word JOIN uni u2 ON bc.w2 = u2.word
         |CROSS JOIN tot t
         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""".stripMargin,
@@ -1304,7 +1306,7 @@ object SparkEntry {
         |  CAST(SUM(n*n) AS BIGINT) AS sum_sq FROM c GROUP BY doc_id)
         |SELECT doc_id, n_words, n_types,
         | CAST(n_types * 1000000 // n_words AS BIGINT) AS ttr_ppm,
-        | CAST(sum_sq * 1000000 // (n_words * n_words) AS BIGINT) AS simpson_ppm
+        | CAST(CAST(sum_sq AS HUGEINT) * 1000000 // (CAST(n_words AS HUGEINT) * n_words) AS BIGINT) AS simpson_ppm
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->

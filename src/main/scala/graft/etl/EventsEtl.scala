@@ -38,6 +38,12 @@ object EventsEtl {
       col("value") >= 0 && col("value") <= MaxValue &&
       col("event_type").isin(ValidTypes: _*)
 
+  /** Null-safe reject predicate: a row with a NULL field makes
+    * `validPred` evaluate to SQL NULL, and `filter(!validPred)` drops
+    * NULL like false — the row would vanish from BOTH the clean and
+    * the quarantine side. Rejects must catch the three-valued gap. */
+  private[graft] def invalidPred: Column = !coalesce(validPred, lit(false))
+
   /** Validation filter + derived time columns — the keep-side of the
     * reference's assert-and-drop loop (updated_subscriber.py:75-151). */
   def cleanEvents(spark: SparkSession, dir: String): DataFrame =
@@ -57,7 +63,9 @@ object EventsEtl {
     * quarantine and its streaming side-output twin. */
   private[graft] def reasonCol: Column =
     when(col("ts").isNull, "null_ts")
+      .when(col("user_id").isNull, "null_user")
       .when(col("user_id") < 0, "bad_user")
+      .when(col("value").isNull, "null_value")
       .when(col("value") < 0, "neg_value")
       .when(col("value") > MaxValue, "over_max")
       .otherwise("bad_type")
@@ -89,7 +97,7 @@ object EventsEtl {
 
   def quarantine(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.events(spark, dir)
-      .filter(!validPred)
+      .filter(invalidPred)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         reasonCol.as("reason"))
       .orderBy("event_id")

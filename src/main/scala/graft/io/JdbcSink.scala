@@ -47,17 +47,33 @@ object JdbcSink {
   def upsertJdbc(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], props: Properties,
       dialect: String = "postgres"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     val staging = table + "_stage"
+    val valueCols = df.columns.toSeq.filterNot(keyCols.contains)
+    // one staged row per key: both merge dialects REJECT a batch that
+    // hits the same target row twice ("cannot affect row a second
+    // time") — a normal CDC shape when one micro-batch carries two
+    // updates to a key. Deterministic pick: max by the value columns
+    // (callers wanting true latest-wins should include a version
+    // column among the values — it then dominates the ordering).
+    val deduped =
+      if (valueCols.isEmpty) df.dropDuplicates(keyCols)
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(valueCols.map(c => col(c).desc): _*)
+        df.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      }
     // first-ever batch: materialize the target's schema (zero-row
     // append creates the table when missing, appends nothing when
     // present) so the merge below always has somewhere to land —
     // the day-one state of a streaming foreachBatch upsert
     df.limit(0).write.mode(SaveMode.Append).jdbc(url, table, props)
-    df.write
+    deduped.write
       .mode(SaveMode.Overwrite)
       .option("truncate", "true") // reuse the staging table, don't re-DDL
       .jdbc(url, staging, props)
-    val valueCols = df.columns.toSeq.filterNot(keyCols.contains)
     val sql = dialect match {
       case "postgres" => mergeSql(table, staging, keyCols, valueCols)
       case "ansi"     => mergeSqlStandard(table, staging, keyCols, valueCols)
@@ -67,9 +83,22 @@ object JdbcSink {
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(sql) finally st.close()
+      try {
+        // ON CONFLICT demands a unique constraint, which Spark's JDBC
+        // CREATE TABLE never emits — idempotently ensure one on the
+        // key columns (ANSI MERGE needs no constraint; Derby also has
+        // no IF NOT EXISTS, so this stays postgres-only)
+        if (dialect == "postgres")
+          st.executeUpdate(uniqueIndexSql(table, keyCols))
+        st.executeUpdate(sql)
+      } finally st.close()
     } finally conn.close()
   }
+
+  /** Idempotent unique-index DDL backing the ON CONFLICT arbiter. */
+  private[graft] def uniqueIndexSql(table: String, keyCols: Seq[String]): String =
+    s"CREATE UNIQUE INDEX IF NOT EXISTS ${table}_graft_upsert_key " +
+      s"ON $table (${keyCols.map(quoteIdent).mkString(", ")})"
 
   /** The set-based merge statement (Postgres `INSERT .. ON CONFLICT`
     * dialect, matching the reference's target database): insert every

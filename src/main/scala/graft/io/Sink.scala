@@ -32,13 +32,16 @@ object Sink {
 
   /** Write a DataFrame as parquet partitioned by the given columns,
     * replacing only the partitions present in `df` (idempotent loads). */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    // per-WRITE option, not session conf: mutating the session would
+    // silently flip unrelated overwrites in the same app to dynamic
+    // semantics (stale partitions left behind where the caller expected
+    // a full-table replace)
     df.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
-  }
 
   /** Plain append load for immutable event streams. */
   def append(df: DataFrame, path: String): Unit =
@@ -50,12 +53,21 @@ object Sink {
     * highest version (ties → the incoming change). The partition-scoped
     * read + dynamic overwrite keeps the rewrite proportional to the
     * touched partitions, not the table; re-applying the same change
-    * set is idempotent. */
+    * set is idempotent.
+    *
+    * CONTRACT: a key's partition value must be stable across versions
+    * (derive the partition from the key, or use an immutable attribute)
+    * — the same non-global-index contract as Hudi/Iceberg keyed
+    * upserts. A change that MOVES a key to a new partition value
+    * cannot retire the old row without scanning every partition for the
+    * key, which is exactly the table-wide cost this partition-scoped
+    * design exists to avoid; a global-index variant would trade that
+    * scan (or an external key→partition index) for cross-partition
+    * moves. */
   def upsertPartitioned(changes: DataFrame, path: String,
       partitionCol: String, keyCol: String, versionCol: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = changes.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val exists = tableExists(spark, path)
     val merged = if (!exists) changes else {
       // only the touched partitions are read: the IN filter prunes at
@@ -78,6 +90,7 @@ object Sink {
     // Bounded: only the touched partitions are in the checkpoint.
     val out = if (exists) merged.localCheckpoint(true) else merged
     out.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
   }
 
@@ -92,13 +105,13 @@ object Sink {
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
       partitionCol: String, partitionValues: Seq[Any]): Unit = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.read.parquet(path)
       .filter(col(partitionCol).isin(partitionValues: _*))
       .repartition(col(partitionCol))
       // break lineage: the plan reads the path it overwrites
       .localCheckpoint(true)
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(path)
   }
 }

@@ -34,7 +34,11 @@ object Baskets {
       .join(single.toDF("a", "n_a"), Seq("a"))
       .join(single.toDF("b", "n_b"), Seq("b"))
       .crossJoin(broadcast(nOrders))
-      .withColumn("lift_ppm", expr("n_ab * n_orders * 1000000 div (n_a * n_b)"))
+      // DECIMAL(38) intermediates: the long product n_ab·n_orders·1e6
+      // silently wraps past ~1.5e9 orders with a popular pair —
+      // cluster scale, exactly where the exact-ppm contract matters
+      .withColumn("lift_ppm", expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
       .select("a", "b", "n_ab", "n_a", "n_b", "lift_ppm")
       .orderBy(col("lift_ppm").desc, col("a"), col("b"))
       .limit(50)

@@ -75,13 +75,20 @@ object HeavyHitters {
     // the driver — config-bounded like the IVF sample, not data-scaled)
     val candidates: Array[String] =
       toks.as[String].select(MisraGries(Counters).toColumn).head()
-    // pass 2: exact counts for candidates only + the real threshold
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.filter(col("word").isin(candidates.toIndexedSeq: _*))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * 30 > col("n_total"))
-      .select(col("word"), col("cnt"))
+    // pass 2: ONE scan yields both the exact candidate counts and the
+    // total token mass — non-candidates collapse into a single NULL
+    // group, so n_total is the sum over the (k+1)-row grouped result
+    // (the previous shape read the token stream twice more: once for
+    // the total, once for the counts)
+    val grouped = toks
+      .groupBy(when(col("word").isin(candidates.toIndexedSeq: _*), col("word"))
+        .as("cw"))
+      .agg(count(lit(1)).as("cnt"))
+    grouped
+      .withColumn("n_total",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("cw").isNotNull && col("cnt") * 30 > col("n_total"))
+      .select(col("cw").as("word"), col("cnt"))
       .orderBy(col("cnt").desc, col("word"))
   }
 }

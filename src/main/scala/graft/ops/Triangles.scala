@@ -30,6 +30,10 @@ object Triangles {
   private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // dedup (order, part) BEFORE the self-join: a part appearing on
+      // two lines of one order would otherwise expand duplicate pair
+      // rows that the post-join distinct then pays to shuffle away
+      .distinct()
     val a = li.toDF("ok", "a")
     val b = li.toDF("ok", "b")
     a.join(b.hint("shuffle_hash"), Seq("ok"))

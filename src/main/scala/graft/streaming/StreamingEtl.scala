@@ -46,7 +46,7 @@ object StreamingEtl {
       try {
         b.filter(EventsEtl.validPred)
           .write.mode("append").parquet(cleanPath)
-        b.filter(!EventsEtl.validPred)
+        b.filter(EventsEtl.invalidPred)
           .withColumn("reason", EventsEtl.reasonCol)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(quarantinePath)
@@ -195,7 +195,12 @@ object StreamingEtl {
                   out += close(s)
                   cur = Some(SessionState(tMs, tMs, 1L, cents))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startMs, tMs, s.n + 1, s.sumCents + cents))
+                  // max, not tMs: a late-but-within-watermark event from
+                  // a later micro-batch must not move the session's
+                  // frontier BACKWARD — that would split the session at
+                  // the next on-time event and emit a shrunken end_ms
+                  cur = Some(SessionState(math.min(s.startMs, tMs),
+                    math.max(s.lastMs, tMs), s.n + 1, s.sumCents + cents))
                 case None =>
                   cur = Some(SessionState(tMs, tMs, 1L, cents))
               }
@@ -216,10 +221,17 @@ object StreamingEtl {
     * batches are picked up, which is exactly the lookup-table
     * contract). Output keeps provenance (dim match or not) instead of
     * silently inner-joining away unknown keys. */
-  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame = {
+    // match flag from an injected marker, not a dim payload column: a
+    // NULL-valued dim attribute would misreport a successful join as
+    // unmatched, and the flag stays schema-agnostic for any dim frame
+    val marked = dim.withColumn("dim_matched_marker", lit(true))
     events.join(
-      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
-      .withColumn("dim_matched", col("segment").isNotNull)
+      org.apache.spark.sql.functions.broadcast(marked), Seq("user_id"), "left")
+      .withColumn("dim_matched",
+        coalesce(col("dim_matched_marker"), lit(false)))
+      .drop("dim_matched_marker")
+  }
 
   /** Late-data audit off the engine's own per-batch state-operator
     * metrics: total rows silently dropped by the watermark and the

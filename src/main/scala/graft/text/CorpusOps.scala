@@ -331,7 +331,10 @@ object CorpusOps {
     bi.join(uni.toDF("w1", "n_a"), Seq("w1"))
       .join(uni.toDF("w2", "n_b"), Seq("w2"))
       .crossJoin(broadcast(tot))
-      .withColumn("lift_ppm", expr("n_ab * n_tot * 1000000 div (n_a * n_b)"))
+      // DECIMAL(38): n_ab·n_tot·1e6 wraps long at corpus scale (same
+      // overflow class fixed in basketLift)
+      .withColumn("lift_ppm", expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_tot * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
       .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_ppm")
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(100)
@@ -376,7 +379,8 @@ object CorpusOps {
       .agg(sum("n").as("n_words"), count(lit(1)).as("n_types"),
         sum(col("n") * col("n")).as("sum_sq"))
       .withColumn("ttr_ppm", expr("n_types * 1000000 div n_words"))
-      .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n_words * n_words)"))
+      .withColumn("simpson_ppm", expr(
+        "CAST(sum_sq AS DECIMAL(38,0)) * 1000000 div (CAST(n_words AS DECIMAL(38,0)) * n_words)"))
       .select("doc_id", "n_words", "n_types", "ttr_ppm", "simpson_ppm")
       .orderBy("doc_id")
 }

@@ -10,6 +10,27 @@ import graft.text.TextOps
   * backfill / vocab / filter operator batch. */
 class NewOpsSpec extends SparkSpec {
 
+  test("validation is lossless under NULL fields: every row lands clean OR quarantined") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val df = Seq(
+      (1L, Option(ts), Option(7L), Option("click"), Option(10.0)),  // valid
+      (2L, Option(ts), None: Option[Long], Option("click"), Option(10.0)), // null user
+      (3L, Option(ts), Option(7L), Option("click"), None: Option[Double]), // null value
+      (4L, Option(ts), Option(7L), None: Option[String], Option(10.0)),    // null type
+      (5L, None: Option[java.sql.Timestamp], Option(7L), Option("click"), Option(10.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val clean = df.filter(EventsEtl.validPred)
+    val rejects = df.filter(EventsEtl.invalidPred)
+      .withColumn("reason", EventsEtl.reasonCol)
+    // three-valued logic must not swallow rows: NULL predicate ==> reject
+    assert(clean.count() + rejects.count() == 5)
+    val reasons = rejects.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("reason")).toMap
+    assert(reasons == Map(2L -> "null_user", 3L -> "null_value",
+      4L -> "bad_type", 5L -> "null_ts"))
+  }
+
   test("cube grand total equals the orders count; slices are consistent") {
     val orders = graft.sources.Tables.orders(spark, sfDir).count()
     val rows = Analytics.cubeAgg(spark, sfDir).collect()
