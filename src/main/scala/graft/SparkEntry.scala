@@ -995,13 +995,13 @@ object SparkEntry {
 
     "q_burst_detect" ->
       """WITH h AS (
-        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
         |   COUNT(*) AS n
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |t AS (
         |  SELECT *, COUNT(*) OVER w AS base_n, round(AVG(n) OVER w, 6) AS base_mean
-        |  FROM h WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT hour_us, n, base_mean,
+        |  FROM h WINDOW w AS (ORDER BY hour_idx RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_idx * 3600000000 AS hour_us, n, base_mean,
         | round(base_mean + 3.0 * sqrt(base_mean), 6) AS threshold,
         | n > round(base_mean + 3.0 * sqrt(base_mean), 6) AS is_burst
         |FROM t WHERE base_n = 24
@@ -1375,9 +1375,9 @@ object SparkEntry {
         |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
         |t AS (SELECT MIN(cnt) AS target FROM counts)
         |SELECT d.doc_id, d.lang,
-        | CAST((d.doc_id * 2654435761) % 1000003 AS BIGINT) AS sample_key
+        | CAST(((d.doc_id % 1000003) * 2654435761) % 1000003 AS BIGINT) AS sample_key
         |FROM documents d JOIN counts USING (lang), t
-        |WHERE ((d.doc_id * 2654435761) % 1000003) * counts.cnt < t.target * 1000003
+        |WHERE (((d.doc_id % 1000003) * 2654435761) % 1000003) * counts.cnt < t.target * 1000003
         |ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
@@ -1431,7 +1431,7 @@ object SparkEntry {
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
         |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
         |    CAST(SUM(y*y) AS BIGINT) AS syy
-        |  FROM e WHERE y IS NOT NULL GROUP BY event_type)
+        |  FROM e WHERE y IS NOT NULL AND x IS NOT NULL GROUP BY event_type)
         |SELECT event_type, n, sx, sy, sxy, sxx, syy,
         | (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
         |   (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
@@ -1681,14 +1681,14 @@ object SparkEntry {
         |         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
         |        FROM documents d LEFT JOIN closure c ON c.a = d.doc_id GROUP BY d.doc_id)
         |SELECT doc_id, cluster_id,
-        |  CAST((cluster_id * 2654435761) % 1000003 AS BIGINT) AS split_key,
-        |  CASE WHEN ((cluster_id * 2654435761) % 1000003) * 10 < 8 * 1000003 THEN 'train'
-        |       WHEN ((cluster_id * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
+        |  CAST(((cluster_id % 1000003) * 2654435761) % 1000003 AS BIGINT) AS split_key,
+        |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 8 * 1000003 THEN 'train'
+        |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM lbl ORDER BY doc_id""".stripMargin,
     "corpus_shard" ->
       """WITH k AS (SELECT doc_id,
-        |  CAST((doc_id * 2654435761) % 1000003 AS BIGINT) AS shard_key FROM documents)
+        |  CAST(((doc_id % 1000003) * 2654435761) % 1000003 AS BIGINT) AS shard_key FROM documents)
         |SELECT doc_id, CAST(shard_key % 8 AS BIGINT) AS shard, shard_key,
         |  CAST(row_number() OVER (PARTITION BY shard_key % 8
         |    ORDER BY shard_key, doc_id) AS BIGINT) AS pos

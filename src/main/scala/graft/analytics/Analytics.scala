@@ -65,7 +65,9 @@ object Analytics {
     val y = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(spark, dir)
       .select(col("event_type"), x.as("x"), y.as("y"))
-      .filter(col("y").isNotNull)
+      // BOTH sides non-null: a null x would still count in n while
+      // every sum() skips it — moments over inconsistent populations
+      .filter(col("y").isNotNull && col("x").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
@@ -537,14 +539,20 @@ object Analytics {
     * flag and the round(6) scores are engine-identical. */
   def burstDetect(spark: SparkSession, dir: String): DataFrame = {
     val HourUs = 3600L * 1000000L
-    val trailing = Window.orderBy("hour_us").rowsBetween(-24, -1)
+    // RANGE frame over the hour INDEX, not a ROWS frame: empty hours
+    // produce no rollup row, so a row frame would reach past any
+    // outage to the 24 nearest OBSERVED hours — comparing against a
+    // stale baseline; the value-range frame means "the last 24 CLOCK
+    // hours", and base_n === 24 certifies a gap-free baseline
+    val trailing = Window.orderBy("hour_idx").rangeBetween(-24, -1)
     Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
-      .groupBy((expr(s"unix_micros(ts) div $HourUs") * HourUs).as("hour_us"))
+      .groupBy(expr(s"unix_micros(ts) div $HourUs").as("hour_idx"))
       .agg(count(lit(1)).as("n"))
       .withColumn("base_n", count(lit(1)).over(trailing))
       .withColumn("base_mean", round(avg(col("n")).over(trailing), 6))
       .filter(col("base_n") === 24)
+      .withColumn("hour_us", col("hour_idx") * HourUs)
       .withColumn("threshold", round(col("base_mean") + lit(3.0) * sqrt(col("base_mean")), 6))
       .withColumn("is_burst", col("n") > col("threshold"))
       .select("hour_us", "n", "base_mean", "threshold", "is_burst")

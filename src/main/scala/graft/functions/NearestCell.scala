@@ -83,6 +83,15 @@ object NearestCell {
         if (!taken(m) && dists(m) < bestDist) { bestDist = dists(m); best = m }
         m += 1
       }
+      if (best < 0) {
+        // all remaining distances NaN (a NaN component poisons every
+        // comparison): fall back to the lowest untaken index so the
+        // multi-probe variant degrades exactly like single-probe
+        // `nearest` (which returns its initial index) instead of
+        // indexing taken(-1)
+        var f = 0
+        while (best < 0 && f < cs.length) { if (!taken(f)) best = f; f += 1 }
+      }
       taken(best) = true
       out(r) = best
       r += 1

@@ -76,7 +76,13 @@ object VecKernels {
     if (float) a.getFloat(i).toDouble else a.getDouble(i)
 
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // fail loudly on a dimension mismatch: a truncated dot product is
+    // plausible-but-wrong similarity with no signal, and the DuckDB
+    // parity oracle (list_dot_product) raises on mismatched lengths
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot dimension mismatch: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += at(a, aFloat, i) * at(b, bFloat, i); i += 1 }

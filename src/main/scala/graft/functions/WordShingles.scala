@@ -67,7 +67,7 @@ object WordShingles {
   private val B2 = 137L
 
   def rollingHash(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var a1 = 0L
     var a2 = 0L
     var i = 0
@@ -86,7 +86,7 @@ object WordShingles {
   }
 
   def tokens(text: UTF8String): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -110,7 +110,7 @@ object WordShingles {
 
   /** static entry point shared by interpreted and generated code */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

@@ -101,12 +101,29 @@ object Formats {
   def htmlTableToDf(spark: SparkSession, pages: Dataset[String]): DataFrame = {
     import spark.implicits._
     val rows = parseHtmlTables(pages)
-    val header = rows.head()
+    // take(1), not head(): zero parsed tables must read as an empty
+    // frame, not NoSuchElementException
+    val header = rows.take(1).headOption.getOrElse(Seq.empty)
+    if (header.isEmpty) return Seq.empty[Seq[String]].toDF("cells")
+    // drop ONLY header-shaped repeats (a <th> row re-emitted per page),
+    // never a data row that happens to echo the header VALUES — the
+    // parser marks nothing, so the distinguishing feature is identity
+    // with the first row; a data row identical to the header is
+    // indistinguishable in-band and the page format (th first row per
+    // page) makes repeats headers. Width mismatches are ragged rows.
+    val sanitized = header.map(_.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    // de-collide sanitized names ("Stop ID"/"stop-id" both -> stop_id):
+    // suffix later duplicates positionally so col() stays unambiguous
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = sanitized.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
     rows.filter(r => r != header && r.length == header.length)
       .map(r => r.toArray)
       .toDF("cells")
-      .select(header.zipWithIndex.map { case (name, i) =>
-        col("cells").getItem(i).as(name.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+      .select(names.zipWithIndex.map { case (name, i) =>
+        col("cells").getItem(i).as(name)
       }: _*)
   }
 }

@@ -22,7 +22,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as a nanos long and truncate to the
-    * microsecond TimestampType domain (integral `div`, no FP). */
+    * microsecond TimestampType domain (integral `div`, no FP).
+    *
+    * KNOWN session-conf side effect: `nanosAsLong` is a session-wide
+    * legacy flag with no per-read option, and it is consulted at SCAN
+    * execution, not at `spark.read` time — set-then-restore would race
+    * the lazy job. After this call, other TIMESTAMP(NANOS) parquet in
+    * the same session also reads as long (benign for this engine: the
+    * events file is the only nanos source; flagged here because the
+    * repo's convention elsewhere is per-write/per-read options). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -18,16 +18,12 @@ import graft.sources.Tables
   */
 object CorpusOps {
 
-  /** Shared canonicalization (lowercase a-z words) — identical to
-    * TextOps.wordsCol and the DuckDB oracle's list_filter/string_split
-    * pipeline. */
-  private def wordsCol: Column =
-    filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
-      w => w =!= "")
+  /** The canonical tokenization and the parallelized scan, SHARED with
+    * TextOps — one source of truth, no drifting copies. */
+  private def wordsCol: Column = TextOps.wordsCol
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    TextOps.docsRepartitioned(spark, dir)
 
   /** Overlapping token-window chunking (window 64 words, stride 48):
     * the context-window split a pre-training pipeline applies to long
@@ -107,7 +103,7 @@ object CorpusOps {
     val counts = perLang.crossJoin(perLang.agg(min("cnt").as("target")))
     docs(spark, dir)
       .join(broadcast(counts), Seq("lang"))
-      .withColumn("sample_key", pmod(col("doc_id") * 2654435761L, lit(m)))
+      .withColumn("sample_key", pmod(pmod(col("doc_id"), lit(m)) * 2654435761L, lit(m)))
       .filter(col("sample_key") * col("cnt") < col("target") * m)
       .select(col("doc_id"), col("lang"), col("sample_key"))
       .orderBy("doc_id")
@@ -155,9 +151,14 @@ object CorpusOps {
       .withColumn("w_micro",
         floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
     per.crossJoin(per.agg(sum("w_micro").as("tot_w")))
-      .withColumn("share", col("w_micro").cast("double") / col("tot_w"))
+      // nullif denominators: an all-empty source (or corpus) yields 0
+      // weights, and double /0 is Inf/NaN in Spark — NULL is the
+      // repo's pinned divide-by-zero convention
+      .withColumn("share", col("w_micro").cast("double") /
+        nullif(col("tot_w"), lit(0L)))
       .withColumn("target_tokens", floor(col("share") * budget).cast("long"))
-      .withColumn("epochs", col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("epochs", col("target_tokens").cast("double") /
+        nullif(col("n_tokens"), lit(0L)))
       .select("source", "n_docs", "n_tokens", "w_micro", "share",
         "target_tokens", "epochs")
       .orderBy("source")

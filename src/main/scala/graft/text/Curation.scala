@@ -51,7 +51,7 @@ object Curation {
     * rounding seam), so assignment is reproducible on any engine and
     * any shard layout. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val key = (col("cluster_id") * lit(2654435761L)) % lit(1000003L)
+    val key = ((col("cluster_id") % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
     TextOps.clusterLabels(spark, dir)
       .withColumn("split_key", key)
       .withColumn("split",
@@ -78,7 +78,7 @@ object Curation {
     * doc_id) order and the final position is exact. Re-running on any
     * input layout yields the identical permutation. */
   def globalShuffleShards(spark: SparkSession, dir: String): DataFrame = {
-    val key = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+    val key = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
     val SubBucket = 65536L // key-range width per sub-bucket
     val keyed = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"))

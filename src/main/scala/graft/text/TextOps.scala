@@ -17,8 +17,11 @@ import graft.sources.Tables
 object TextOps {
 
   /** Lowercased a-z words of a document, empties removed — the shared
-    * canonicalization for shingling/fingerprinting/quality. */
-  private def wordsCol: Column =
+    * canonicalization for shingling/fingerprinting/quality (also the
+    * single source of truth for CorpusOps — two drifting copies of the
+    * tokenization would silently de-synchronize chunking/BM25 from the
+    * dedup/quality operators). */
+  private[text] def wordsCol: Column =
     filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
       w => w =!= "")
 
