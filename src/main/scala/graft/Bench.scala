@@ -25,15 +25,36 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // A failing query must NOT look like a fast success: record the
+    // error per query, surface the stack on stderr, and flag it in the
+    // emitted JSON so cross-round comparisons can't be corrupted by a
+    // crash masquerading as a speedup.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { force(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          System.err.println(s"[bench] FAILED $name")
+          e.printStackTrace()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

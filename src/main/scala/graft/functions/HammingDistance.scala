@@ -43,32 +43,40 @@ object GraftFunctions {
     case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming64", exprs => HammingDistance(asLong(exprs(0)), asLong(exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles3", exprs => WordShingles(exprs.head, 3), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles2", exprs => WordShingles(exprs.head, 2), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash128", exprs => MinHash128(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash128", exprs => SimHash128(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_profile", exprs => TextProfile(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_profile", exprs => TokenProfile(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_tokens", exprs => WordTokens(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm", exprs => VecNorm(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder2", exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1))), "built-in")
-  }
+  /** Single source of truth — (name, usage, builder) for every graft
+    * SQL function. Both registration paths (register() on a live
+    * session, GraftExtensions at session build time) iterate this
+    * table, so they cannot drift apart. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hamming64", "hamming64(a, b) - popcount(a XOR b) over two int64 signatures",
+      exprs => HammingDistance(asLong(exprs(0)), asLong(exprs(1)))),
+    ("word_shingles3", "word_shingles3(text) - distinct 3-word shingles",
+      exprs => WordShingles(exprs.head, 3)),
+    ("word_shingles2", "word_shingles2(text) - distinct 2-word shingles",
+      exprs => WordShingles(exprs.head, 2)),
+    ("minhash128", "minhash128(shingles) - 128-slot MinHash signature in one pass",
+      exprs => MinHash128(exprs.head)),
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash signature in one pass",
+      exprs => SimHash64(exprs.head)),
+    ("simhash128", "simhash128(tokens) - 128-bit SimHash signature [w0, w1] in one pass",
+      exprs => SimHash128(exprs.head)),
+    ("text_profile", "text_profile(text) - (n_chars, n_words, n_punct, n_stop) in one scan",
+      exprs => TextProfile(exprs.head)),
+    ("token_profile", "token_profile(text) - (n_chars, n_ws_tokens, n_re_tokens) in one scan",
+      exprs => TokenProfile(exprs.head)),
+    ("word_tokens", "word_tokens(text) - lowercase a-z word tokens",
+      exprs => WordTokens(exprs.head)),
+    ("vec_dot", "vec_dot(a, b) - sequential double dot product of two vectors",
+      exprs => VecDot(exprs(0), exprs(1))),
+    ("vec_norm", "vec_norm(a) - L2 norm of a vector",
+      exprs => VecNorm(exprs.head)),
+    ("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text",
+      exprs => RollingHash(exprs.head)),
+    ("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates",
+      exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

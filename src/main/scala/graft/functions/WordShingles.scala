@@ -108,18 +108,16 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  /** static entry point shared by interpreted and generated code */
+  /** static entry point shared by interpreted and generated code;
+    * tokenization delegates to tokens() so word_tokens and
+    * word_shingles can never disagree on the same document */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val sb = new java.lang.StringBuilder(s.length)
+    val toks = tokens(text)
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[String](m)
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || c == ' ') sb.append(c)
-      i += 1
-    }
-    val words = sb.toString.split(" ").filter(_.nonEmpty)
-    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    while (i < m) { words(i) = toks.getUTF8String(i).toString; i += 1 }
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     i = 0
     while (i <= words.length - n) {

@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Custom whole-operator: top-k rows per key WITHOUT sorting.
   *
@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
   * inserts the hash exchange via requiredChildDistribution, so the
   * operator composes with AQE like any built-in.
   *
-  * Ordering contract: rows rank by (orderCol DESC, tieCol ASC) —
+  * Ordering contract — exactly the Spark defaults for `desc, asc`:
+  * rows rank by (orderCol DESC NULLS LAST, tieCol ASC NULLS FIRST),
   * deterministic under ties like the window formulation it replaces.
+  * Numeric comparison matches Spark's sort total order: NaN ranks
+  * greatest, -0.0 < 0.0, and integral values compare exactly (no
+  * double narrowing — full 64-bit precision). Group keys may be any
+  * data type: grouping goes through an UnsafeProjection, so binary /
+  * struct / array keys hash and compare by value.
   */
 case class TopKPerKey(k: Int, groupCols: Seq[String], orderCol: String,
     tieCol: String, child: LogicalPlan) extends UnaryNode {
@@ -54,55 +60,77 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
     val groupIdx = groupCols.map(n => out.indexWhere(_.name == n))
-    val groupTypes = groupIdx.map(out(_).dataType)
     val orderIdx = out.indexWhere(_.name == orderCol)
     val orderType = out(orderIdx).dataType
     val tieIdx = out.indexWhere(_.name == tieCol)
     val tieType = out(tieIdx).dataType
+    // fail on the driver, not per-task, for unsupported ranking types
+    Seq(orderType, tieType).foreach {
+      case DoubleType | FloatType | LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(s"unsupported order type $other")
+    }
     val kk = k
 
     child.execute().mapPartitions({ iter =>
-      def num(row: InternalRow, i: Int, dt: org.apache.spark.sql.types.DataType): Double =
-        dt match {
-          case DoubleType => row.getDouble(i)
-          case FloatType => row.getFloat(i).toDouble
-          case LongType => row.getLong(i).toDouble
-          case IntegerType => row.getInt(i).toDouble
-          case other => throw new IllegalArgumentException(s"unsupported order type $other")
-        }
-      // rank: HIGHER value wins; on equal value, LOWER tie wins.
-      // heap head must be the currently-worst kept row.
-      final case class Entry(v: Double, tie: Double, row: InternalRow)
-      val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) => {
-        val c = java.lang.Double.compare(b.v, a.v) // smaller v = worse = "greater"
-        if (c != 0) c else java.lang.Double.compare(a.tie, b.tie) // larger tie = worse
+      // Monotone double→long map (Lucene's sortableDoubleBits):
+      // preserves java.lang.Double.compare order — -0.0 < 0.0, NaN
+      // greatest — the same total order Spark's sort uses. Integral
+      // types pass through exactly, so longs never lose precision.
+      def sortable(d: Double): Long = {
+        val b = java.lang.Double.doubleToLongBits(d)
+        b ^ ((b >> 63) & Long.MaxValue)
       }
-      // transient keys (may point into the reused row buffer) are fine
-      // for lookup; only a NEW bucket's key must be made durable, and
-      // rows are only copied when they actually enter a heap — the
-      // common rejected row is never copied.
-      def keyOf(r: InternalRow, durable: Boolean): Seq[Any] =
-        groupIdx.zip(groupTypes).map { case (i, dt) =>
-          r.get(i, dt) match {
-            case s: org.apache.spark.unsafe.types.UTF8String if durable => s.clone()
-            case v => v
-          }
-        }
-      val heaps = new java.util.HashMap[Seq[Any], scala.collection.mutable.PriorityQueue[Entry]]()
+      def num(row: InternalRow, i: Int, dt: DataType): Long = dt match {
+        case DoubleType => sortable(row.getDouble(i))
+        case FloatType => sortable(row.getFloat(i).toDouble)
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i).toLong
+        case other => throw new IllegalArgumentException(s"unsupported order type $other")
+      }
+      // rank: (order DESC NULLS LAST, tie ASC NULLS FIRST) — true iff
+      // row a ranks strictly before row b.
+      def ranksBefore(aVN: Boolean, aV: Long, aTN: Boolean, aT: Long,
+          bVN: Boolean, bV: Long, bTN: Boolean, bT: Long): Boolean = {
+        if (aVN != bVN) !aVN // non-null order value beats null (NULLS LAST under DESC)
+        else if (!aVN && aV != bV) aV > bV
+        else if (aTN != bTN) aTN // null tie ranks first (NULLS FIRST under ASC)
+        else !aTN && aT < bT
+      }
+      final case class Entry(vNull: Boolean, v: Long, tieNull: Boolean,
+          tie: Long, row: InternalRow)
+      // heap head must be the currently-worst kept row
+      val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) => {
+        if (ranksBefore(a.vNull, a.v, a.tieNull, a.tie, b.vNull, b.v, b.tieNull, b.tie)) -1
+        else if (ranksBefore(b.vNull, b.v, b.tieNull, b.tie, a.vNull, a.v, a.tieNull, a.tie)) 1
+        else 0
+      }
+      // Group keys via UnsafeProjection: value-based hashCode/equals for
+      // every data type (strings, binary, structs, arrays). The
+      // projection reuses its buffer, so lookups are allocation-free;
+      // only a NEW bucket's key is copied, and rows are only copied
+      // when they actually enter a heap — the common rejected row costs
+      // nothing.
+      val keyProj = UnsafeProjection.create(
+        groupIdx.map(i => BoundReference(i, out(i).dataType, out(i).nullable): Expression))
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
       while (iter.hasNext) {
         val r = iter.next()
-        val rv = num(r, orderIdx, orderType)
-        val rt = num(r, tieIdx, tieType)
-        var h = heaps.get(keyOf(r, durable = false))
+        val rvNull = r.isNullAt(orderIdx)
+        val rv = if (rvNull) 0L else num(r, orderIdx, orderType)
+        val rtNull = r.isNullAt(tieIdx)
+        val rt = if (rtNull) 0L else num(r, tieIdx, tieType)
+        val key = keyProj(r)
+        var h = heaps.get(key)
         if (h == null) {
           h = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
-          heaps.put(keyOf(r, durable = true), h)
+          heaps.put(key.copy(), h)
         }
-        if (h.size < kk) h.enqueue(Entry(rv, rt, r.copy()))
+        if (h.size < kk) h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
         else {
-          val worst = h.head
-          val better = rv > worst.v || (rv == worst.v && rt < worst.tie)
-          if (better) { h.dequeue(); h.enqueue(Entry(rv, rt, r.copy())) }
+          val w = h.head
+          if (ranksBefore(rvNull, rv, rtNull, rt, w.vNull, w.v, w.tieNull, w.tie)) {
+            h.dequeue(); h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
+          }
         }
       }
       import scala.jdk.CollectionConverters._
@@ -126,7 +154,8 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
-  /** Public API: top-k rows per key, ranked (orderCol DESC, tieCol ASC). */
+  /** Public API: top-k rows per key, ranked
+    * (orderCol DESC NULLS LAST, tieCol ASC NULLS FIRST). */
   def perKey(df: DataFrame, k: Int, groupCols: Seq[String],
       orderCol: String, tieCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   *
   * Fires only when the rewrite is provably safe:
   *  - single row_number window expression, default/row frame;
-  *  - ORDER BY is exactly (numeric DESC, numeric ASC) — the operator's
-  *    ranking contract;
+  *  - ORDER BY is exactly (numeric DESC NULLS LAST, numeric ASC NULLS
+  *    FIRST) — the Spark defaults for `desc, asc`, and the operator's
+  *    ranking contract; explicit non-default null orderings are left
+  *    on the window path;
   *  - partition/order keys are plain attributes with unambiguous names;
   *  - the rank column is dropped by the enclosing projection (the heap
   *    operator does not produce it).
@@ -60,21 +62,24 @@ object TopKRewrite extends Rule[LogicalPlan] {
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(_: RowNumber,
               WindowSpecDefinition(partSpec,
-                Seq(SortOrder(o: AttributeReference, Descending, _, _),
-                    SortOrder(t: AttributeReference, Ascending, _, _)), frame)), _)),
+                Seq(SortOrder(o: AttributeReference, Descending, NullsLast, _),
+                    SortOrder(t: AttributeReference, Ascending, NullsFirst, _)), frame)), _)),
             _, _, wchild, _)))
         if defaultRowFrame(frame) &&
           numeric(o.dataType) && numeric(t.dataType) && o.name != t.name &&
           partSpec.forall(_.isInstanceOf[AttributeReference]) &&
-          limitOf(cond, al.toAttribute).exists(_ >= 1) &&
           !p.references.contains(al.toAttribute) && {
             // name-based resolution in the operator must be unambiguous
             val names = wchild.output.map(_.name)
             names.distinct.size == names.size
           } =>
-      val k = limitOf(cond, al.toAttribute).get
-      val partNames = partSpec.map(_.asInstanceOf[AttributeReference].name)
-      Project(projectList,
-        TopKPerKey(k, partNames, o.name, t.name, stripGroupLimit(wchild)))
+      // k bound ONCE — guard and rewrite body cannot desynchronize
+      limitOf(cond, al.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          val partNames = partSpec.map(_.asInstanceOf[AttributeReference].name)
+          Project(projectList,
+            TopKPerKey(k, partNames, o.name, t.name, stripGroupLimit(wchild)))
+        case _ => p
+      }
   }
 }

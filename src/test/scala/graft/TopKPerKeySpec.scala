@@ -56,4 +56,66 @@ class TopKPerKeySpec extends SparkSpec {
     // ties broken by ascending id; group b has fewer than k rows
     assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)))
   }
+
+  test("NULL order values rank last (DESC NULLS LAST), even against negatives") {
+    import spark.implicits._
+    // NULLs arrive FIRST so a null-as-0.0 bug would admit them over the
+    // negative-valued rows; the window contract puts them after every value
+    val df = Seq(
+      ("a", 1L, None: Option[Double]), ("a", 2L, None),
+      ("a", 3L, Some(-5.0)), ("a", 4L, Some(-1.0)), ("a", 5L, Some(-2.0))
+    ).toDF("g", "id", "v")
+    val got = TopK.perKey(df, 3, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 5L, 3L)) // -1 > -2 > -5 > NULL
+    // and with k past the non-null rows, NULLs fill by ascending tie
+    val got4 = TopK.perKey(df, 4, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got4 == Set(4L, 5L, 3L, 1L))
+  }
+
+  test("NaN ranks greatest regardless of arrival order, matching Spark's sort") {
+    import spark.implicits._
+    // NaN arrives LAST, after the heap is already full at k=2
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, Double.NaN)).toDF("g", "id", "v")
+    val got = TopK.perKey(df, 2, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("v").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("id").collect().map(_.getLong(0)).toSet
+    assert(windowed == Set(5L, 4L)) // Spark sorts NaN greatest
+    assert(got == windowed)
+  }
+
+  test("long ranking columns compare exactly above 2^53 (no double narrowing)") {
+    import spark.implicits._
+    val big = 9007199254740992L // 2^53
+    // tie-break: equal order values, adjacent longs that collapse to the
+    // same double; the LARGER tie arrives first so a narrowed compare
+    // would see a spurious tie and keep the wrong row
+    val dfTie = Seq(("a", big + 1, 1.0), ("a", big, 1.0)).toDF("g", "id", "v")
+    val gotTie = TopK.perKey(dfTie, 1, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotTie == Set(big)) // ASC tie: 2^53 < 2^53+1
+    // order: adjacent longs as the ranking value itself
+    val dfOrd = Seq(("a", 1L, big), ("a", 2L, big + 1)).toDF("g", "id", "v")
+    val gotOrd = TopK.perKey(dfOrd, 1, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotOrd == Set(2L)) // DESC order: 2^53+1 wins
+  }
+
+  test("binary group keys group by value, not reference") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[Byte](1, 2), 1L, 5.0), (Array[Byte](1, 2), 2L, 4.0),
+      (Array[Byte](3), 3L, 1.0)).toDF("g", "id", "v")
+    val got = TopK.perKey(df, 1, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // one winner per distinct key VALUE — reference-equality keys would
+    // put every row in its own bucket and emit all three
+    assert(got == Set(1L, 3L))
+  }
 }

@@ -42,6 +42,24 @@ class TopKRewriteSpec extends SparkSpec {
     } finally TopK.disableAutoRewrite(spark)
   }
 
+  test("rewrite does NOT fire for non-default null ordering") {
+    TopK.enableAutoRewrite(spark)
+    try {
+      // DESC NULLS FIRST contradicts the heap operator's NULLS LAST
+      // contract — must stay on the window path
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc_nulls_first, col("p_partkey"))
+      val plan = graft.sources.Tables.part(spark, sfDir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("p_brand", "p_partkey")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"))
+      assert(plan.contains("Window"))
+    } finally TopK.disableAutoRewrite(spark)
+  }
+
   test("rewrite does NOT fire for an unsupported ordering contract") {
     TopK.enableAutoRewrite(spark)
     try {
