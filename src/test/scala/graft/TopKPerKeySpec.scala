@@ -107,6 +107,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(gotOrd == Set(2L)) // DESC order: 2^53+1 wins
   }
 
+  test("result is invariant to the input partition layout (partial-stage correctness)") {
+    import spark.implicits._
+    // heavy ties (v has 13 values over 7 groups) so the map-side heaps
+    // prune different row subsets under every layout; the final stage
+    // must still converge on the same top-k
+    val df = (1 to 400).map(i => ((i % 7).toString, i.toLong, (i % 13).toDouble))
+      .toDF("g", "id", "v")
+    val want = TopK.perKey(df.coalesce(1), 3, Seq("g"), "v", "id")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (p <- Seq(2, 5, 11)) {
+      val got = TopK.perKey(df.repartition(p), 3, Seq("g"), "v", "id")
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"input layout with $p partitions diverged")
+    }
+  }
+
   test("binary group keys group by value, not reference") {
     import spark.implicits._
     val df = Seq(
