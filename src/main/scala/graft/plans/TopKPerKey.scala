@@ -14,7 +14,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   * Spark expresses top-k-per-key as window row_number + filter, which
   * sorts every partition by (key, order) before ranking. This operator
   * keeps a bounded k-element heap per key in a single pass — O(n log k)
-  * with memory bounded by keys × k, no sort at all. The planner
+  * with memory bounded by keys × k, no sort at all. The map-side
+  * (partial) stage additionally caps its buffered entries
+  * (`graft.topk.partialFlushEntries`, default 2^20) and flushes to the
+  * shuffle when exceeded, so memory stays bounded even when the
+  * grouping key's cardinality scales with the data. The planner
   * inserts the hash exchange via requiredChildDistribution, so the
   * operator composes with AQE like any built-in.
   *
@@ -70,6 +74,19 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
       case other => throw new IllegalArgumentException(s"unsupported order type $other")
     }
     val kk = k
+    // Memory bound for the map-side stage: the partial instance holds
+    // one k-heap per distinct key seen in its input split, which is
+    // unbounded for high-cardinality keys (user-level top-k over a
+    // 100 TB table). Like partial hash aggregation's fallback, flush
+    // (emit + clear) once the buffered entries exceed a cap — the
+    // flushed rows are a superset of each key's split-local top-k, and
+    // the final stage recomputes the true top-k after the shuffle, so
+    // flushing never changes results, only map-side reduction ratio.
+    // The final stage must keep every key of its shuffle partition (a
+    // flush there WOULD drop rows), so it never flushes.
+    val maxEntries =
+      if (!partial) Long.MaxValue
+      else conf.getConfString("graft.topk.partialFlushEntries", (1 << 20).toString).toLong
 
     child.execute().mapPartitions({ iter =>
       // Monotone double→long map (Lucene's sortableDoubleBits):
@@ -112,29 +129,55 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
       // nothing.
       val keyProj = UnsafeProjection.create(
         groupIdx.map(i => BoundReference(i, out(i).dataType, out(i).nullable): Expression))
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
-      while (iter.hasNext) {
-        val r = iter.next()
-        val rvNull = r.isNullAt(orderIdx)
-        val rv = if (rvNull) 0L else num(r, orderIdx, orderType)
-        val rtNull = r.isNullAt(tieIdx)
-        val rt = if (rtNull) 0L else num(r, tieIdx, tieType)
-        val key = keyProj(r)
-        var h = heaps.get(key)
-        if (h == null) {
-          h = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
-          heaps.put(key.copy(), h)
-        }
-        if (h.size < kk) h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
-        else {
-          val w = h.head
-          if (ranksBefore(rvNull, rv, rtNull, rt, w.vNull, w.v, w.tieNull, w.tie)) {
-            h.dequeue(); h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
+      import scala.jdk.CollectionConverters._
+      new Iterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]()
+        private var entryCount = 0L
+        private var drain: Iterator[InternalRow] = Iterator.empty
+
+        // consume input until the entry cap forces a flush (or input
+        // ends), then snapshot-and-clear the heaps into `drain`
+        private def fill(): Unit = {
+          while (iter.hasNext && entryCount < maxEntries) {
+            val r = iter.next()
+            val rvNull = r.isNullAt(orderIdx)
+            val rv = if (rvNull) 0L else num(r, orderIdx, orderType)
+            val rtNull = r.isNullAt(tieIdx)
+            val rt = if (rtNull) 0L else num(r, tieIdx, tieType)
+            val key = keyProj(r)
+            var h = heaps.get(key)
+            if (h == null) {
+              h = scala.collection.mutable.PriorityQueue.empty[Entry](worstFirst)
+              heaps.put(key.copy(), h)
+            }
+            if (h.size < kk) {
+              h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
+              entryCount += 1
+            } else {
+              val w = h.head
+              if (ranksBefore(rvNull, rv, rtNull, rt, w.vNull, w.v, w.tieNull, w.tie)) {
+                h.dequeue(); h.enqueue(Entry(rvNull, rv, rtNull, rt, r.copy()))
+              }
+            }
+          }
+          if (!heaps.isEmpty) {
+            val snapshot = heaps.values().asScala.toArray
+            heaps.clear()
+            entryCount = 0L
+            drain = snapshot.iterator.flatMap(_.iterator.map(_.row))
           }
         }
+
+        override def hasNext: Boolean = {
+          while (!drain.hasNext && iter.hasNext) fill()
+          drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("TopKPerKey drained")
+          drain.next()
+        }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator.map(_.row))
     }, preservesPartitioning = true)
   }
 

@@ -123,6 +123,23 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("map-side flush under a tiny entry cap never changes results") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ((i % 7).toString, i.toLong, (i % 13).toDouble))
+      .toDF("g", "id", "v")
+    val want = TopK.perKey(df, 3, Seq("g"), "v", "id")
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // cap of 4 buffered entries forces dozens of partial-stage flushes
+    // (7 groups × k=3 = 21 entries live without it); the final stage
+    // must reconstruct the same top-k from the flushed superset
+    spark.conf.set("graft.topk.partialFlushEntries", "4")
+    try {
+      val got = TopK.perKey(df.repartition(5), 3, Seq("g"), "v", "id")
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally spark.conf.unset("graft.topk.partialFlushEntries")
+  }
+
   test("binary group keys group by value, not reference") {
     import spark.implicits._
     val df = Seq(
