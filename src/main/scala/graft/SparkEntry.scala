@@ -224,35 +224,43 @@ object SparkEntry {
 
     "etl_derive_speed" ->
       """WITH e AS (
-        |  SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |  SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
         |d AS (
-        |  SELECT e.*, value - lag(value) OVER w AS dv, ts_us - lag(ts_us) OVER w AS dt_us
+        |  SELECT e.*, value - lag(value) OVER w AS dv, ts_us - lag(ts_us) OVER w AS dt_us,
+        |   lag(ts_us) OVER w AS prev_ts
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
         |s AS (
-        |  SELECT d.*, CASE WHEN dt_us > 0 THEN dv / (dt_us / 1000000.0) END AS speed_raw FROM d)
+        |  SELECT d.*, CASE WHEN dt_us > 0 THEN dv / (dt_us / 1000000.0) END AS speed_raw FROM d),
+        |f AS (
+        |  SELECT s.*, CASE WHEN speed_raw IS NOT NULL THEN speed_raw
+        |    WHEN prev_ts IS NULL THEN lead(speed_raw) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |  END AS speed_fill FROM s)
         |SELECT event_id, user_id, ts_us, value,
-        | round(greatest(0.0, coalesce(speed_raw,
-        |   lead(speed_raw) OVER (PARTITION BY user_id ORDER BY ts_us))), 6) AS speed
-        |FROM s ORDER BY event_id""".stripMargin,
+        | round(CASE WHEN speed_fill < 0 THEN 0.0 ELSE speed_fill END, 6) AS speed
+        |FROM f ORDER BY event_id""".stripMargin,
 
     "etl_dedup_keyfirst" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-        |   CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 6 THEN 'Saturday'
+        |   CASE WHEN ts IS NULL THEN NULL
+        |        WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 6 THEN 'Saturday'
         |        WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 0 THEN 'Sunday'
         |        ELSE 'Weekday' END AS service_key,
-        |   row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC NULLS LAST, event_id) AS rn
         |  FROM events)
         |SELECT user_id, event_id AS first_event_id, event_type AS first_event_type,
         | service_key, 'Out' AS direction
         |FROM e WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "etl_service_key" ->
-      """SELECT CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 6 THEN 'Saturday'
+      """SELECT CASE WHEN ts IS NULL THEN NULL
+        |      WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 6 THEN 'Saturday'
         |      WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 0 THEN 'Sunday'
         |      ELSE 'Weekday' END AS service_key,
         | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY service_key""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY service_key ASC NULLS LAST""".stripMargin,
 
     "etl_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -732,15 +740,29 @@ object SparkEntry {
         |  SELECT b2.*, SUM(delta) OVER (PARTITION BY hour
         |    ORDER BY t_us, delta, user_id, session_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS local_run FROM b2),
+        |hp AS (
+        |  SELECT hour, MAX(local_run) AS mlr, MIN(t_us) AS t0, COUNT(*) AS n_boundaries
+        |  FROM loc GROUP BY hour),
         |off AS (
-        |  SELECT hour, COALESCE(SUM(hour_total) OVER (ORDER BY hour
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
-        |  FROM (SELECT hour, SUM(delta) AS hour_total FROM b2 GROUP BY hour))
-        |SELECT CAST(l.hour * 3600000000 AS BIGINT) AS hour_us,
-        |  CAST(MAX(o.carry_in + l.local_run) AS BIGINT) AS max_concurrent,
-        |  COUNT(*) AS n_boundaries
-        |FROM loc l JOIN off o USING (hour)
-        |GROUP BY l.hour ORDER BY hour_us""".stripMargin,
+        |  SELECT hour, hour_total,
+        |    COALESCE(SUM(hour_total) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in,
+        |    LEAD(hour) OVER (ORDER BY hour) AS next_hour
+        |  FROM (SELECT hour, SUM(delta) AS hour_total FROM b2 GROUP BY hour)),
+        |bh AS (
+        |  SELECT hp.hour,
+        |    o.carry_in + CASE WHEN hp.t0 > hp.hour * 3600000000
+        |      THEN GREATEST(hp.mlr, 0) ELSE hp.mlr END AS max_concurrent,
+        |    hp.n_boundaries
+        |  FROM hp JOIN off o USING (hour)),
+        |gaps AS (
+        |  SELECT UNNEST(generate_series(hour + 1, next_hour - 1)) AS hour,
+        |    carry_in + hour_total AS max_concurrent, CAST(0 AS BIGINT) AS n_boundaries
+        |  FROM off WHERE next_hour > hour + 1 AND carry_in + hour_total > 0)
+        |SELECT CAST(hour * 3600000000 AS BIGINT) AS hour_us,
+        |  CAST(max_concurrent AS BIGINT) AS max_concurrent, n_boundaries
+        |FROM (SELECT * FROM bh UNION ALL SELECT * FROM gaps)
+        |ORDER BY hour_us""".stripMargin,
     "q_decay_score" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -802,7 +824,7 @@ object SparkEntry {
     "etl_backfill_gaps" ->
       """WITH e AS (
         |  SELECT user_id, (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
-        |   CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |   CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE ts IS NOT NULL),
         |h AS (SELECT user_id, bucket_us, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sc
         |      FROM e GROUP BY 1, 2),
         |b AS (SELECT user_id, MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM h GROUP BY 1),
@@ -817,7 +839,7 @@ object SparkEntry {
     "etl_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT e.*, CASE WHEN lag(event_type) OVER w IS NULL THEN 1
         |    WHEN lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
@@ -837,7 +859,7 @@ object SparkEntry {
     "etl_scd2_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT e.*, CASE WHEN lag(event_type) OVER w IS NULL THEN 1
         |    WHEN lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
@@ -1747,12 +1769,15 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
-      """SELECT doc_id,
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |   regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents)
+        |SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(text, '\d{7,}')) AS BIGINT) AS n_longnums,
-        | md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |   '\d{7,}', '<NUM>', 'g')) AS redacted_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | CAST(len(regexp_extract_all(t1, '\d{7,}')) AS BIGINT) AS n_longnums,
+        | md5(regexp_replace(t1, '\d{7,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

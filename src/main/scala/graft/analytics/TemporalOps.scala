@@ -22,10 +22,18 @@ object TemporalOps {
     * timestamps), then a TWO-PHASE prefix sum — per-hour local running
     * sums off one hour-bucket exchange, plus a one-row-per-hour global
     * offset table (bounded by the time range, never by data volume;
-    * same shape as `seq_pack`). Peak per hour = carry-in + max local
-    * prefix. Everything is integer arithmetic on an exactly
-    * tie-broken ROWS window, so the result is layout-independent and
-    * hash-matches the SQL twin. */
+    * same shape as `seq_pack`).
+    *
+    * Peak per hour accounts for the FULL hour, not just its
+    * boundaries: the carry-in plateau before the hour's first boundary
+    * counts (unless that boundary sits exactly on the hour start, when
+    * the plateau has zero width), and hours with NO boundaries at all
+    * — a session spanning them end to end — are emitted with the
+    * carried concurrency and n_boundaries = 0 (generated per gap from
+    * the bounded offsets table, the spine-free backfill shape).
+    * Boundary-free hours with nothing active are omitted. Everything
+    * is integer arithmetic on an exactly tie-broken ROWS window, so
+    * the result is layout-independent and hash-matches the SQL twin. */
   def concurrency(spark: SparkSession, dir: String): DataFrame = {
     val sess = Analytics.sessionsCore(spark, dir)
       .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
@@ -35,22 +43,41 @@ object TemporalOps {
       .unionByName(sess.select((col("end_us") + 1L).as("t_us"),
         lit(-1L).as("delta"), col("user_id"), col("session_id")))
       .withColumn("hour", expr(s"t_us div $HourUs"))
-    // phase 1: local running concurrency within each hour bucket
+    // phase 1: local running concurrency within each hour bucket,
+    // reduced to one row per hour BEFORE any join (max prefix, first
+    // boundary instant, boundary count)
     val byHour = Window.partitionBy("hour")
       .orderBy(col("t_us"), col("delta"), col("user_id"), col("session_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bounds.withColumn("local_run", sum("delta").over(byHour))
-    // phase 2: one row per hour → cumulative carry-in of all prior hours
+    val hourPeaks = bounds.withColumn("local_run", sum("delta").over(byHour))
+      .groupBy("hour")
+      .agg(max("local_run").as("mlr"), min("t_us").as("t0"),
+        count(lit(1)).as("n_boundaries"))
+    // phase 2: one row per hour → carry-in of all prior hours + the
+    // next observed hour (for gap generation)
     val byBucket = Window.orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bounds.groupBy("hour")
       .agg(sum("delta").as("hour_total"))
       .withColumn("carry_in", coalesce(sum("hour_total").over(byBucket), lit(0L)))
-      .select("hour", "carry_in")
-    local.join(broadcast(offsets), Seq("hour"))
-      .groupBy("hour")
-      .agg(max(col("carry_in") + col("local_run")).as("max_concurrent"),
-        count(lit(1)).as("n_boundaries"))
+      .withColumn("next_hour", lead("hour", 1).over(Window.orderBy("hour")))
+    // boundary hours: the carry plateau [hour start, first boundary)
+    // is attained only if the first boundary is strictly inside the
+    // hour — otherwise the hour's values are exactly the prefixes
+    val boundaryHours = hourPeaks.join(broadcast(offsets), Seq("hour"))
+      .select(col("hour"),
+        (col("carry_in") + when(col("t0") > col("hour") * HourUs,
+          greatest(col("mlr"), lit(0L))).otherwise(col("mlr"))).as("max_concurrent"),
+        col("n_boundaries"))
+    // boundary-free hours: constant concurrency = carry out of the
+    // last observed hour before the gap; emitted only while nonzero
+    val gapHours = offsets
+      .filter(col("next_hour") > col("hour") + 1 &&
+        col("carry_in") + col("hour_total") > 0)
+      .select(explode(sequence(col("hour") + 1, col("next_hour") - 1)).as("hour"),
+        (col("carry_in") + col("hour_total")).as("max_concurrent"),
+        lit(0L).as("n_boundaries"))
+    boundaryHours.unionByName(gapHours)
       .select((col("hour") * HourUs).as("hour_us"),
         col("max_concurrent"), col("n_boundaries"))
       .orderBy("hour_us")

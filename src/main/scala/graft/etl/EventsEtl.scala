@@ -27,9 +27,14 @@ object EventsEtl {
   val MaxValue: Double = 300.0
 
   /** service_key mapping (updated_subscriber.py:48-52): Mon-Fri →
-    * Weekday, else the day name. Spark dayofweek: 1=Sunday..7=Saturday. */
+    * Weekday, else the day name. Spark dayofweek: 1=Sunday..7=Saturday.
+    * A NULL timestamp maps to NULL — without the explicit guard,
+    * dayofweek(NULL) nulls both when() conditions and the row falls
+    * through to the otherwise branch, silently classifying an invalid
+    * event as Weekday traffic. */
   def serviceKey(ts: Column): Column =
-    when(dayofweek(ts) === 7, "Saturday")
+    when(ts.isNull, lit(null).cast("string"))
+      .when(dayofweek(ts) === 7, "Saturday")
       .when(dayofweek(ts) === 1, "Sunday")
       .otherwise("Weekday")
 
@@ -110,14 +115,26 @@ object EventsEtl {
   def deriveSpeed(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us")
     graft.sources.Tables.events(spark, dir)
+      // rows without a timestamp have no interval — they'd otherwise
+      // sort NULLS FIRST here but NULLS LAST in the SQL twin
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
       .withColumn("dv", col("value") - lag("value", 1).over(w))
       .withColumn("dt_us", col("ts_us") - lag("ts_us", 1).over(w))
       .withColumn("speed_raw",
         when(col("dt_us") > 0, col("dv") / (col("dt_us") / lit(1000000.0))))
+      // ONLY the group-leading row (no predecessor) backfills from the
+      // next interval; any other undefined interval — a zero-dt data
+      // fault mid-stream, or a single-event key — stays NULL
+      // ("unknown"), never a fabricated 0.0 or the wrong interval's
+      // rate. The clip keeps NULL as NULL (greatest() would swallow it
+      // into 0.0: Spark's greatest skips NULL operands).
+      .withColumn("speed_fill",
+        when(col("speed_raw").isNotNull, col("speed_raw"))
+          .when(lag("ts_us", 1).over(w).isNull, lead("speed_raw", 1).over(w)))
       .withColumn("speed",
-        round(greatest(lit(0.0), coalesce(col("speed_raw"), lead("speed_raw", 1).over(w))), 6))
+        round(when(col("speed_fill") < 0, lit(0.0)).otherwise(col("speed_fill")), 6))
       .select("event_id", "user_id", "ts_us", "value", "speed")
       .orderBy("event_id")
   }
@@ -126,7 +143,13 @@ object EventsEtl {
     * time — the reference's drop_duplicates(subset=EVENT_NO_TRIP,
     * keep='first') trip-table build (updated_subscriber.py:154-169). */
   def dedupKeyFirst(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    // NULLS LAST explicitly: Spark's ascending default is NULLS FIRST,
+    // which would crown a null-timestamp (invalid) event as the key's
+    // "first event" — and diverge from SQL engines whose ascending
+    // default is NULLS LAST. A key with ONLY null-ts events still gets
+    // a row (honestly null-keyed), matching keep-first semantics.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc_nulls_last, col("event_id"))
     graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), serviceKey(col("ts")).as("service_key"))
@@ -145,7 +168,9 @@ object EventsEtl {
       .groupBy(serviceKey(col("ts")).as("service_key"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
-      .orderBy("service_key")
+      // null-ts rows surface as a NULL service_key bucket; NULLS LAST
+      // matches the SQL twin's ascending default
+      .orderBy(col("service_key").asc_nulls_last)
 
   /** Stop-events-style cross-field validation (reference
     * stop_event_subscriber.py:213-218 validate_arrive_before_leave and
@@ -214,6 +239,9 @@ object EventsEtl {
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val ev = graft.sources.Tables.events(spark, dir)
+      // a version interval needs a timestamp: an unfiltered null ts
+      // would sort first and mint a version with valid_from NULL
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
     val versioned = ev
@@ -248,6 +276,11 @@ object EventsEtl {
         col("event_type").as("version_type"),
         col("valid_from"), col("valid_to"))
     graft.sources.Tables.events(spark, dir)
+      // the row-conservation invariant below is over TIMESTAMPED
+      // events: a NULL ts makes the interval predicate three-valued
+      // and would silently drop the row from an inner join — filter
+      // explicitly so the exclusion is declared, not accidental
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .join(versions, col("user_id") === col("v_user")
         && col("ts_us") >= col("valid_from")
@@ -277,6 +310,10 @@ object EventsEtl {
     // the lead window; the generate is partition-local.
     val byBucket = Window.partitionBy("user_id").orderBy("bucket_us")
     graft.sources.Tables.events(spark, dir)
+      // explicit, not accidental: rows with NULL ts would fold into a
+      // NULL bucket whose row then vanishes in explode(sequence(NULL…))
+      // — the silent three-valued row loss invalidPred guards against
+      .filter(col("ts").isNotNull)
       .select(col("user_id"),
         (expr(s"unix_micros(ts) div $W") * W).as("bucket_us"),
         round(col("value") * 100).cast("long").as("vc"))
@@ -451,9 +488,11 @@ object EventsEtl {
   val DefaultDqRules: Seq[(String, String)] = Seq(
     ("ts_not_null", "ts IS NOT NULL"),
     ("user_nonneg", "user_id >= 0"),
-    ("value_in_range", "value >= 0 AND value <= 300"),
+    // interpolated from the pipeline constants so the rule engine can
+    // never drift from what cleanEvents/quarantine actually enforce
+    ("value_in_range", s"value >= 0 AND value <= ${MaxValue.toInt}"),
     ("type_in_domain",
-      "event_type IN ('click','view','signup','purchase','error')"),
+      ValidTypes.mkString("event_type IN ('", "','", "')")),
     ("props_has_k", "props LIKE '%\"k\"%'"))
 
   def dqRules(spark: SparkSession, dir: String,

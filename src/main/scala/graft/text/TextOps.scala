@@ -284,11 +284,11 @@ object TextOps {
     * near-dup detection: candidate generation is a shuffle on
     * (band_id, band_hash) buckets, never an all-pairs join. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val (shingled, banded) = minhashPiecesInternal(spark, dir)
+    val banded = bandedMinhash(spark, dir)
     // one aggregation per band bucket, pairs expanded inside the bucket
-    // — the signature subtree is computed once (a self-join would
-    // recompute it per side), and pairs are deduped on bare ids before
-    // the shingle arrays are re-joined for verification
+    // (a signature self-join would compute the signatures per side);
+    // pairs are deduped on bare ids before the shingle arrays are
+    // re-joined for verification
     val cand = banded.groupBy("band_id", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 1)
@@ -320,7 +320,7 @@ object TextOps {
     * in a hot bucket; emitted jaccards stay exact (full-array verify).
     * cap=∞ is exactly `dedupMinhash` (spec-pinned). */
   def minhashPairsCapped(spark: SparkSession, dir: String, bucketCap: Long): DataFrame = {
-    val (shingled, banded) = minhashPiecesInternal(spark, dir)
+    val banded = bandedMinhash(spark, dir)
     val cand = banded.groupBy("band_id", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= bucketCap)
@@ -346,17 +346,16 @@ object TextOps {
     * 128-buffer aggregate, no intermediate (doc, shingle) relation),
     * then 32×4 banding via multi-arg hash() over signature slots —
     * every operator stays inside WholeStageCodegen. */
-  private[graft] def minhashPiecesInternal(spark: SparkSession, dir: String) = {
-    val shingled = shingledDocs(spark, dir)
-    val sigs = shingled.select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
-    val banded = sigs.select(col("doc_id"),
+  private[graft] def bandedMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = shingledDocs(spark, dir)
+      .select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
+    sigs.select(col("doc_id"),
         explode(array((0 until 32).map(i =>
           struct(lit(i).as("band_id"),
             hash((i * 4 until i * 4 + 4).map(j =>
               element_at(col("sig"), j + 1)): _*).as("band_hash"))): _*)).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    (shingled, banded)
   }
 
   /** 64-bit SimHash near-dup pairs: the fused simhash64 expression
@@ -589,8 +588,10 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  // built from the PARAMETER column — an expr() naming `text` would
+  // silently count in the wrong column if a caller ever passed another
   private def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(expr(s"replace(lower(text), '$marker', '')")))
+    ((length(text) - length(replace(text, lit(marker), lit(""))))
       / lit(marker.length)).cast("long")
 
   /** Marker-word language scoring — deterministic n-gram heuristic:
@@ -733,12 +734,16 @@ object TextOps {
   def redactPii(spark: SparkSession, dir: String): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val longNum = "\\d{7,}"
+    // n_longnums counts on the EMAIL-REDACTED text, mirroring the
+    // replacement order — a digit run inside an email address is
+    // consumed by <EMAIL>, so counting it would report a phantom
+    // unredacted number (counters must reconcile with the output)
+    val emailRedacted = regexp_replace(col("text"), email, "<EMAIL>")
     docsRepartitioned(spark, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(longNum), lit(0))).cast("long").as("n_longnums"),
-        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          longNum, "<NUM>")).as("redacted_md5"))
+        size(regexp_extract_all(emailRedacted, lit(longNum), lit(0))).cast("long").as("n_longnums"),
+        md5(regexp_replace(emailRedacted, longNum, "<NUM>")).as("redacted_md5"))
       .orderBy("doc_id")
   }
 

@@ -13,16 +13,27 @@ class TemporalSpec extends SparkSpec {
     val got = TemporalOps.concurrency(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hour_us") -> r.getAs[Long]("max_concurrent")).toMap
     assert(got.nonEmpty)
-    // brute force: at every boundary instant inside the hour, count
-    // sessions whose [start, end] covers it
+    // Brute force over EVERY hour in the data's span, not just hours
+    // that appear in the output: the step function changes only at
+    // boundaries, so its max over the hour is attained at the hour
+    // start (the carry-in plateau) or at a boundary instant inside it.
     val hourUs = 3600L * 1000000L
-    for ((hour, expected) <- got) {
-      val instants = sessions.flatMap { case (s, e) => Seq(s, e + 1) }
+    val minHour = sessions.map(_._1).min / hourUs
+    val maxHour = sessions.map(_._2 + 1).max / hourUs
+    for (h <- minHour to maxHour) {
+      val hour = h * hourUs
+      val instants = hour +: sessions.flatMap { case (s, e) => Seq(s, e + 1) }
         .filter(t => t >= hour && t < hour + hourUs).distinct
       val brute = instants
         .map(t => sessions.count { case (s, e) => s <= t && t <= e }.toLong)
         .max
-      assert(brute == expected, s"hour $hour: brute $brute vs sweep $expected")
+      val nBounds = sessions.flatMap { case (s, e) => Seq(s, e + 1) }
+        .count(t => t >= hour && t < hour + hourUs)
+      if (nBounds > 0 || brute > 0)
+        assert(got.get(hour).contains(brute),
+          s"hour $hour: brute $brute vs sweep ${got.get(hour)} (n_bounds=$nBounds)")
+      else
+        assert(!got.contains(hour), s"hour $hour: emitted but idle")
     }
     // peak concurrency must exceed 1 somewhere or the sweep is vacuous
     assert(got.values.max > 1)
