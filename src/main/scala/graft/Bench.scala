@@ -40,19 +40,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // one shared escaper (JsonOut) for BOTH maps — the queries map used
+    // to interpolate keys raw while errors escaped, so the two could
+    // emit divergent (and, with a quote in a name, invalid) JSON
+    val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errJson = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonOut.str(sfDir)}}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -293,7 +293,8 @@ object SparkEntry {
         | MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
         | MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_cross_validate" ->
       """SELECT COUNT(*) AS n_rows,

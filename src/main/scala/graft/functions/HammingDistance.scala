@@ -37,10 +37,18 @@ object GraftFunctions {
   /** Register graft SQL functions on a session (idempotent); afterwards
     * `expr("hamming64(a, b)")` / `expr("word_shingles3(text)")` resolve
     * to the codegen'd expressions. */
-  /** widen integral args so int literals work ergonomically */
+  /** Widen INTEGRAL args so int literals work ergonomically. Anything
+    * else is left uncast so the expression's checkInputDataTypes
+    * reports the real offending type — an unconditional cast would
+    * silently truncate fractions (hamming64(sig, 3.7) → 3) or turn
+    * strings into nulls, and the TypeCheckFailure paths could never
+    * fire through SQL registration. */
   private[functions] def asLong(e: Expression): Expression = e.dataType match {
     case LongType => e
-    case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.NullType =>
+      org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+    case _ => e
   }
 
   /** Single source of truth — (name, usage, builder) for every graft

@@ -53,10 +53,22 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], p: I
 }
 
 object NearestCell {
+  /** A vector shorter than the trained dimensionality would send
+    * UnsafeArrayData.getFloat past the row's bounds — a raw memory
+    * read returning garbage distances and a silently wrong cell. Fail
+    * loudly instead (same contract as VecKernels.dot). A LONGER vector
+    * is allowed: subspace quantizers legitimately score a prefix. */
+  private def checkDim(vec: ArrayData, cs: Array[Array[Double]]): Unit =
+    if (cs.length > 0 && vec.numElements() < cs(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_cell: vector has ${vec.numElements()} elements, " +
+          s"centroids need ${cs(0).length}")
+
   /** static entry point shared by interpreted and generated code: the
     * k nearest centroid indices by ascending (dist, index) — a simple
     * selection pass; centroid counts are small by construction. */
   def nearestK(vec: ArrayData, cs: Array[Array[Double]], k: Int): ArrayData = {
+    checkDim(vec, cs)
     val dists = new Array[Double](cs.length)
     var j = 0
     while (j < cs.length) {
@@ -101,6 +113,7 @@ object NearestCell {
 
   /** static entry point shared by interpreted and generated code */
   def nearest(vec: ArrayData, cs: Array[Array[Double]]): Int = {
+    checkDim(vec, cs)
     var best = 0
     var bestDist = Double.MaxValue
     var j = 0

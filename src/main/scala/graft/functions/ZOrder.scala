@@ -47,7 +47,16 @@ object ZOrder2 {
   }
 
   /** static entry point shared by interpreted and generated code:
-    * x bits land on even positions, y bits on odd. */
-  def morton(x: Long, y: Long): Long =
+    * x bits land on even positions, y bits on odd. Coordinates must
+    * already be quantized to 16 bits — a silent `& 0xFFFF` wrap would
+    * scatter out-of-domain rows to unrelated curve positions and
+    * quietly break min/max file pruning, so out-of-range input fails
+    * loudly instead (callers clamp/quantize first, as zorderLayout
+    * does). */
+  def morton(x: Long, y: Long): Long = {
+    if (x < 0L || x > 0xFFFFL || y < 0L || y > 0xFFFFL)
+      throw new IllegalArgumentException(
+        s"zorder2 coordinates must be in [0, 65535], got ($x, $y)")
     part1by1(x) | (part1by1(y) << 1)
+  }
 }

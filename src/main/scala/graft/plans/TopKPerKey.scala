@@ -26,10 +26,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   * rows rank by (orderCol DESC NULLS LAST, tieCol ASC NULLS FIRST),
   * deterministic under ties like the window formulation it replaces.
   * Numeric comparison matches Spark's sort total order: NaN ranks
-  * greatest, -0.0 < 0.0, and integral values compare exactly (no
+  * greatest, -0.0 == 0.0 (SPARK-26021 semantics — the tie column
+  * decides between them), and integral values compare exactly (no
   * double narrowing — full 64-bit precision). Group keys may be any
-  * data type: grouping goes through an UnsafeProjection, so binary /
-  * struct / array keys hash and compare by value.
+  * data type: grouping goes through an UnsafeProjection with
+  * floating-point canonicalization, so binary / struct / array keys
+  * hash and compare by value and ±0.0 keys land in one group.
   */
 case class TopKPerKey(k: Int, groupCols: Seq[String], orderCol: String,
     tieCol: String, child: LogicalPlan) extends UnaryNode {
@@ -61,6 +63,16 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
     (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
      else ClusteredDistribution(groupCols.map(attr): Seq[Expression])) :: Nil
 
+  // the operator filters rows in place (mapPartitions,
+  // preservesPartitioning) — report the child's partitioning so a
+  // downstream groupBy/join on the same keys reuses the exchange the
+  // final stage demanded instead of shuffling again (the window
+  // formulation propagates it; without this override the rewrite
+  // would silently cost one extra exchange in composed plans)
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
     val groupIdx = groupCols.map(n => out.indexWhere(_.name == n))
@@ -87,14 +99,23 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
     val maxEntries =
       if (!partial) Long.MaxValue
       else conf.getConfString("graft.topk.partialFlushEntries", (1 << 20).toString).toLong
+    // a non-positive cap would make fill() consume nothing while
+    // hasNext retries forever — fail on the driver instead of hanging
+    // every map task
+    require(maxEntries > 0,
+      s"graft.topk.partialFlushEntries must be positive, got $maxEntries")
 
     child.execute().mapPartitions({ iter =>
-      // Monotone double→long map (Lucene's sortableDoubleBits):
-      // preserves java.lang.Double.compare order — -0.0 < 0.0, NaN
-      // greatest — the same total order Spark's sort uses. Integral
+      // Monotone double→long map (Lucene's sortableDoubleBits) over
+      // ZERO-FOLDED input: Spark's sort order (nanSafeCompareDoubles /
+      // the SPARK-26021 radix-sort prefix) treats -0.0 == 0.0, so fold
+      // the sign before the bit trick or the two zeros would rank
+      // strictly and steal the tie-break from the tie column. NaN is
+      // canonical via doubleToLongBits and ranks greatest. Integral
       // types pass through exactly, so longs never lose precision.
       def sortable(d: Double): Long = {
-        val b = java.lang.Double.doubleToLongBits(d)
+        val z = if (d == 0.0d) 0.0d else d // folds -0.0
+        val b = java.lang.Double.doubleToLongBits(z)
         b ^ ((b >> 63) & Long.MaxValue)
       }
       def num(row: InternalRow, i: Int, dt: DataType): Long = dt match {
@@ -127,8 +148,15 @@ case class TopKPerKeyExec(k: Int, groupCols: Seq[String], orderCol: String,
       // only a NEW bucket's key is copied, and rows are only copied
       // when they actually enter a heap — the common rejected row costs
       // nothing.
+      // Floating-point group keys are canonicalized (-0.0 → 0.0, one
+      // NaN bit pattern, recursively through nested types) exactly as
+      // the optimizer's NormalizeFloatingNumbers rule does for
+      // Aggregate/Window keys — without it the UnsafeRow byte-equality
+      // below would split ±0.0 into two groups the window formulation
+      // merges. No-op for non-floating key types.
       val keyProj = UnsafeProjection.create(
-        groupIdx.map(i => BoundReference(i, out(i).dataType, out(i).nullable): Expression))
+        groupIdx.map(i => org.apache.spark.sql.GraftPlanBridge.normalizeFloats(
+          BoundReference(i, out(i).dataType, out(i).nullable)): Expression))
       import scala.jdk.CollectionConverters._
       new Iterator[InternalRow] {
         private val heaps =
@@ -201,6 +229,12 @@ object TopK {
     * (orderCol DESC NULLS LAST, tieCol ASC NULLS FIRST). */
   def perKey(df: DataFrame, k: Int, groupCols: Seq[String],
       orderCol: String, tieCol: String): DataFrame = {
+    // global (ungrouped) top-k has no clustering keys for the final
+    // stage's ClusteredDistribution — Spark rejects an empty clustering
+    // at planning with an opaque require; fail here with the fix
+    require(groupCols.nonEmpty,
+      "TopK.perKey needs at least one group column; for a global top-k " +
+        "use orderBy(desc(orderCol), asc(tieCol)).limit(k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

@@ -35,12 +35,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** k from `rn <= k`-shaped predicates (either operand order). */
+  /** k from `rn <= k`-shaped predicates (either operand order). The
+    * strict forms guard v > Int.MinValue: v - 1 would wrap an
+    * always-false `rn < Int.MinValue` into top-Int.MaxValue. The
+    * un-rewritten window path handles the degenerate filter correctly. */
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+      if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
-    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case _ => None
   }
 
@@ -67,6 +72,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
             _, _, wchild, _)))
         if defaultRowFrame(frame) &&
           numeric(o.dataType) && numeric(t.dataType) && o.name != t.name &&
+          // nonEmpty: a global top-k has no clustering keys for the
+          // final stage's ClusteredDistribution (Spark rejects Nil) —
+          // leave it on the window path
+          partSpec.nonEmpty &&
           partSpec.forall(_.isInstanceOf[AttributeReference]) &&
           !p.references.contains(al.toAttribute) && {
             // name-based resolution in the operator must be unambiguous

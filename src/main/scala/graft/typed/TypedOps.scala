@@ -33,6 +33,11 @@ object TypedOps {
   def typedEvents(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     graft.sources.Tables.events(spark, dir)
+      // ts_us is a non-nullable Long in the case class: a null ts would
+      // fail the Event encoder at runtime ("null in non-nullable
+      // field"), so exclude invalid rows explicitly — same guard the
+      // ETL layer applies
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))

@@ -15,4 +15,13 @@ object GraftPlanBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Bridge to the optimizer's floating-point canonicalizer (-0.0 → 0.0,
+    * canonical NaN, recursively through struct/array/map), so custom
+    * operators can group floating-point keys with the same equality
+    * semantics Aggregate/Window get from the NormalizeFloatingNumbers
+    * rule. Returns the expression unchanged when its type needs none. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

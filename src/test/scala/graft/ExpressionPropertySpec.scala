@@ -110,4 +110,23 @@ class ExpressionPropertySpec extends AnyFunSuite {
       if (y < 65535L) assert(graft.functions.ZOrder2.morton(x, y + 1) > z)
     }
   }
+
+  test("zorder2 rejects out-of-domain coordinates instead of wrapping") {
+    // a silent & 0xFFFF would alias 70000 onto 4464's curve position
+    // and quietly break min/max pruning
+    for ((x, y) <- Seq((70000L, 0L), (0L, 70000L), (-1L, 0L), (0L, -1L)))
+      intercept[IllegalArgumentException] { graft.functions.ZOrder2.morton(x, y) }
+  }
+
+  test("nearest_cell rejects vectors shorter than the trained dimension") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cs = Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    // short vector would read past UnsafeArrayData bounds — must throw
+    val short2 = new GenericArrayData(Array[Any](0.1f, 0.2f))
+    intercept[IllegalArgumentException] { graft.functions.NearestCell.nearest(short2, cs) }
+    intercept[IllegalArgumentException] { graft.functions.NearestCell.nearestK(short2, cs, 1) }
+    // a LONGER vector is legal: subspace quantizers score a prefix
+    val long4 = new GenericArrayData(Array[Any](0.1f, 0.2f, 0.3f, 0.9f))
+    assert(graft.functions.NearestCell.nearest(long4, cs) == 0)
+  }
 }

@@ -28,4 +28,19 @@ class HammingDistanceSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("hamming64") ||
       err.getMessage.toLowerCase.contains("bigint"))
   }
+
+  test("fractional args are a type error, not a silent truncation") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // the ergonomic widening covers INTEGRAL types only: hamming64(a, 3.7)
+    // must fail analysis, not quietly compare against 3
+    val err = intercept[Exception] {
+      Seq((5L, 3.7)).toDF("a", "b").selectExpr("hamming64(a, b)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("hamming64") ||
+      err.getMessage.toLowerCase.contains("bigint"))
+    // int literals still widen ergonomically
+    val ok = Seq(Tuple1(5L)).toDF("a").selectExpr("hamming64(a, 4)").collect()
+    assert(ok.head.getLong(0) == java.lang.Long.bitCount(5L ^ 4L).toLong)
+  }
 }

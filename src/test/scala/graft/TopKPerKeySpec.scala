@@ -140,6 +140,57 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.partialFlushEntries")
   }
 
+  test("±0.0 group keys merge into one group, like Aggregate/Window keys") {
+    import spark.implicits._
+    // raw UnsafeRow bytes differ for the two zeros — without key
+    // normalization they'd form two groups and emit up to 2k rows
+    val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0))
+      .toDF("g", "id", "v")
+    val got = TopK.perKey(df, 1, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"±0.0 split the group: kept $got")
+  }
+
+  test("±0.0 ORDER values tie (SPARK-26021): the tie column decides") {
+    import spark.implicits._
+    // 0.0 arrives after -0.0; a strict bitwise order would rank
+    // 0.0 > -0.0 DESC and keep id=2 — Spark's sort calls them equal,
+    // so ascending tie keeps id=1
+    val df = Seq(("a", 1L, -0.0), ("a", 2L, 0.0)).toDF("g", "id", "v")
+    val got = TopK.perKey(df, 1, Seq("g"), "v", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"zero signs ranked strictly: kept $got")
+  }
+
+  test("downstream groupBy on the key reuses the top-k exchange (outputPartitioning)") {
+    val part = graft.sources.Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_retailprice")
+    val plan = TopK.perKey(part, 3, Seq("p_brand"), "p_retailprice", "p_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected the aggregate to reuse the top-k exchange, found $exchanges:\n${plan.take(1500)}")
+  }
+
+  test("empty group columns and non-positive flush caps fail loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0)).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(df, 1, Seq(), "v", "id")
+    }
+    assert(e.getMessage.contains("group column"))
+    // a cap of 0 would make the partial stage spin forever consuming
+    // nothing — it must fail on the driver instead
+    spark.conf.set("graft.topk.partialFlushEntries", "0")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        TopK.perKey(df, 1, Seq("g"), "v", "id").collect()
+      }
+      assert(e2.getMessage.contains("partialFlushEntries"))
+    } finally spark.conf.unset("graft.topk.partialFlushEntries")
+  }
+
   test("binary group keys group by value, not reference") {
     import spark.implicits._
     val df = Seq(

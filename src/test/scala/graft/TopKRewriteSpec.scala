@@ -60,6 +60,41 @@ class TopKRewriteSpec extends SparkSpec {
     } finally TopK.disableAutoRewrite(spark)
   }
 
+  test("global top-k (no PARTITION BY) stays on the window path and still runs") {
+    TopK.enableAutoRewrite(spark)
+    try {
+      // an empty partition spec has no clustering keys for the final
+      // stage's ClusteredDistribution — rewriting would crash planning
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
+      val df = graft.sources.Tables.part(spark, sfDir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("p_partkey")
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() == 3)
+    } finally TopK.disableAutoRewrite(spark)
+  }
+
+  test("rn < Int.MinValue is not rewritten into top-Int.MaxValue") {
+    TopK.enableAutoRewrite(spark)
+    try {
+      // v - 1 on the strict form would wrap to Int.MaxValue and return
+      // every row per key; the window path returns the correct 0 rows.
+      // The degenerate predicate must be the ONLY filter so limitOf
+      // actually sees it (stacked filters wouldn't match the pattern).
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      val df = graft.sources.Tables.part(spark, sfDir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") < Int.MinValue)
+        .select("p_brand", "p_partkey")
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() == 0)
+    } finally TopK.disableAutoRewrite(spark)
+  }
+
   test("rewrite does NOT fire for an unsupported ordering contract") {
     TopK.enableAutoRewrite(spark)
     try {
