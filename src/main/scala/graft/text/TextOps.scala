@@ -454,30 +454,47 @@ object TextOps {
     * Everything reuses the production operators; the truth set is
     * computed once and joined against each method. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val truth = jaccardPairs(spark, dir).select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
-    def score(method: String, pairs: DataFrame): DataFrame = {
-      val p = pairs.select("a_id", "b_id").persist()
-      val nPairs = p.count()
-      val nHit = p.join(truth, Seq("a_id", "b_id")).count()
-      p.unpersist(blocking = false)
-      val spark2 = truth.sparkSession
-      import spark2.implicits._
-      Seq((method, nPairs, nTruth, nHit,
-        if (nPairs == 0) 0L else nHit * 1000000L / nPairs,
-        if (nTruth == 0) 0L else nHit * 1000000L / nTruth))
-        .toDF("method", "n_pairs", "n_truth", "n_hit",
-          "precision_ppm", "recall_ppm")
+    // one action per method: the truth side is a distinct pair set
+    // (grouped on (a_id, b_id)), so a left-join marker can't fan out,
+    // and pair count + overlap count fall out of a single pass over
+    // the candidate pipeline instead of persist + two jobs
+    def score(method: String, pairs: DataFrame): (String, Long, Long) = {
+      val row = pairs.select("a_id", "b_id")
+        .join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
+      (method, row.getLong(0), row.getLong(1))
     }
-    val report = Seq(
-      score("minhash_lsh_32x4", dedupMinhash(spark, dir)),
-      score("jaccard_dfcap_64", jaccardPairsCapped(spark, dir, 64L)),
-      score("jaccard_dfcap_8", jaccardPairsCapped(spark, dir, 8L)),
-      score("simhash64_h3", dedupSimhash(spark, dir)))
-      .reduce(_ unionByName _)
+    // the four method pipelines share no state (truth is materialized
+    // above) — submit them from separate threads so their stages
+    // interleave on the scheduler: the serial formulation left most
+    // cores idle during each pipeline's small shuffle/driver phases,
+    // which dominated the 14 s wall. Same jobs, overlapped.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try {
+      val fs = Seq(
+        "minhash_lsh_32x4" -> (() => dedupMinhash(spark, dir)),
+        "jaccard_dfcap_64" -> (() => jaccardPairsCapped(spark, dir, 64L)),
+        "jaccard_dfcap_8" -> (() => jaccardPairsCapped(spark, dir, 8L)),
+        "simhash64_h3" -> (() => dedupSimhash(spark, dir)))
+        .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(20, "min"))
+    } finally pool.shutdown()
     truth.unpersist(blocking = false)
-    report.orderBy("method")
+    rows.map { case (m, nPairs, nHit) =>
+      (m, nPairs, nTruth, nHit,
+        if (nPairs == 0) 0L else nHit * 1000000L / nPairs,
+        if (nTruth == 0) 0L else nHit * 1000000L / nTruth) }
+      .toDF("method", "n_pairs", "n_truth", "n_hit",
+        "precision_ppm", "recall_ppm")
+      .orderBy("method")
   }
 
   def dedupSimhash128(spark: SparkSession, dir: String): DataFrame = {

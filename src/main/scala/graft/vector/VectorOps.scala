@@ -500,29 +500,43 @@ object VectorOps {
     * exactness for index cost. Truth computed once and joined against
     * each method; everything reuses the production operators. */
   def annEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val truth = annBruteForce(spark, dir)
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id")).persist()
     val nTruth = truth.count()
-    def score(method: String, pairs: DataFrame): DataFrame = {
-      val p = pairs.select("query_id", "neighbor_id").persist()
-      val nPairs = p.count()
-      val nHit = p.join(truth, Seq("query_id", "neighbor_id")).count()
-      p.unpersist(blocking = false)
-      val s2 = truth.sparkSession
-      import s2.implicits._
-      Seq((method, nPairs, nTruth, nHit,
-        if (nTruth == 0) 0L else nHit * 1000000L / nTruth))
-        .toDF("method", "n_returned", "n_truth", "n_hits", "recall_ppm")
+    // single-action scoring + concurrent method submission, same
+    // rationale as TextOps.dedupEval: truth is a distinct (query,
+    // neighbor) set (rank ≤ 3 per query), so the left-join marker
+    // can't fan out, and the four independent pipelines overlap on
+    // the scheduler instead of serializing their idle phases
+    def score(method: String, pairs: DataFrame): (String, Long, Long) = {
+      val row = pairs.select("query_id", "neighbor_id")
+        .join(truth.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
+      (method, row.getLong(0), row.getLong(1))
     }
-    val report = Seq(
-      score("lsh_hyperplane", annLsh(spark, dir)),
-      score("ivf_1probe", annIvf(spark, dir)),
-      score("ivf_3probe", annIvfProbe(spark, dir)),
-      score("pq_adc", annPq(spark, dir)))
-      .reduce(_ unionByName _)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try {
+      val fs = Seq(
+        "lsh_hyperplane" -> (() => annLsh(spark, dir)),
+        "ivf_1probe" -> (() => annIvf(spark, dir)),
+        "ivf_3probe" -> (() => annIvfProbe(spark, dir)),
+        "pq_adc" -> (() => annPq(spark, dir)))
+        .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(20, "min"))
+    } finally pool.shutdown()
     truth.unpersist(blocking = false)
-    report.orderBy("method")
+    rows.map { case (m, nPairs, nHit) =>
+      (m, nPairs, nTruth, nHit,
+        if (nTruth == 0) 0L else nHit * 1000000L / nTruth) }
+      .toDF("method", "n_returned", "n_truth", "n_hits", "recall_ppm")
+      .orderBy("method")
   }
 
   /** Distributed Lloyd k-means over the FULL corpus (vs the IVF coarse
