@@ -173,6 +173,8 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "vec_kmeans" -> ((s, d) => VectorOps.vecKmeans(s, d)),
     "etl_variant" -> ((s, d) => EventsEtl.variantProps(s, d)),
+    "ann_mips" -> ((s, d) => VectorOps.annMips(s, d)),
+    "dedup_semantic" -> ((s, d) => VectorOps.semanticDedup(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2086,5 +2088,15 @@ object SparkEntry {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ann_mips" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.e, c.e), 6) AS dot
+        |      FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT p.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY dot DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, rank, neighbor_id, dot FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

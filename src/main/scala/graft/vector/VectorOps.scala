@@ -755,6 +755,130 @@ object VectorOps {
       .orderBy("vec_id", "comp")
   }
 
+  /** Exact MIPS (maximum inner-product search): top-5 neighbors per
+    * query by RAW dot product — the retrieval objective when vectors
+    * carry magnitude signal (recommendation scores, un-normalized
+    * output embeddings), where cosine's normalization is wrong.
+    *
+    * The scale story is the norm-augmentation reduction (Bachrach et
+    * al. '14 / Shrivastava-Li '14): with M = max corpus norm, append
+    * sqrt(M² − ‖x‖²) to each corpus vector and 0 to each query — then
+    * every augmented corpus vector has norm M, so cos(q', x') =
+    * q·x / (‖q‖·M) is a per-query monotone function of the dot
+    * product, and the ENTIRE cosine-ANN machinery (LSH buckets, IVF
+    * cells, PQ codes) applies to MIPS unchanged. The spec pins the
+    * augmented-cosine ranking identical to this exact ranking; this
+    * entry ships the exact form (broadcast of the bounded query set
+    * against one corpus scan — same plan as `annBruteForce`).
+    * Zero-norm vectors are legal here (dot = 0 is meaningful), unlike
+    * the cosine family. */
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe")
+    val c = vecs.toDF("neighbor_id", "ce")
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", round(expr("vec_dot(qe, ce)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** SemDeDup (Abbas et al. '23): semantic deduplication that makes
+    * embedding near-dup removal tractable at corpus scale by searching
+    * for duplicates ONLY within k-means clusters — the all-pairs cost
+    * drops from n² to Σ n_c², a k× reduction for balanced clusters,
+    * and each cluster's pair search is independent (perfectly
+    * parallel). Clusters come from the distributed exact-integer Lloyd
+    * trainer ([[kmeansFit]] — deterministic, layout-proof), so the
+    * whole operator is reproducible. Within a cluster the pair search
+    * reuses the block-partitioned join shape of [[dedupEmbedding]]
+    * (key = (cluster, block-pair)): per-task memory stays bounded by
+    * 2·n_c/B vectors no matter how large a cluster grows, and nothing
+    * is broadcast or driver-held.
+    *
+    * Verdict per vector: `keep = 0` iff a same-cluster neighbor with
+    * cosine ≥ τ and a LOWER vec_id exists (dup_of = the smallest such
+    * partner) — the min-id canonical rule used by the exact-dedup
+    * family. Zero-norm vectors have no direction, never pair, and are
+    * always kept. The trade vs exact [[dedupEmbedding]] is recall
+    * across cluster boundaries: a pair split by the partition is
+    * missed — the spec measures that recall against the exact
+    * all-pairs truth and pins within-cluster completeness. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupBlocked(spark, dir, k = 8, iters = 4, blocks = 8, tau = 0.45)
+
+  private[graft] def semanticDedupBlocked(spark: SparkSession, dir: String,
+      k: Int, iters: Int, blocks: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val (cent, _) = kmeansFit(spark, dir, k, iters)
+    if (cent.isEmpty)
+      return Seq.empty[(Long, Int, Int, Option[Long])]
+        .toDF("vec_id", "cluster", "keep", "dup_of")
+    val par = spark.sparkContext.defaultParallelism
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .withColumn("cluster", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), cent)))
+    val vecs = assigned.filter(col("nrm") > 0)
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    // role-split block replication within each cluster — every
+    // same-cluster pair meets exactly once (see dedupEmbeddingBlocked)
+    val lo = vecs
+      .withColumn("hi_blk", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("cluster"),
+        struct(col("blk").as("lo"), col("hi_blk").as("hi")).as("bp"),
+        col("vec_id").as("a_id"), col("e").as("ae"), col("nrm").as("an"),
+        col("blk").as("a_blk"))
+      .repartition(par, col("cluster"), col("bp"))
+    val hi = vecs
+      .withColumn("lo_blk", explode(sequence(lit(0), col("blk"))))
+      .select(col("cluster"),
+        struct(col("lo_blk").as("lo"), col("blk").as("hi")).as("bp"),
+        col("vec_id").as("b_id"), col("e").as("be"), col("nrm").as("bn"),
+        col("blk").as("b_blk"))
+      .repartition(par, col("cluster"), col("bp"))
+    val pairs = lo.join(hi, Seq("cluster", "bp"))
+      .filter(col("a_blk") =!= col("b_blk") || col("a_id") < col("b_id"))
+      .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= tau)
+      .select(least(col("a_id"), col("b_id")).as("lo_id"),
+        greatest(col("a_id"), col("b_id")).as("hi_id"))
+    val dupOf = pairs.groupBy(col("hi_id").as("vec_id"))
+      .agg(min("lo_id").as("dup_of"))
+    assigned.select("vec_id", "cluster").join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** same-cluster exact pairs, for the spec's completeness check */
+  private[graft] def semanticPairsBrute(spark: SparkSession, dir: String,
+      k: Int, iters: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (cent, _) = kmeansFit(spark, dir, k, iters)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0)
+      .withColumn("cluster", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), cent)))
+    val a = vecs.toDF("a_id", "ae", "an", "cluster")
+    val b = vecs.toDF("b_id", "be", "bn", "cluster")
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= tau)
+      .select("a_id", "b_id")
+  }
+
   def vecGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val micro = Tables.embeddings(spark, dir)
