@@ -175,6 +175,8 @@ object SparkEntry {
     "etl_variant" -> ((s, d) => EventsEtl.variantProps(s, d)),
     "ann_mips" -> ((s, d) => VectorOps.annMips(s, d)),
     "dedup_semantic" -> ((s, d) => VectorOps.semanticDedup(s, d)),
+    "q_sketch_quantiles" -> ((s, d) => Analytics.sketchQuantiles(s, d)),
+    "q_theta_sketch" -> ((s, d) => Analytics.thetaSetAlgebra(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2088,6 +2090,43 @@ object SparkEntry {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // KLL quantiles: the sketch is exact (true order statistics) while
+    // n <= k = 32768 — the test-SF regime — and its INCLUSIVE-rank rule
+    // is "least value with cumulative weight >= ceil(rank*n)", with the
+    // ceil computed over the same IEEE product both engines evaluate.
+    "q_sketch_quantiles" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, value
+        |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT event_type, COUNT(DISTINCT d) AS n_days, COUNT(*) AS n FROM e GROUP BY 1),
+        |h AS (SELECT event_type, value, COUNT(*) AS w FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, value, CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY value
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h)
+        |SELECT g.event_type AS event_type, g.n_days AS n_days, g.n AS n,
+        | MIN(CASE WHEN c.cum >= CAST(ceil(0.5 * g.n) AS BIGINT) THEN c.value END) AS p50,
+        | MIN(CASE WHEN c.cum >= CAST(ceil(0.9 * g.n) AS BIGINT) THEN c.value END) AS p90,
+        | MIN(CASE WHEN c.cum >= CAST(ceil(0.99 * g.n) AS BIGINT) THEN c.value END) AS p99
+        |FROM c JOIN g ON c.event_type = g.event_type
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
+
+    // theta sketches retain the 2^lgK smallest key hashes — exact set
+    // algebra below that budget (every test SF), so the oracle is the
+    // plain distinct-set arithmetic
+    "q_theta_sketch" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS ni
+        |      FROM u x JOIN u y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        | ca.n AS n_a, cb.n AS n_b,
+        | ca.n + cb.n - COALESCE(i.ni, 0) AS n_union,
+        | COALESCE(i.ni, 0) AS n_intersect,
+        | ca.n - COALESCE(i.ni, 0) AS n_only_a
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "ann_mips" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

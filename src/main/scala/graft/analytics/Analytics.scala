@@ -791,6 +791,75 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Mergeable QUANTILE rollup — the distribution twin of
+    * [[sketchRollup]]'s distinct counts: one pass builds a KLL doubles
+    * sketch per (type, day), and the per-type quantile profile comes
+    * from UNIONING the daily sketches (graft's `kll_merge_agg`
+    * TypedImperativeAggregate), never rescanning events. A partial is
+    * O(k) bytes regardless of row count and the merge is
+    * associative/commutative — the shape that lets a 100 TB fleet keep
+    * daily sketches hot and answer any-granularity percentile queries
+    * by merge alone (`percentile_approx` has the sketch inside but
+    * throws the state away; this keeps it as data).
+    *
+    * Oracle strategy: KLL is EXACT (true inclusive-rank order
+    * statistics) while n ≤ k = 32768, which holds for every per-type
+    * row count at the test SFs, so DuckDB recomputes the same values
+    * from a cumulative-weight window. Beyond k the sketch degrades to
+    * a ±1.65%%-rank randomized estimate (the SketchSpec pins that
+    * envelope on constructed data); the merge identity is spec-pinned
+    * too (union-of-daily == one-shot). */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val daily = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("d"), col("value"))
+      .groupBy("event_type", "d")
+      .agg(expr("kll_agg(value)").as("sk"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), expr("kll_merge_agg(sk)").as("m"))
+      .select(col("event_type"), col("n_days"),
+        expr("kll_n(m)").as("n"),
+        expr("kll_quantile(m, 0.5d)").as("p50"),
+        expr("kll_quantile(m, 0.9d)").as("p90"),
+        expr("kll_quantile(m, 0.99d)").as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch SET ALGEBRA over audience overlap: per-type theta sketches
+    * of distinct users, then |A|, |B|, |A∪B|, |A∩B|, |A\B| for every
+    * type pair — the intersection/difference estimates HLL registers
+    * fundamentally cannot produce (max-merge loses set identity).
+    * Theta sketches keep the k smallest key hashes, so every set op is
+    * a hash-set operation on bounded state: the per-type aggregate is
+    * one map-side-combinable pass over events (O(2^lgK) partials), and
+    * the pair matrix is a self-join of |types| sketch rows — bounded,
+    * nothing driver-side.
+    *
+    * Oracle strategy: a theta sketch is EXACT below its nominal entry
+    * budget (2^12 here vs ≤1500 users/type at every test SF), and the
+    * retained set is the k smallest hashes — order-independent, so
+    * exactness survives any partitioning. DuckDB recomputes the plain
+    * distinct-set algebra; the SketchSpec pins the estimation-regime
+    * error envelope (±3/√k) on constructed 100k-key data. */
+  def thetaSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sk = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("theta_agg(user_id)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_estimate(ska)").cast("long").as("n_a"),
+        expr("theta_estimate(skb)").cast("long").as("n_b"),
+        expr("theta_union2(ska, skb)").cast("long").as("n_union"),
+        expr("theta_intersect(ska, skb)").cast("long").as("n_intersect"),
+        expr("theta_diff(ska, skb)").cast("long").as("n_only_a"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Exact interpolated percentiles of event value per type (p50/p90). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

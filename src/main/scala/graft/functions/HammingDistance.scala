@@ -81,7 +81,37 @@ object GraftFunctions {
     ("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text",
       exprs => RollingHash(exprs.head)),
     ("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates",
-      exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))))
+      exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))),
+    ("kll_agg", "kll_agg(value) - KLL quantile sketch of a double column",
+      exprs => KllAgg(asDouble(exprs.head))),
+    ("kll_merge_agg", "kll_merge_agg(sk) - union of KLL sketch byte images",
+      exprs => KllMergeAgg(exprs.head)),
+    ("kll_quantile", "kll_quantile(sk, rank) - INCLUSIVE-rank quantile from a KLL sketch",
+      exprs => KllQuantile(exprs(0), asDouble(exprs(1)))),
+    ("kll_n", "kll_n(sk) - total update count absorbed by a KLL sketch",
+      exprs => KllN(exprs.head)),
+    ("theta_agg", "theta_agg(key) - theta sketch of distinct int64 keys",
+      exprs => ThetaAgg(asLong(exprs.head))),
+    ("theta_union_agg", "theta_union_agg(sk) - union of theta sketch byte images",
+      exprs => ThetaUnionAgg(exprs.head)),
+    ("theta_estimate", "theta_estimate(sk) - distinct-count estimate",
+      exprs => ThetaEstimate(exprs.head)),
+    ("theta_intersect", "theta_intersect(a, b) - |A intersect B| estimate",
+      exprs => ThetaIntersect(exprs(0), exprs(1))),
+    ("theta_diff", "theta_diff(a, b) - |A minus B| estimate",
+      exprs => ThetaDiff(exprs(0), exprs(1))),
+    ("theta_union2", "theta_union2(a, b) - |A union B| estimate",
+      exprs => ThetaUnion2(exprs(0), exprs(1))))
+
+  /** Widen numerics to DOUBLE for the sketch inputs (ints and floats
+    * are legal quantile-sketch feeds; anything else surfaces as a
+    * resolution error rather than a silent cast). */
+  private[functions] def asDouble(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.DoubleType => e
+    case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.NullType =>
+      org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+    case _ => e
+  }
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -1,0 +1,114 @@
+package graft
+
+import graft.analytics.Analytics
+import org.apache.spark.sql.functions._
+
+/** Gates for the mergeable-sketch surface (KLL quantiles, theta set
+  * algebra) — both the exact regime the DuckDB oracle rides and the
+  * estimation regime it cannot reach. */
+class SketchSpec extends SparkSpec {
+
+  test("KLL rollup: union-of-daily sketches == one-shot sketch (merge identity)") {
+    graft.functions.GraftFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("d"), col("value"))
+    val merged = ev.groupBy("event_type", "d")
+      .agg(expr("kll_agg(value)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("kll_quantile(kll_merge_agg(sk), 0.5d)").as("p50"),
+        expr("kll_quantile(kll_merge_agg(sk), 0.9d)").as("p90"))
+    val oneShot = ev.groupBy("event_type")
+      .agg(expr("kll_quantile(kll_agg(value), 0.5d)").as("p50"),
+        expr("kll_quantile(kll_agg(value), 0.9d)").as("p90"))
+    // exact regime (n << k): both are true order statistics — identical
+    assert(merged.exceptAll(oneShot).count() == 0
+      && oneShot.exceptAll(merged).count() == 0)
+  }
+
+  test("q_sketch_quantiles matches exact inclusive-rank order statistics") {
+    val got = Analytics.sketchQuantiles(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    got.foreach { r =>
+      val vs = ev(r.getString(0))
+      def incl(q: Double): Double = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(r.getAs[Double]("p50") == incl(0.5), s"p50 ${r.getString(0)}")
+      assert(r.getAs[Double]("p90") == incl(0.9), s"p90 ${r.getString(0)}")
+      assert(r.getAs[Double]("p99") == incl(0.99), s"p99 ${r.getString(0)}")
+    }
+  }
+
+  test("KLL estimation regime: rank error bounded after forced compaction") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 200000
+    // n >> k forces randomized compaction: quantiles become estimates
+    val q = spark.range(n).map(_.toDouble).toDF("v")
+      .agg(expr("kll_quantile(kll_agg(v), 0.5d)").as("p50"),
+        expr("kll_quantile(kll_agg(v), 0.99d)").as("p99"),
+        expr("kll_n(kll_agg(v))").as("cnt"))
+      .head
+    assert(q.getAs[Long]("cnt") == n, "N is exact even when values are sampled")
+    // k = 32768 gives ~0.1% rank error at 99% confidence; allow 2%
+    assert(math.abs(q.getAs[Double]("p50") - 0.5 * n) <= 0.02 * n)
+    assert(math.abs(q.getAs[Double]("p99") - 0.99 * n) <= 0.02 * n)
+  }
+
+  test("theta set algebra is exact below the nominal budget on constructed overlap") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // A = [0, 1000), B = [600, 2000) => |A∩B| = 400, |A∪B| = 2000
+    val df = (0L until 1000L).map(("a", _)) ++ (600L until 2000L).map(("b", _))
+    val sk = df.toDF("t", "k").groupBy("t").agg(expr("theta_agg(k)").as("sk"))
+    val a = sk.filter(col("t") === "a").head.getAs[Array[Byte]]("sk")
+    val b = sk.filter(col("t") === "b").head.getAs[Array[Byte]]("sk")
+    val r = spark.range(1).select(
+      expr(s"theta_estimate(X'${a.map("%02x".format(_)).mkString}')").as("na"),
+      expr(s"theta_intersect(X'${a.map("%02x".format(_)).mkString}', X'${b.map("%02x".format(_)).mkString}')").as("ni"),
+      expr(s"theta_union2(X'${a.map("%02x".format(_)).mkString}', X'${b.map("%02x".format(_)).mkString}')").as("nu"),
+      expr(s"theta_diff(X'${a.map("%02x".format(_)).mkString}', X'${b.map("%02x".format(_)).mkString}')").as("nd"))
+      .head
+    assert(r.getDouble(0) == 1000.0 && r.getDouble(1) == 400.0
+      && r.getDouble(2) == 2000.0 && r.getDouble(3) == 600.0)
+  }
+
+  test("theta estimation regime: error envelope at 300k distinct keys") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 300000L
+    val est = spark.range(n).toDF("k")
+      .agg(expr("theta_estimate(theta_agg(k))").as("e")).head.getDouble(0)
+    // RSE ~ 1/sqrt(4096) = 1.56%; 5% is > 3 sigma
+    assert(math.abs(est - n) <= 0.05 * n, s"theta estimate $est vs $n")
+  }
+
+  test("theta sketches are layout-independent: repartitioned build gives identical bytes") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // the retained set is the k smallest hashes — order/partitioning
+    // cannot change it, so even the serialized image is stable
+    def build(parts: Int) = spark.range(50000).repartition(parts).toDF("k")
+      .agg(expr("theta_agg(k)").as("sk")).head.getAs[Array[Byte]]("sk")
+    val r = spark.range(1).select(
+      expr(s"theta_estimate(X'${build(2).map("%02x".format(_)).mkString}')").as("a"),
+      expr(s"theta_estimate(X'${build(7).map("%02x".format(_)).mkString}')").as("b")).head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("q_theta_sketch: pairwise algebra satisfies inclusion-exclusion and symmetry bounds") {
+    val rows = Analytics.thetaSetAlgebra(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, nu, ni, nd) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_union"), r.getAs[Long]("n_intersect"), r.getAs[Long]("n_only_a"))
+      assert(nu == na + nb - ni, s"inclusion-exclusion broken: $r")
+      assert(nd == na - ni, s"difference inconsistent: $r")
+      assert(ni <= math.min(na, nb) && nu >= math.max(na, nb))
+    }
+  }
+}
