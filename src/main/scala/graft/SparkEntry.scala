@@ -177,6 +177,9 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_sketch_quantiles" -> ((s, d) => Analytics.sketchQuantiles(s, d)),
     "q_theta_sketch" -> ((s, d) => Analytics.thetaSetAlgebra(s, d)),
+    "dedup_bloom" -> ((s, d) => TextOps.dedupBloom(s, d)),
+    "text_gopher" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "corpus_dsir" -> ((s, d) => graft.text.CorpusOps.dsirWeights(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2090,6 +2093,67 @@ object SparkEntry {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Bloom pruning is semantics-free (false positives die in the exact
+    // join), so the oracle is the plain fingerprint join
+    "dedup_bloom" ->
+      """WITH f AS (SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> ''))), ' ') AS fp FROM documents),
+        |b AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+        |m AS (SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+        |      FROM b JOIN c ON b.fp = c.fp GROUP BY 1)
+        |SELECT b.doc_id,
+        | CASE WHEN m.dup_of IS NULL THEN 'admit' ELSE 'dup' END AS verdict,
+        | m.dup_of
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "text_gopher" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> '')) AS BIGINT) AS n_words,
+        |   CAST(len(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> ''))) AS BIGINT) AS n_distinct,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT b.*,
+        |   round((n_chars - n_words + 1) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS mean_word_len,
+        |   round((n_words - n_distinct) / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS dup_ratio
+        |  FROM b),
+        |v AS (
+        |  SELECT r.*,
+        |   CASE WHEN n_words < 10 THEN 'too_short'
+        |        WHEN n_words > 100000 THEN 'too_long'
+        |        WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_length'
+        |        WHEN n_stop < 1 THEN 'no_stopwords'
+        |        WHEN dup_ratio > 0.5 THEN 'repetitive'
+        |        ELSE 'keep' END AS reason
+        |  FROM r)
+        |SELECT doc_id, n_words, n_distinct, mean_word_len, n_stop, dup_ratio,
+        | reason = 'keep' AS keep, reason
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "corpus_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |  unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '')) AS w FROM documents),
+        |wc AS (SELECT w, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |              CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+        |       FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns,
+        |        COUNT(*) AS v FROM wc),
+        |r AS (SELECT w, CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+        |        - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))) * 1000, 0) AS BIGINT) AS lr_milli
+        |      FROM wc, tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(lr_milli) AS BIGINT) AS sum_milli,
+        | CAST(SUM(lr_milli) AS BIGINT) // COUNT(*) AS avg_milli
+        |FROM t JOIN r USING (w) WHERE NOT is_t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // KLL quantiles: the sketch is exact (true order statistics) while
     // n <= k = 32768 — the test-SF regime — and its INCLUSIVE-rank rule

@@ -169,6 +169,45 @@ object CorpusOps {
     * boilerplate/spam signal the C4 cascade uses alongside the symbol
     * and stopword rules. Pure per-row arithmetic off the codegen'd
     * shingler: no shuffle before the presentation sort. */
+  /** DSIR importance weights (Xie et al. '23, "Data Selection via
+    * Importance Resampling", unigram feature space): each candidate
+    * (non-target) document scores Σ_w n_w·[ln p̂_target(w) −
+    * ln p̂_source(w)] with add-1 smoothed unigram models — the
+    * log-likelihood-ratio that upweights source docs resembling the
+    * target domain (lang='en' plays the target). Resampling then keeps
+    * docs ∝ exp(weight); the weight table is the operator.
+    *
+    * Engine-exactness discipline (the lm_score pattern): the log-ratio
+    * is quantized ONCE per distinct word to integer milli-nats, so
+    * every per-doc sum is an exact integer aggregate — no FP
+    * accumulation-order drift across layouts or engines. Scale shape:
+    * two vocabulary-bounded aggregates (word counts, one-row totals
+    * broadcast), then an index join of the token stream against the
+    * vocabulary table (shuffled-hash — the bounded side builds) and a
+    * map-side-combinable per-doc sum. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(wordsCol).as("w"))
+      .select(col("doc_id"), col("is_t"), xxhash64(col("w")).as("wk"))
+    val wc = toks.groupBy("wk").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    val tot = wc.agg(sum("ct").as("nt"), sum("cs").as("ns"),
+      count(lit(1)).as("v"))
+    val ratio = wc.crossJoin(broadcast(tot))
+      .select(col("wk"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double"))
+          - log((col("cs") + 1).cast("double") / (col("ns") + col("v")).cast("double")))
+          * 1000, 0).cast("long").as("lr_milli"))
+    toks.filter(!col("is_t"))
+      .join(ratio.hint("shuffle_hash"), Seq("wk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_milli").as("sum_milli"))
+      .withColumn("avg_milli", expr("sum_milli div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     docs(spark, dir)

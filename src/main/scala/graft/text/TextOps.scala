@@ -734,6 +734,71 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Bloom-pruned incremental exact dedup — the "did we already crawl
+    * this?" admission check for an arriving batch (doc_id % 10 == 0
+    * plays the increment) against the standing corpus, keyed on the
+    * reorder-proof fingerprint (sorted distinct words). The Bloom
+    * filter is built over the BATCH keys — the bounded side, so the
+    * fixed 32 KiB image plan-ships no matter how big the corpus is —
+    * and prunes the CORPUS scan before the join shuffle: a corpus row
+    * whose fingerprint cannot be in the batch never leaves its scan
+    * task, which at 100 TB removes ~(1 - fpp) of the corpus-side
+    * shuffle for a small increment. False positives survive the probe
+    * and die in the exact join, so the composed operator is EXACTLY
+    * the plain fingerprint join and the oracle is the plain-join SQL.
+    * (Contrast [[dedupIncremental]]: same batch-vs-corpus contract but
+    * NEAR-dup via the shingle index; this is the exact-key fast path.) */
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsRepartitioned(spark, dir)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", array_sort(array_distinct(wordsCol)))).as("k"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bits = graft.ops.BloomJoin.bloomBits(batch.select("k"), "k")
+    val pruned = corpus.filter(graft.ops.BloomJoin.mightContain(bits, col("k")))
+      .select(col("k"), col("doc_id").as("c_id"))
+    val hits = batch.join(pruned, Seq("k"))
+      .groupBy("doc_id").agg(min("c_id").as("dup_of"))
+    batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, "admit").otherwise("dup").as("verdict"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality rule cascade (Rae et al. '21 §A1.1, adapted
+    * to this corpus's clean lowercase text): word-count floor/ceiling,
+    * mean-word-length band, stopword presence, and a duplicate-word
+    * ratio cap — the second named filter family next to the C4 cascade,
+    * with the same first-failing-rule provenance contract. Every
+    * signal is closed-form per row off the fused text_profile scan +
+    * native array ops: embarrassingly parallel, no shuffle before the
+    * presentation sort. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docsRepartitioned(spark, dir)
+      .select(col("doc_id"), expr("text_profile(text)").as("p"),
+        size(array_distinct(wordsCol)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("p.n_chars").as("n_chars"),
+        col("p.n_words").as("n_words"), col("p.n_stop").as("n_stop"),
+        col("n_distinct"))
+      .withColumn("mean_word_len", round((col("n_chars") - col("n_words") + 1) /
+        nullif(col("n_words"), lit(0)).cast("double"), 6))
+      .withColumn("dup_ratio", round((col("n_words") - col("n_distinct")) /
+        nullif(col("n_words"), lit(0)).cast("double"), 6))
+      .withColumn("reason",
+        when(col("n_words") < 10, "too_short")
+          .when(col("n_words") > 100000, "too_long")
+          .when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, "word_length")
+          .when(col("n_stop") < 1, "no_stopwords")
+          .when(col("dup_ratio") > 0.5, "repetitive")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .select("doc_id", "n_words", "n_distinct", "mean_word_len", "n_stop",
+        "dup_ratio", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
   /** Key-collision fingerprint (sorted distinct words → md5): catches
     * reordered/duplicated-content docs that exact hashing misses. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {

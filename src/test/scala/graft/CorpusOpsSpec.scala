@@ -171,6 +171,45 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("DSIR weights match a first-principles driver recomputation exactly") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+          w => w =!= "").as("ws"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getSeq[String](2)))
+    // add-1 smoothed unigram models, milli-nat quantized per DISTINCT word
+    val ct = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cs = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    raw.foreach { case (_, isT, ws) =>
+      ws.foreach(w => if (isT) ct(w) += 1 else cs(w) += 1) }
+    val vocab = (ct.keySet ++ cs.keySet).toSet
+    val (nt, ns, v) = (ct.values.sum, cs.values.sum, vocab.size.toLong)
+    val lr = vocab.map { w =>
+      val x = (math.log((ct(w) + 1.0) / (nt + v))
+        - math.log((cs(w) + 1.0) / (ns + v))) * 1000
+      // Spark round() is HALF_UP away from zero — math.round is not
+      w -> java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }.toMap
+    val want = raw.filter(r => !r._2 && r._3.nonEmpty).map { case (id, _, ws) =>
+      id -> ((ws.length.toLong, ws.map(lr).sum))
+    }.toMap
+    val got = graft.text.CorpusOps.dsirWeights(spark, sfDir).collect()
+    assert(got.length == want.size, "one weight row per non-empty source doc")
+    got.foreach { r =>
+      val (n, s) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("sum_milli") == s,
+        s"weight drift on ${r.getAs[Long]("doc_id")}")
+      // Spark div truncates toward zero — mirror in the expectation
+      assert(r.getAs[Long]("avg_milli") == s / n)
+    }
+    // target-language docs never receive a weight row
+    val tgt = raw.filter(_._2).map(_._1).toSet
+    assert(got.forall(r => !tgt.contains(r.getAs[Long]("doc_id"))))
+  }
+
   test("per-label centroid sums cover all 64 positions with the label's full count") {
     val rows = VectorOps.vecCentroid(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -224,6 +224,51 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getString(2) == "mail me at <EMAIL> or call <NUM>")
   }
 
+  test("bloom-pruned incremental dedup == plain fingerprint join, and finds real dups") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.dedupBloom(spark, sfDir).cache()
+    // semantics-free pruning: identical to the un-pruned join
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(
+      filter(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " "), w => w =!= "")))))
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), fp.as("fp"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val want = batch.join(
+        corpus.select(col("fp"), col("doc_id").as("c_id")), Seq("fp"), "left")
+      .groupBy("doc_id").agg(min("c_id").as("dup_of"))
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, "admit").otherwise("dup").as("verdict"), col("dup_of"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the synthetic corpus has cross-split bag-of-words dups — both
+    // verdicts must actually occur or the gate is vacuous
+    assert(got.filter(col("verdict") === "dup").count() > 0)
+    assert(got.filter(col("verdict") === "admit").count() > 0)
+    got.unpersist(blocking = false)
+  }
+
+  test("gopher rules: fields reproduce the verdict, both outcomes occur") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.gopherRules(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nW = r.getAs[Long]("n_words")
+      val mwl = Option(r.getAs[Double]("mean_word_len")).getOrElse(Double.NaN)
+      val dr = Option(r.getAs[Double]("dup_ratio")).getOrElse(Double.NaN)
+      val want =
+        if (nW < 10) "too_short"
+        else if (nW > 100000) "too_long"
+        else if (mwl < 2.0 || mwl > 12.0) "word_length"
+        else if (r.getAs[Long]("n_stop") < 1) "no_stopwords"
+        else if (dr > 0.5) "repetitive"
+        else "keep"
+      assert(r.getAs[String]("reason") == want, s"rule drift on $r")
+      assert(r.getAs[Boolean]("keep") == (want == "keep"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")),
+      "no failing document — the cascade never fires on this corpus")
+  }
+
   test("fingerprint is order-insensitive (bag-of-words collision)") {
     import spark.implicits._
     // reordered words must collide; different words must not
