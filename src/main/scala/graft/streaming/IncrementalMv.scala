@@ -75,6 +75,12 @@ object IncrementalMv {
     // be overwriting a partial crash leftover it would otherwise read)
     val snap = merged.localCheckpoint(true)
     snap.write.mode("overwrite").parquet(s"$root/v=$batchId")
+    commitPointer(spark, root, batchId)
+  }
+
+  /** Advance the `_latest` pointer (shared with SketchMv). */
+  private[streaming] def commitPointer(spark: SparkSession, root: String,
+      batchId: Long): Unit = {
     val lp = latestPath(root)
     val f = fs(spark, lp)
     val out = f.create(lp, true)

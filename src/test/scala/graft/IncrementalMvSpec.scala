@@ -85,4 +85,47 @@ class IncrementalMvSpec extends SparkSpec {
     // idempotent: a second vacuum with the same retention removes nothing
     assert(IncrementalMv.vacuum(spark, root, keepLast = 2).isEmpty)
   }
+
+  test("sketch MV: streamed theta state == one-shot sketch, replay-proof by set semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    import graft.streaming.SketchMv
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_skmv").toString
+    val ckpt = Files.createTempDirectory("graft_skmv_ck").toString
+    // overlapping user sets across batches: distinct-count states must
+    // NOT add up (that is what makes sketch union the right algebra)
+    val batches = Seq(
+      Seq(row(1, base, "click", 1.0), row(8, base, "view", 2.0)),
+      Seq(row(8, base + day, "click", 1.0), row(15, base + day, "click", 2.0)),
+      Seq(row(1, base + 2 * day, "click", 3.0), row(22, base + 2 * day, "view", 4.0)))
+    val stream = MemoryStream[EventRow]
+    val q = SketchMv.maintain(stream.toDF(), root, ckpt)
+    for (b <- batches) { stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = SketchMv.estimates(spark, root).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact regime: estimates are true distinct user counts
+    val want = batches.flatten.toDF().groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stream $got != exact $want")
+    // and the streamed state is BYTE-identical to a one-shot sketch:
+    // theta retained sets are order/batching-independent
+    val oneShot = SketchMv.sketchPartials(batches.flatten.toDF()).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val state = IncrementalMv.currentSummary(spark, root).get.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    assert(state == oneShot, "streamed sketch state drifted from one-shot build")
+    // idempotent algebra: blindly re-merging an already-folded delta
+    // (bypassing the version guard) leaves every estimate unchanged
+    val remerged = SketchMv.mergeStates(
+      IncrementalMv.currentSummary(spark, root).get,
+      SketchMv.sketchPartials(batches(1).toDF()))
+    graft.functions.GraftFunctions.register(spark)
+    val after = remerged.select(col("event_type"),
+      expr("theta_estimate(sk)").cast("long").as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == want, "sketch union is not idempotent under replay")
+  }
 }
