@@ -180,6 +180,7 @@ object SparkEntry {
     "dedup_bloom" -> ((s, d) => TextOps.dedupBloom(s, d)),
     "text_gopher" -> ((s, d) => TextOps.gopherRules(s, d)),
     "corpus_dsir" -> ((s, d) => graft.text.CorpusOps.dsirWeights(s, d)),
+    "q_trip_summary" -> ((s, d) => Analytics.tripSummary(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2093,6 +2094,23 @@ object SparkEntry {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_trip_summary" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, d, COUNT(*) AS n_events,
+        |   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |   MIN(vc) AS min_cents, MAX(vc) AS max_cents,
+        |   CAST(SUM(vc) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT user_id, d, n_events, start_us, end_us, min_cents, max_cents, sum_cents,
+        | (end_us - start_us) // 1000000 AS duration_s,
+        | CASE WHEN n_events > 1
+        |      THEN ((end_us - start_us) // 1000000) // (n_events - 1) END AS mean_headway_s
+        |FROM g ORDER BY user_id, d""".stripMargin,
 
     // Bloom pruning is semantics-free (false positives die in the exact
     // join), so the oracle is the plain fingerprint join

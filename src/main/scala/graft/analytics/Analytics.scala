@@ -791,6 +791,31 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Per-(vehicle, service-day) trip summary — the reference's
+    * trip-dimension report shape (trip duration, meter delta, event
+    * count, mean headway between breadcrumbs) as ONE map-side-
+    * combinable aggregation: no window, no sort, partials fold, so at
+    * 100 TB this is a plain hash aggregate bounded by vehicles × days.
+    * Headway and duration are exact integer `div` arithmetic
+    * (engine-identical); a single-event trip has no headway (NULL).
+    * Reference anchor: Part3/Visualizations q2/q5_1 read per-trip
+    * point sets; this is their per-trip profile rollup. */
+  def tripSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("vc"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        min("vc").as("min_cents"), max("vc").as("max_cents"),
+        sum("vc").as("sum_cents"))
+      .withColumn("duration_s", expr("(end_us - start_us) div 1000000"))
+      .withColumn("mean_headway_s",
+        when(col("n_events") > 1,
+          expr("((end_us - start_us) div 1000000) div (n_events - 1)")))
+      .orderBy("user_id", "d")
+
   /** Mergeable QUANTILE rollup — the distribution twin of
     * [[sketchRollup]]'s distinct counts: one pass builds a KLL doubles
     * sketch per (type, day), and the per-type quantile profile comes

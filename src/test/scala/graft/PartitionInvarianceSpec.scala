@@ -29,7 +29,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       // stacks over a generated spine, 1-row scalar composition
       "dedup_editdist", "text_containment", "q_interpolate",
       "q_disjunctive", "q_weighted_median", "text_tfidf", "vec_pca",
-      "text_top_quality", "q_funnel_time", "text_lm_score", "vec_kmeans")
+      "text_top_quality", "q_funnel_time", "text_lm_score", "vec_kmeans",
+      // sketch/curation batch: mergeable sketch states (exact regime),
+      // cluster-bucketed blocked products, Bloom-pruned joins,
+      // vocabulary-quantized integer sums
+      "q_sketch_quantiles", "q_theta_sketch", "dedup_semantic",
+      "dedup_bloom", "corpus_dsir")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -186,4 +186,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 scans of events, got $scans:\n${plan.take(2000)}")
     assert(plan.contains("Generate explode"), s"spine generation missing:\n${plan.take(1500)}")
   }
+
+  test("bloom dedup probes the filter BEFORE the join, on the corpus side") {
+    val plan = executed(graft.text.TextOps.dedupBloom(spark, sfDir))
+    // the codegen'd probe must appear as a Filter, not post-join logic
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from plan:\n${plan.take(2000)}")
+    val probeLine = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(_.contains("HashJoin"))
+    assert(probeLine > joinLine, // deeper in the tree = printed later? no:
+      // executedPlan prints root-first, so the probe (below the join)
+      // must appear AFTER the join operator line
+      s"bloom probe not below the join (probe@$probeLine join@$joinLine)")
+  }
+
+  test("DSIR scores via a shuffled-hash index join, never a sort-merge") {
+    val plan = executed(graft.text.CorpusOps.dsirWeights(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"vocabulary index join lost the SHJ hint:\n${plan.take(2000)}")
+  }
+
+  test("semantic dedup partitions pairs on (cluster, block-pair) — no broadcast of the corpus") {
+    val plan = executed(graft.vector.VectorOps.semanticDedup(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"cluster pair search degenerated to a product:\n${plan.take(2000)}")
+  }
+
+  test("sketch quantile rollup is two stacked aggregates on one events scan") {
+    val plan = executed(Analytics.sketchQuantiles(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 events scan, got $scans")
+    assert(plan.contains("kll_agg") && plan.contains("kll_merge_agg"))
+  }
 }
