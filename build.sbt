@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local executor threads share this heap: 8g (250 MB/thread) GC-
+  // thrashes under shuffle + lingering localCheckpoint blocks and made
+  // bench times swing 2-8x run to run; 24g on the 128 GiB box is the
+  // honest local[32] sizing (a real cluster sizes executor memory to
+  // cores the same way)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
