@@ -130,6 +130,9 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => graft.text.CorpusOps.repetition(s, d)),
     "corpus_mix" -> ((s, d) => graft.text.CorpusOps.corpusMix(s, d)),
     "text_bpe_pairs" -> ((s, d) => graft.text.CorpusOps.bpePairs(s, d)),
+    "text_bpe_encode" -> ((s, d) => graft.text.CorpusOps.bpeEncode(s, d)),
+    "sample_weighted" -> ((s, d) => graft.text.CorpusOps.sampleWeighted(s, d)),
+    "q_global_rank" -> ((s, d) => Analytics.globalRank(s, d)),
     "text_bm25" -> ((s, d) => graft.text.CorpusOps.bm25(s, d)),
     "text_pmi" -> ((s, d) => graft.text.CorpusOps.pmiCollocations(s, d)),
     "text_diversity" -> ((s, d) => graft.text.CorpusOps.lexicalDiversity(s, d)),
@@ -1410,6 +1413,18 @@ object SparkEntry {
         |FROM documents d JOIN counts USING (lang), t
         |WHERE (((d.doc_id % 1000003) * 2654435761) % 1000003) * counts.cnt < t.target * 1000003
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        | CAST(((doc_id % 1000003) * 2654435761) % 1000003 + 1 AS BIGINT) AS u,
+        | CAST((n_chars * 1000000000) // (((doc_id % 1000003) * 2654435761) % 1000003 + 1) AS BIGINT) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_global_rank" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        | CAST(rank() OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC) AS BIGINT) AS global_rank
+        |FROM orders ORDER BY global_rank, o_orderkey""".stripMargin,
 
     "text_contamination" ->
       """WITH w AS (

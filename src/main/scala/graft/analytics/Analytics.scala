@@ -1354,4 +1354,38 @@ object Analytics {
       .select(col("n_nation"), col("n_bucket"), col("n_both"),
         (col("n_nation") + col("n_bucket") - col("n_both")).as("n_union"))
   }
+
+  /** Exact GLOBAL rank of every order by price — row-identical to
+    * `rank() OVER (ORDER BY price DESC)` — without that window's fatal
+    * plan: an un-partitioned window is ONE task sorting the whole
+    * table. Two-phase bucketed ranking instead: (1) rows bucket by a
+    * fixed price-range split (bucket count bounded by the VALUE DOMAIN
+    * — ~600 buckets for any row count, the same bounded-dimension trick
+    * as seqPack's prefix sum); per-bucket counts prefix-sum descending
+    * into offsets (a window over one row per bucket). (2) rank within
+    * each bucket in parallel, add the bucket's offset. Exactness:
+    * bucket boundaries split by value, so rows in a higher bucket are
+    * strictly greater and TIES never straddle buckets — offset +
+    * in-bucket rank reproduces rank()'s tie-and-gap semantics. At
+    * 100 TB the only global step touches #buckets rows; everything
+    * else is hash-parallel. (Value skew concentrates rows in few
+    * buckets ⇒ re-split hot buckets by a finer modulus — same
+    * recursion TeraSort applies to sampled ranges.) */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val bucketed = o.withColumn("bucket", expr("price_cents div 1000000"))
+    val byBucketDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(byBucketDesc), lit(0L)))
+      .select("bucket", "offset")
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("global_rank",
+        (col("offset") + rank().over(
+          Window.partitionBy("bucket").orderBy(col("price_cents").desc)))
+          .cast("long"))
+      .select("o_orderkey", "price_cents", "global_rank")
+      .orderBy("global_rank", "o_orderkey")
+  }
 }

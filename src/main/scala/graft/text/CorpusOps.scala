@@ -423,4 +423,97 @@ object CorpusOps {
         "CAST(sum_sq AS DECIMAL(38,0)) * 1000000 div (CAST(n_words AS DECIMAL(38,0)) * n_words)"))
       .select("doc_id", "n_words", "n_types", "ttr_ppm", "simpson_ppm")
       .orderBy("doc_id")
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM '07): each document draws priority
+    * q_i = w_i/u_i with u_i uniform, and the k largest priorities form
+    * the sample — the size-bounded weighted sample a mixture pipeline
+    * uses to over-select long/high-quality documents. Determinism and
+    * engine-parity come from integer arithmetic end to end: u_i is a
+    * Knuth-multiplicative hash residue in [1, M] (no RNG state, so the
+    * sample is reproducible on any cluster layout) and the priority is
+    * the BIGINT floor of w·S/u. The top-k plans as
+    * TakeOrderedAndProject: per-partition k-row heaps, one k-row merge
+    * on the driver — no global sort and no full-corpus shuffle, which
+    * is the whole 100 TB story for "pick 100 of a trillion docs". */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000003L // prime hash-space modulus (shared with sampleStratified)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u", pmod(pmod(col("doc_id"), lit(m)) * 2654435761L, lit(m)) + 1)
+      // w ≤ 1e9 chars and S = 1e9 keep w·S < 2^63: overflow-free BIGINT
+      .withColumn("priority", expr("(weight * 1000000000) div u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "weight", "u", "priority")
+  }
+
+  /** Byte-pair-encoding tokenizer, learn + apply (Sennrich, Haddow &
+    * Birch, ACL '16): iteratively merge the corpus-wide most frequent
+    * adjacent symbol pair, then encode every word greedily with the
+    * learned merge table. The published scale trick IS the
+    * implementation shape: learning runs over the WORD-FREQUENCY
+    * DICTIONARY (one groupBy of the corpus — vocabulary-bounded, not
+    * corpus-bounded), each merge round is one map-side-combinable pair
+    * aggregate over that dictionary, and the driver reads exactly ONE
+    * row per round (the argmax pair — same bounded-driver pattern as
+    * dedup_cluster's convergence count). Encoding is a pure column
+    * expression: a left fold (`aggregate`) per learned merge collapses
+    * adjacent (a,b) left-to-right non-overlapping — per-row, no state,
+    * embarrassingly parallel at any scale. Ties in pair frequency break
+    * lexically so the learned table is deterministic on any layout.
+    *
+    * No SQL oracle by design (the learn loop is iterative argmax —
+    * DuckDB would need K chained recomputations); the spec pins a
+    * hand-computed merge sequence on a constructed corpus, the
+    * detokenization round-trip (concat(tokens) == word) on real data,
+    * and layout invariance. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    val chars: Column => Column =
+      w => filter(split(w, ""), c => c =!= "")
+    // greedy left-to-right application of the learned merges, in learn
+    // order (BPE's apply rule): each merge is one array fold
+    def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+      merges.foldLeft(syms) { case (s, (a, b)) =>
+        aggregate(s, array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+      }
+    val vocab = docs(spark, dir)
+      .select(explode(wordsCol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    var merges = Vector.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val best = vocab
+        .select(col("freq"), applyMerges(chars(col("word")), merges).as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty)
+        merges :+= (best(0).getAs[String]("a"), best(0).getAs[String]("b"))
+    }
+    vocab.unpersist(blocking = false)
+    // the returned frame re-derives the dictionary from source: the
+    // query stays stateless (nothing persisted escapes the function)
+    docs(spark, dir)
+      .select(explode(wordsCol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("tokens", applyMerges(chars(col("word")), merges))
+      .select(col("word"), col("freq"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("tokens")).as("encoding"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(200)
+  }
 }

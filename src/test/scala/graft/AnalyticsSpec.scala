@@ -2,6 +2,7 @@ package graft
 
 import graft.analytics.Analytics
 import graft.etl.EventsEtl
+import org.apache.spark.sql.functions.{col, round}
 
 class AnalyticsSpec extends SparkSpec {
 
@@ -136,5 +137,24 @@ class AnalyticsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(out.count() == users)
     out.unpersist()
+  }
+
+  test("two-phase bucketed global rank reproduces rank() tie-and-gap semantics exactly") {
+    val got = graft.analytics.Analytics.globalRank(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("price_cents"),
+        r.getAs[Long]("global_rank"))).toSeq
+    // sequential reference: rank = 1 + #rows strictly greater
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("vc")).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("vc")))
+    val sorted = base.sortBy { case (k, v) => (-v, k) }
+    val rankOf = scala.collection.mutable.Map[Long, Long]()
+    sorted.zipWithIndex.foreach { case ((_, v), i) =>
+      if (!rankOf.contains(v)) rankOf(v) = i + 1L
+    }
+    val want = sorted.map { case (k, v) => (k, v, rankOf(v)) }.toSeq
+    assert(got.size == want.size)
+    assert(got == want, "bucketed global rank diverged from the full-order reference")
   }
 }

@@ -221,4 +221,57 @@ class CorpusOpsSpec extends SparkSpec {
       g.foreach(r => assert(r.getAs[Long]("n_vecs") == labelCounts(label)))
     }
   }
+
+  test("weighted priority sample equals the brute-force top-100 exactly, in order") {
+    val got = CorpusOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("u"), r.getAs[Long]("priority"))).toSeq
+    val m = 1000003L
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val u = ((id % m) * 2654435761L) % m + 1
+        (id, w, u, w * 1000000000L / u)
+      }
+    val want = all.sortBy { case (id, _, _, p) => (-p, id) }.take(100).toSeq
+    assert(got == want, "priority sample diverged from the sequential reference")
+  }
+
+  test("BPE learns the paper's merge sequence on the constructed corpus (lexical ties)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq(
+      (0L, "low low low low low", "en", "src0", 19L),
+      (1L, "lower lower", "en", "src0", 11L),
+      (2L, "newest newest newest newest newest newest", "en", "src0", 41L),
+      (3L, "widest widest widest", "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.bpeEncode(spark, dir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("encoding"))).toSeq
+    // hand-derived 8-round merge sequence: es, est, lo, low, ew, ewest,
+    // newest, dest (frequency argmax with (a,b)-lexical tie-breaks)
+    assert(got == Seq(
+      ("newest", 6L, 1L, "newest"),
+      ("low", 5L, 1L, "low"),
+      ("widest", 3L, 3L, "w i dest"),
+      ("lower", 2L, 3L, "low e r")), s"BPE encoding diverged: $got")
+  }
+
+  test("BPE detokenization round-trips: token concat rebuilds every word") {
+    val rows = CorpusOps.bpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rebuilt = r.getAs[String]("encoding").split(" ").mkString("")
+      assert(rebuilt == r.getAs[String]("word"),
+        s"detokenize broke: '${r.getAs[String]("word")}' -> '$rebuilt'")
+      assert(r.getAs[Long]("n_tokens") >= 1)
+    }
+    // merges actually fired: frequent words compress below char count
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_tokens") < r.getAs[String]("word").length))
+  }
 }

@@ -34,7 +34,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // cluster-bucketed blocked products, Bloom-pruned joins,
       // vocabulary-quantized integer sums
       "q_sketch_quantiles", "q_theta_sketch", "dedup_semantic",
-      "dedup_bloom", "corpus_dsir")
+      "dedup_bloom", "corpus_dsir",
+      // sampling/rank/tokenizer batch: top-k limit boundary, two-phase
+      // bucket offsets, iterative argmax merge learning
+      "sample_weighted", "q_global_rank", "text_bpe_encode")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -218,4 +218,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 events scan, got $scans")
     assert(plan.contains("kll_agg") && plan.contains("kll_merge_agg"))
   }
+
+  test("weighted sample plans as TakeOrdered per-partition heaps, not a global sort") {
+    val plan = executed(graft.text.CorpusOps.sampleWeighted(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k priority sample lost its heap plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k sample pays a full range-sort exchange:\n${plan.take(1500)}")
+  }
+
+  test("global rank never sorts the full table in one task") {
+    val plan = executed(Analytics.globalRank(spark, sfDir))
+    // the per-row rank window must carry the bucket hash partition
+    // spec — the only single-partition window allowed is the offsets
+    // prefix over the ~600-row bucket dimension
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"per-row rank window lost its bucket partitioning:\n${plan.take(2000)}")
+  }
 }
