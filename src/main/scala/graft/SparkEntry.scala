@@ -117,6 +117,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_rollhash" -> ((s, d) => TextOps.rollingFingerprint(s, d)),
+    "text_winnow" -> ((s, d) => TextOps.winnow(s, d)),
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(s, d)),
     "text_c4_filter" -> ((s, d) => TextOps.c4Filter(s, d)),
@@ -1790,6 +1791,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, fingerprint,
         | COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_key
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |k AS (
+        |  SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS m,
+        |   list_transform(generate_series(1, len(words) - 2),
+        |     i -> md5(array_to_string(words[i:i+2], ' '))) AS kg
+        |  FROM w WHERE len(words) >= 6),
+        |ky AS (
+        |  SELECT doc_id, m,
+        |   list_transform(generate_series(1, CAST(m AS INTEGER)),
+        |     i -> kg[i] || '#' || lpad(CAST(9999999 - i AS VARCHAR), 7, '0')) AS keys
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, m,
+        |   list_sort(list_distinct(list_transform(generate_series(1, CAST(m - 3 AS INTEGER)),
+        |     j -> list_aggregate(keys[j:j+3], 'min')))) AS fps
+        |  FROM ky)
+        |SELECT doc_id, m AS n_kgrams,
+        | CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        | md5(array_to_string(fps, ',')) AS fp_digest
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->

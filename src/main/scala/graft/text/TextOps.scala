@@ -879,4 +879,39 @@ object TextOps {
       .select("doc_id", "n_words", "n_stop", "punct_ratio", "keep", "reason")
       .orderBy("doc_id")
   }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03 — the MOSS algorithm): hash every word 3-gram, slide a
+    * w=4 window over the hash sequence, keep the RIGHTMOST minimal
+    * hash per window. The selected set is a position-aware fingerprint
+    * with the paper's guarantee: any shared word run of length ≥
+    * w+k-1 = 6 is caught by at least one common fingerprint, while
+    * only ~2/(w+1) of all k-grams are retained. Everything is
+    * closed-form per row (higher-order array functions over the word
+    * array — k-gram hashing, window minima, dedup): NO shuffle, no
+    * window operator, embarrassingly parallel at any corpus size.
+    * Engine parity trick: the k-gram hash is the md5 HEX STRING, and
+    * the rightmost-min rule is encoded as the plain lexicographic min
+    * of `hash#(C-pos)` — both sides any SQL engine computes
+    * identically, so the whole fingerprint set is DuckDB-oracled
+    * (unlike the xxhash64-based rows-only fingerprints). */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    docsRepartitioned(spark, dir)
+      .select(col("doc_id"), wordsCol.as("words"))
+      // ≥ 6 words = at least one full window (m k-grams, m-3 windows)
+      .filter(size(col("words")) >= 6)
+      .withColumn("m", (size(col("words")) - 2).cast("long"))
+      .withColumn("kg", expr(
+        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))"))
+      .withColumn("keys", expr(
+        """transform(sequence(1, size(words) - 2),
+          |  i -> concat(element_at(kg, i), '#',
+          |    lpad(cast(9999999 - i as string), 7, '0')))""".stripMargin))
+      .withColumn("fps", expr(
+        """array_sort(array_distinct(transform(sequence(1, size(words) - 5),
+          |  j -> array_min(slice(keys, j, 4)))))""".stripMargin))
+      .select(col("doc_id"), col("m").as("n_kgrams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws(",", col("fps"))).as("fp_digest"))
+      .orderBy("doc_id")
 }

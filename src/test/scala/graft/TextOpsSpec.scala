@@ -281,4 +281,61 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  /** Sequential reference winnowing (k=3, w=4, rightmost-min): the
+    * paper's algorithm executed naively, used to pin the distributed
+    * closed-form version exactly. */
+  private def winnowRef(text: String): Option[(Long, Long, Set[String])] = {
+    val words = text.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+    if (words.length < 6) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kg = (0 to words.length - 3).map(i => md5hex(words.slice(i, i + 3).mkString(" ")))
+    val keys = kg.zipWithIndex.map { case (h, i0) =>
+      h + "#" + "%07d".format(9999999 - (i0 + 1))
+    }
+    val fps = (0 to keys.length - 4).map(j => keys.slice(j, j + 4).min).toSet
+    Some((kg.length.toLong, fps.size.toLong, fps))
+  }
+
+  test("winnowing matches the sequential reference on every real document") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.winnow(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val covered = got.map(_.getAs[Long]("doc_id")).toSet
+    got.foreach { r =>
+      val Some((m, nFps, fps)) = winnowRef(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_kgrams") == m)
+      assert(r.getAs[Long]("n_fingerprints") == nFps)
+      assert(r.getAs[String]("fp_digest") ==
+        md5hex(fps.toSeq.sorted.mkString(",")))
+    }
+    // rows appear exactly for docs with >= 6 words
+    texts.foreach { case (id, t) =>
+      assert(covered.contains(id) == winnowRef(t).isDefined)
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint; selection is sparse") {
+    // two documents sharing exactly one 7-word run, otherwise disjoint
+    val shared = "the quick brown fox jumps over fences"
+    val a = s"alpha bravo charlie delta echo $shared foxtrot golf hotel india juliet"
+    val b = s"kilo lima mike november oscar papa $shared quebec romeo sierra tango"
+    val Some((_, _, fpsA)) = winnowRef(a)
+    val Some((_, _, fpsB)) = winnowRef(b)
+    // positions differ between docs, but the HASH part of at least one
+    // selected key must coincide (the w+k-1 guarantee on the shared run)
+    val hashesA = fpsA.map(_.takeWhile(_ != '#'))
+    val hashesB = fpsB.map(_.takeWhile(_ != '#'))
+    assert(hashesA.intersect(hashesB).nonEmpty, "shared 7-word run produced no common fingerprint")
+    // density: winnowing keeps ~2/(w+1) of k-grams, never all of them
+    val Some((m, nFps, _)) = winnowRef(a)
+    assert(nFps < m, "winnowing selected every k-gram — no sparsification")
+  }
 }
