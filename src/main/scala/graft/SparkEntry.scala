@@ -118,6 +118,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_rollhash" -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "text_winnow" -> ((s, d) => TextOps.winnow(s, d)),
+    "dedup_winnow" -> ((s, d) => TextOps.dedupWinnow(s, d)),
     "text_redact" -> ((s, d) => TextOps.redactPii(s, d)),
     "text_ngram_freq" -> ((s, d) => TextOps.ngramFreq(s, d)),
     "text_c4_filter" -> ((s, d) => TextOps.c4Filter(s, d)),
@@ -1816,6 +1817,36 @@ object SparkEntry {
         | CAST(len(fps) AS BIGINT) AS n_fingerprints,
         | md5(array_to_string(fps, ',')) AS fp_digest
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |k AS (
+        |  SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS m,
+        |   list_transform(generate_series(1, len(words) - 2),
+        |     i -> md5(array_to_string(words[i:i+2], ' '))) AS kg
+        |  FROM w WHERE len(words) >= 6),
+        |ky AS (
+        |  SELECT doc_id, m,
+        |   list_transform(generate_series(1, CAST(m AS INTEGER)),
+        |     i -> kg[i] || '#' || lpad(CAST(9999999 - i AS VARCHAR), 7, '0')) AS keys
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(generate_series(1, CAST(m - 3 AS INTEGER)),
+        |     j -> list_aggregate(keys[j:j+3], 'min'))) AS fps
+        |  FROM ky),
+        |e AS (
+        |  SELECT DISTINCT doc_id, split_part(fpk, '#', 1) AS h
+        |  FROM (SELECT doc_id, unnest(fps) AS fpk FROM f)),
+        |rare AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= 50),
+        |keep AS (SELECT doc_id, h FROM e JOIN rare USING (h))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "text_redact" ->
       """WITH r AS (

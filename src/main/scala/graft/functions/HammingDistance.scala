@@ -80,6 +80,8 @@ object GraftFunctions {
       exprs => VecNorm(exprs.head)),
     ("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text",
       exprs => RollingHash(exprs.head)),
+    ("winnow_fps", "winnow_fps(text) - winnowing fingerprint keys (k=3, w=4, rightmost-min)",
+      exprs => WinnowFps(exprs.head)),
     ("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates",
       exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))),
     ("kll_agg", "kll_agg(value) - KLL quantile sketch of a double column",

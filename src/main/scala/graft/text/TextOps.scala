@@ -896,22 +896,54 @@ object TextOps {
     * identically, so the whole fingerprint set is DuckDB-oracled
     * (unlike the xxhash64-based rows-only fingerprints). */
   def winnow(spark: SparkSession, dir: String): DataFrame =
-    docsRepartitioned(spark, dir)
-      .select(col("doc_id"), wordsCol.as("words"))
-      // ≥ 6 words = at least one full window (m k-grams, m-3 windows)
-      .filter(size(col("words")) >= 6)
-      .withColumn("m", (size(col("words")) - 2).cast("long"))
-      .withColumn("kg", expr(
-        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))"))
-      .withColumn("keys", expr(
-        """transform(sequence(1, size(words) - 2),
-          |  i -> concat(element_at(kg, i), '#',
-          |    lpad(cast(9999999 - i as string), 7, '0')))""".stripMargin))
-      .withColumn("fps", expr(
-        """array_sort(array_distinct(transform(sequence(1, size(words) - 5),
-          |  j -> array_min(slice(keys, j, 4)))))""".stripMargin))
+    winnowFps(spark, dir)
       .select(col("doc_id"), col("m").as("n_kgrams"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         md5(concat_ws(",", col("fps"))).as("fp_digest"))
       .orderBy("doc_id")
+
+  /** Shared winnowing core: (doc_id, m = #k-grams, fps = selected
+    * position-tagged fingerprint keys). One codegen'd pass per row
+    * (graft.functions.WinnowFps) — the same algorithm phrased as
+    * chained higher-order functions is O(m²)-O(m³) per row because
+    * CollapseProject inlines every intermediate array into each
+    * downstream lambda and the interpreter re-derives them per
+    * element (measured: minutes on a 50-doc partition). */
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docsRepartitioned(spark, dir)
+      // ≥ 6 words = at least one full window (m k-grams, m-3 windows)
+      .select(col("doc_id"),
+        (size(expr("word_tokens(text)")) - 2).cast("long").as("m"),
+        expr("winnow_fps(text)").as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select("doc_id", "m", "fps")
+  }
+
+  /** Winnowing-based near-dup detection — the MOSS matching step:
+    * documents sharing ≥ 2 selected fingerprint HASHES (positions
+    * stripped — matching is content-based) are reported with their
+    * overlap count. The inverted-index join shape of the jaccard
+    * family, with the standard boilerplate guard: fingerprints present
+    * in more than 50 documents are dropped before the pair join
+    * (winnowing's own practice for template noise), which also caps
+    * per-key join fan-out at 50² — the 100 TB bound. Fully oracled:
+    * the md5-string fingerprints are engine-portable, so unlike the
+    * minhash/simhash candidate generators this near-dup pair set is
+    * hash-checked against DuckDB, not rows-only. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fpk"))
+      .select(col("doc_id"), substring_index(col("fpk"), "#", 1).as("h"))
+      .distinct()
+    val rare = fps.groupBy("h").agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") <= 50).select("h")
+    val keep = fps.join(rare, Seq("h"))
+    keep.select(col("h"), col("doc_id").as("a_id"))
+      .join(keep.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
 }

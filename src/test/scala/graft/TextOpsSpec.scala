@@ -322,6 +322,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow pair matching equals the full sequential reconstruction (df filter included)") {
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // sequential reference: per-doc fingerprint HASH sets, df<=50
+    // boilerplate filter, pairwise intersection >= 2
+    val docHashes = texts.flatMap { case (id, t) =>
+      winnowRef(t).map { case (_, _, fps) => id -> fps.map(_.takeWhile(_ != '#')) }
+    }
+    val df = docHashes.flatMap { case (_, hs) => hs }
+      .groupBy(identity).map { case (h, o) => h -> o.length }
+    val kept = docHashes.map { case (id, hs) => id -> hs.filter(df(_) <= 50) }
+    val want = (for {
+      (a, ha) <- kept; (b, hb) <- kept if a < b
+      shared = ha.intersect(hb).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val got = TextOps.dedupWinnow(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("n_shared"))).toSet
+    assert(got == want, s"winnow pairs diverged (got ${got.size}, want ${want.size})")
+    assert(want.nonEmpty, "constructed corpus produced no near-dup pairs — test is vacuous")
+  }
+
   test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint; selection is sparse") {
     // two documents sharing exactly one 7-word run, otherwise disjoint
     val shared = "the quick brown fox jumps over fences"
