@@ -150,6 +150,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "ann_ivf_probe" -> ((s, d) => VectorOps.annIvfProbe(s, d)),
     "ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
+    "ann_ivfpq" -> ((s, d) => VectorOps.annIvfPq(s, d)),
     "ann_eval" -> ((s, d) => VectorOps.annEval(s, d)),
     "q_rfm" -> ((s, d) => Analytics.rfmSegmentation(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),

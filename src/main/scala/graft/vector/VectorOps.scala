@@ -493,6 +493,129 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** driver-side twin of NearestCell for bounded sets: index of the
+    * nearest centroid (ties to the lowest index). */
+  private def nearestIdx(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestDist = Double.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      var s = 0.0; var i = 0
+      while (i < cs(j).length) { val d = v(i) - cs(j)(i); s += d * d; i += 1 }
+      if (s < bestDist) { bestDist = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** IVF+PQ composed index (Jégou, Douze & Schmid, TPAMI '11 §V — the
+    * FAISS IVFADC serving shape, and the only one of the ANN family
+    * that combines PRUNING with COMPRESSION): coarse k-means cells
+    * restrict each query to nprobe=3 inverted lists, product
+    * quantization encodes the RESIDUAL (vector − its cell centroid, the
+    * paper's key variance-reduction step) in 4 bytes, ADC tables score
+    * codes without touching raw vectors, and exact cosine reranks a
+    * constant-size shortlist. At 100 TB this is the serving index:
+    * the scan touches nprobe/k of the corpus as 4-byte codes (64×
+    * compression), both trainings are bounded driver samples, and the
+    * per-probe distance tables are (queries × nprobe × 128) doubles —
+    * broadcast by construction. The cell equi-join replaces annPq's
+    * every-query×every-vector scan, which is exactly the IVF pruning
+    * claim; each (query, neighbor) pair meets at most once because a
+    * corpus vector lives in ONE cell. Rows-only: Lloyd structures are
+    * engine-specific; the spec measures recall vs brute force and pins
+    * the pruning arithmetic. */
+  def annIvfPq(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = trainCentroids(spark, dir)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      // zero-norm vectors have no direction: excluded from cosine ops
+      .filter(col("nrm") > 0)
+    def emptyOut = vecs.select(col("vec_id").as("query_id"), lit(0L).as("rank"),
+      col("vec_id").as("neighbor_id"), lit(0.0).as("cos"),
+      lit(0.0).as("adc_dist")).filter(lit(false))
+    if (cents.isEmpty) return emptyOut
+    // residual codebooks: same bounded sample, assigned driver-side
+    val sample = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(4096)
+      .collect().map(r => unitNorm(r.getSeq[Float](1).toArray))
+    val residualSample = sample.map { v =>
+      val c = cents(nearestIdx(v, cents))
+      Array.tabulate(v.length)(i => (v(i) - c(i)).toFloat)
+    }
+    val books = Array.tabulate(PqM) { j =>
+      lloyd(residualSample.map(_.slice(j * PqSubDim, (j + 1) * PqSubDim)), PqK, 10)
+    }
+    // corpus: one cell + 8 residual codes per vector, all fused into
+    // the scan (NearestCell is broadcast-by-reference codegen)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val coded0 = vecs
+      .withColumn("en", transform(col("e"),
+        x => (x / greatest(col("nrm"), lit(1e-30))).cast("float")))
+      .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("en")), cents)))
+      .withColumn("res", zip_with(col("en"),
+        element_at(centsLit, col("cell") + 1),
+        (a, b) => (a - b).cast("float")))
+    val coded = books.zipWithIndex.foldLeft(coded0) { case (df, (book, j)) =>
+      df.withColumn(s"c$j", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(
+            slice(col("res"), j * PqSubDim + 1, PqSubDim)), book)))
+    }.withColumn("codes", array((0 until PqM).map(j => col(s"c$j")): _*))
+      .select("vec_id", "e", "nrm", "cell", "codes")
+    // bounded query set: one ADC table per (query, probed cell), each
+    // against the residual codebooks relative to THAT cell's centroid
+    val qRows = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (qRows.isEmpty) return emptyOut
+    import spark.implicits._
+    val qTables = qRows.toSeq.flatMap { case (qid, raw) =>
+      val q = unitNorm(raw)
+      val dists = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = q(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      dists.zipWithIndex.sortBy { case (d, j) => (d, j) }.take(probes)
+        .map { case (_, cell) =>
+          val table = Array.tabulate(PqM * PqK) { idx =>
+            val j = idx / PqK; val c = idx % PqK
+            var s = 0.0; var i = 0
+            while (i < PqSubDim) {
+              val qr = q(j * PqSubDim + i) - cents(cell)(j * PqSubDim + i)
+              val d = qr - books(j)(c)(i); s += d * d; i += 1
+            }
+            s
+          }
+          (qid, raw, cell, table)
+        }
+    }.toDF("query_id", "qe", "cell", "dist_table")
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    val shortlist = coded.toDF("neighbor_id", "ce", "cn", "cell", "codes")
+      .join(broadcast(qTables), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, j) => acc + element_at(col("dist_table"),
+          (j * PqK + element_at(col("codes"), j + 1) + 1).cast("int"))))
+      .withColumn("adc_rank", row_number().over(w))
+      .filter(col("adc_rank") <= 32)
+    val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("qn", expr("vec_norm(qe)"))
+      .filter(col("qn") > 0)
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= 3)
+      .withColumn("adc_dist", round(col("adc_dist"), 6))
+      .select("query_id", "rank", "neighbor_id", "cos", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN-method quality report — the vector twin of `dedup_eval`: each
     * approximate path's top-3 neighbor set scored against the exact
     * brute-force truth in integer ppm (recall@3) plus its candidate
@@ -517,7 +640,7 @@ object VectorOps {
         .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
       (method, row.getLong(0), row.getLong(1))
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
@@ -525,6 +648,7 @@ object VectorOps {
         "lsh_hyperplane" -> (() => annLsh(spark, dir)),
         "ivf_1probe" -> (() => annIvf(spark, dir)),
         "ivf_3probe" -> (() => annIvfProbe(spark, dir)),
+        "ivfpq_adc" -> (() => annIvfPq(spark, dir)),
         "pq_adc" -> (() => annPq(spark, dir)))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(

@@ -182,13 +182,43 @@ class VectorOpsSpec extends SparkSpec {
     assert((64 * 4) / (8 * 4 / 8) == 64)
   }
 
+  test("IVFPQ prunes to nprobe cells yet keeps useful recall from residual codes") {
+    val rows = VectorOps.annIvfPq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    for ((q, rs) <- byQuery) {
+      // ≤ 3 ranked neighbors (a pruned query may find fewer candidates)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"query $q ranks $ranks")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      assert(rs.forall(r => r.getAs[Double]("adc_dist") >= 0.0))
+      assert(rs.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    }
+    // recall@3 vs brute force: residual PQ inside 3 probed cells out of
+    // 16 — pruning costs recall vs full-scan PQ, but must beat chance
+    val bf = VectorOps.annBruteForce(spark, sfDir).collect()
+      .filter(_.getAs[Number]("rank").longValue <= 3L)
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val hits = bf.map { case (q, truth) =>
+      truth.count(byQuery.getOrElse(q, Array.empty)
+        .map(_.getAs[Long]("neighbor_id")).toSet)
+    }.sum
+    val recall = hits.toDouble / bf.values.map(_.size).sum
+    assert(recall > 0.3, s"IVFPQ recall@3 $recall unreasonably low")
+    // determinism: bounded-sample training + argmin ties-to-low-index
+    // make the whole index reproducible
+    val again = VectorOps.annIvfPq(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("ann eval report scores every method against the same truth") {
     val rows = VectorOps.annEval(spark, sfDir).collect()
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_truth"),
           r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
     assert(rows.keySet ==
-      Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "pq_adc"))
+      Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "ivfpq_adc", "pq_adc"))
     val nTruth = rows.values.head._2
     for ((m, (ret, t, hits, ppm)) <- rows) {
       assert(t == nTruth, s"$m scored against a different truth")
