@@ -81,7 +81,14 @@ object CorpusScaleSmoke {
         // session-6 surface: containment + IDF-cosine ride the same
         // shingle index; pca re-trains its basis on the replicated
         // corpus; top-quality reruns the heap curation per lang
-        "text_containment", "text_tfidf", "text_top_quality", "vec_pca")) {
+        "text_containment", "text_tfidf", "text_top_quality", "vec_pca",
+        // session-9 surface: winnow fingerprint selection is per-row
+        // codegen; the pair join rides the df<=50-capped fingerprint
+        // index; BPE learns on the (salt-inflated) vocabulary; the
+        // priority sample is a TakeOrdered heap; IVFPQ's trainings
+        // stay bounded while codes/probes scan the replicated corpus
+        "text_winnow", "dedup_winnow", "text_bpe_encode",
+        "sample_weighted", "ann_ivfpq")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()
