@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming NEAR-duplicate admission: MinHash-banded LSH as live
+  * Structured-Streaming state — the incremental twin of the batch
+  * `dedup_minhash` path (TextOps.scala bandedMinhash: identical 32×4
+  * banding over the same fused minhash128 signature), solving the
+  * problem a batch index cannot: documents arrive continuously and
+  * each must be checked against EVERYTHING admitted before it,
+  * without ever rescanning the corpus.
+  *
+  * Shape: signature + band keys are computed in the micro-batch scan
+  * (codegen expressions, no state); each band bucket is a keyed state
+  * cell holding its occupants' (doc_id, signature). An arriving doc
+  * compares against its bucket's occupants only — the LSH guarantee
+  * bounds that to probable near-duplicates, never the corpus. State is
+  * hash-partitioned across executors by bucket key, so both memory and
+  * compare work scale out; at production scale occupancy is bounded by
+  * TTL eviction or keep-the-canonical-only compaction (documented
+  * dial — this operator keeps full buckets, the exact regime).
+  *
+  * Replay idempotence: admission is set-semantics (a doc_id already in
+  * its bucket is skipped, emitting nothing), so an at-least-once
+  * replayed micro-batch cannot double-report pairs or grow state.
+  * Similarity is the slot-match estimate (#equal slots / 128 ≈
+  * Jaccard); the same pair surfacing via several bands is emitted per
+  * band and deduped by the consumer on (doc_id, dup_of) — the
+  * standard LSH serving contract. */
+object NearDupStream {
+
+  final case class DocIn(doc_id: Long, text: String)
+  final case class BandMsg(band_id: Int, band_hash: Long, doc_id: Long, sig: Seq[Long])
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+  final case class NearDupHit(doc_id: Long, dup_of: Long, band_id: Int, est_ppm: Long)
+
+  /** Band explosion for a (streaming or batch) doc frame — identical
+    * banding arithmetic to TextOps.bandedMinhash. */
+  def bandedSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("minhash128(word_shingles3(text))").as("sig"))
+      .filter(size(col("sig")) === 128)
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until 32).map(i =>
+          struct(lit(i).as("band_id"),
+            hash((i * 4 until i * 4 + 4).map(j =>
+              element_at(col("sig"), j + 1)): _*).as("band_hash"))): _*)).as("b"))
+      .select(col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"),
+        col("doc_id"), col("sig"))
+  }
+
+  def nearDupStream(ds: Dataset[DocIn], tauPpm: Long = 500000L): Dataset[NearDupHit] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    bandedSignatures(ds.toDF()).as[BandMsg]
+      .groupByKey(m => (m.band_id, m.band_hash))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), msgs, state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          // deterministic intra-batch order: ids admit low-to-high, so
+          // a batch containing both halves of a pair reports the later
+          // id as the duplicate — same keep-first rule as the batch ops
+          for (m <- msgs.toSeq.sortBy(_.doc_id)) {
+            if (!seen.exists(_._1 == m.doc_id)) {
+              for ((id, sig) <- seen) {
+                var matches = 0
+                var i = 0
+                while (i < 128) { if (sig(i) == m.sig(i)) matches += 1; i += 1 }
+                val ppm = matches * 1000000L / 128L
+                if (ppm >= tauPpm) out += NearDupHit(m.doc_id, id, band, ppm)
+              }
+              seen = (m.doc_id, m.sig) :: seen
+            }
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+}

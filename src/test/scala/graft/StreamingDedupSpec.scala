@@ -55,6 +55,87 @@ class StreamingDedupSpec extends SparkSpec {
       base + 300000 + 1800000) // last event + gap
   }
 
+  test("streaming minhash LSH reports near-dups against all prior state, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // distinct ALPHABETIC words — the tokenizer strips digits, so
+    // "word1 word2 ..." would collapse to one repeated token
+    val words = (0 until 40).map(i =>
+      s"${('a' + i % 26).toChar}${('a' + i / 26).toChar}token")
+    val a = words.mkString(" ")                      // doc 1
+    val b = (words.updated(20, "changed")).mkString(" ") // doc 2: 1-word edit of a
+    val c = (1 to 40).map(i => s"other$i").mkString(" ") // doc 3: disjoint
+    val stream = MemoryStream[graft.streaming.NearDupStream.DocIn]
+    val q = graft.streaming.NearDupStream.nearDupStream(stream.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    stream.addData(
+      graft.streaming.NearDupStream.DocIn(1, a),
+      graft.streaming.NearDupStream.DocIn(3, c))
+    q.processAllAvailable()
+    val afterFirst = spark.table("neardup_out").count()
+    assert(afterFirst == 0, "disjoint docs in batch 1 must report nothing")
+    stream.addData(graft.streaming.NearDupStream.DocIn(2, b))
+    q.processAllAvailable()
+    val hits = spark.table("neardup_out")
+      .select("doc_id", "dup_of", "est_ppm").collect()
+    // the later id is the duplicate; estimate reflects the 1-word edit
+    assert(hits.nonEmpty, "1-word edit must collide in at least one band")
+    assert(hits.forall(r => r.getAs[Long]("doc_id") == 2 && r.getAs[Long]("dup_of") == 1))
+    assert(hits.forall(_.getAs[Long]("est_ppm") >= 500000L))
+    // replay: re-adding an admitted doc must emit nothing and not
+    // perturb state (set-semantics admission)
+    val before = spark.table("neardup_out").count()
+    stream.addData(graft.streaming.NearDupStream.DocIn(2, b))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("neardup_out").count() == before,
+      "replayed doc re-reported pairs — admission is not idempotent")
+  }
+
+  test("streamed near-dup pairs equal the batch banded-candidate pairs on the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus: stream every sf0.001 document in doc_id order across
+    // two batches, then compare the distinct pair set with a BATCH
+    // recomputation of the same banding + slot-estimate filter
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => graft.streaming.NearDupStream.DocIn(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[graft.streaming.NearDupStream.DocIn]
+    val q = graft.streaming.NearDupStream.nearDupStream(stream.toDS())
+      .writeStream.format("memory").queryName("neardup_corpus_out")
+      .outputMode("append").start()
+    stream.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_corpus_out")
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    // batch truth: same banding, same slot-match estimate, all pairs
+    val sigs = graft.streaming.NearDupStream
+      .bandedSignatures(graft.sources.Tables.documents(spark, sfDir))
+      .select("doc_id", "sig").distinct().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val banded = graft.streaming.NearDupStream
+      .bandedSignatures(graft.sources.Tables.documents(spark, sfDir))
+      .select("band_id", "band_hash", "doc_id").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+    val want = banded.values.flatMap { bucket =>
+      val ids = bucket.map(_.getLong(2)).distinct.sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        sa = sigs(ids(i)); sb = sigs(ids(j))
+        m = (0 until 128).count(k => sa(k) == sb(k))
+        if m * 1000000L / 128L >= 500000L
+      } yield (ids(i), ids(j))
+    }.toSet
+    assert(streamed == want,
+      s"streamed pairs (${streamed.size}) != batch banded truth (${want.size})")
+  }
+
   test("foreachBatch streams into the partitioned sink idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
