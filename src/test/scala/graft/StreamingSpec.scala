@@ -159,4 +159,45 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("validated").select("event_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("streaming Misra-Gries keeps <=k counters yet never loses a true heavy hitter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.HeavyHittersStream.ItemIn
+    val k = 10
+    // zipf-ish stream: "hot" is 30% of mass, "warm" 15%, the rest a
+    // long tail of distinct items that would blow an exact groupBy state
+    def batch(tag: String): Seq[ItemIn] = {
+      val hot = Seq.fill(60)(ItemIn("g", "hot"))
+      val warm = Seq.fill(30)(ItemIn("g", "warm"))
+      val tail = (1 to 110).map(i => ItemIn("g", s"tail$tag$i"))
+      hot ++ warm ++ tail
+    }
+    val stream = MemoryStream[ItemIn]
+    val q = graft.streaming.HeavyHittersStream.heavyHittersStream(stream.toDS(), k)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    stream.addData(batch("a"): _*)
+    q.processAllAvailable()
+    stream.addData(batch("b"): _*)
+    q.processAllAvailable(); q.stop()
+    // latest report per item for the group (update mode re-reports)
+    val last = spark.table("hh_out").filter(col("n_seen") === 400)
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("est"), r.getAs[Long]("err_bound"))).toMap
+    assert(last.size <= k)
+    // completeness: items with freq > n/(k+1) = 400/11 ≈ 36 must be
+    // present — hot (120) and warm (60) both clear it
+    assert(last.contains("hot") && last.contains("warm"))
+    // MG error envelope: true count in [est, est + n/(k+1)]
+    val bound = 400L / (k + 1)
+    assert(last.values.forall(_._2 == bound))
+    val (hotEst, _) = last("hot")
+    assert(hotEst <= 120 && hotEst + bound >= 120, s"hot est $hotEst outside envelope")
+    val (warmEst, _) = last("warm")
+    assert(warmEst <= 60 && warmEst + bound >= 60, s"warm est $warmEst outside envelope")
+    // the summary's counters never exceeded k even with 220+ distinct items
+    assert(spark.table("hh_out").groupBy("n_seen").count()
+      .collect().forall(_.getAs[Long]("count") <= k))
+  }
 }
