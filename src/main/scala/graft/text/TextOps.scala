@@ -473,7 +473,7 @@ object TextOps {
     // interleave on the scheduler: the serial formulation left most
     // cores idle during each pipeline's small shuffle/driver phases,
     // which dominated the 14 s wall. Same jobs, overlapped.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
@@ -481,7 +481,8 @@ object TextOps {
         "minhash_lsh_32x4" -> (() => dedupMinhash(spark, dir)),
         "jaccard_dfcap_64" -> (() => jaccardPairsCapped(spark, dir, 64L)),
         "jaccard_dfcap_8" -> (() => jaccardPairsCapped(spark, dir, 8L)),
-        "simhash64_h3" -> (() => dedupSimhash(spark, dir)))
+        "simhash64_h3" -> (() => dedupSimhash(spark, dir)),
+        "winnow_k3w4" -> (() => dedupWinnow(spark, dir)))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),

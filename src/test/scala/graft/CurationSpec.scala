@@ -52,7 +52,7 @@ class CurationSpec extends SparkSpec {
     val rows = TextOps.dedupEval(spark, sfDir).collect()
       .map(r => r.getAs[String]("method") -> r).toMap
     assert(rows.keySet == Set("minhash_lsh_32x4", "jaccard_dfcap_64",
-      "jaccard_dfcap_8", "simhash64_h3"))
+      "jaccard_dfcap_8", "simhash64_h3", "winnow_k3w4"))
     for ((_, r) <- rows) {
       assert(r.getAs[Long]("n_truth") > 0)
       assert(r.getAs[Long]("precision_ppm") <= 1000000L &&
