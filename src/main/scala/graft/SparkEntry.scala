@@ -165,6 +165,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "mm_batch_infer" -> ((s, d) => Multimodal.batchInfer(s, d)),
+    "mm_retrieval" -> ((s, d) => Multimodal.crossModalSearch(s, d)),
     // Fuzzy-key record linkage (graft.ops.RecordLinkage)
     "dedup_editdist" -> ((s, d) => graft.ops.RecordLinkage.editDistancePairs(s, d)),
     "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
@@ -1932,6 +1933,40 @@ object SparkEntry {
         | CAST(list_sum(list_transform(generate_series(0, 7),
         |   i -> (i+1) * ((h1 >> (i*7)) & 127) + (i+9) * ((h2 >> (i*7)) & 127))) AS BIGINT) AS emb_checksum
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "mm_retrieval" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(sha256(text), 16, 15)) AS BIGINT) AS h2
+        |  FROM documents),
+        |me AS (
+        |  SELECT doc_id,
+        |   list_transform(generate_series(0, 7), i -> (h1 >> (i*7)) & 127) ||
+        |   list_transform(generate_series(0, 7), i -> (h2 >> (i*7)) & 127) AS emb
+        |  FROM m),
+        |qs AS (
+        |  SELECT query,
+        |    CAST(('0x' || substr(sha256(query), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(sha256(query), 16, 15)) AS BIGINT) AS h2
+        |  FROM (VALUES ('transit delay report'), ('vehicle speed trace'),
+        |        ('route schedule table')) v(query)),
+        |qe AS (
+        |  SELECT query,
+        |   list_transform(generate_series(0, 7), i -> (h1 >> (i*7)) & 127) ||
+        |   list_transform(generate_series(0, 7), i -> (h2 >> (i*7)) & 127) AS emb
+        |  FROM qs),
+        |scored AS (
+        |  SELECT qe.query, me.doc_id,
+        |   CAST(list_sum(list_transform(generate_series(1, 16),
+        |     i -> me.emb[i] * qe.emb[i])) AS BIGINT) AS score
+        |  FROM me CROSS JOIN qe),
+        |ranked AS (
+        |  SELECT query, doc_id, score,
+        |   CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query, rank, doc_id, score FROM ranked
+        |WHERE rank <= 3 ORDER BY query, rank""".stripMargin,
 
     "mm_decode" ->
       """WITH h AS (

@@ -201,4 +201,60 @@ object Multimodal {
       .select("a_id", "b_id", "hamming")
       .orderBy("a_id", "b_id")
   }
+
+  /** STUB shared encoder for cross-modal retrieval: a 16-slot integer
+    * embedding (slots in [0,127]) derived from the payload's sha256 —
+    * deterministic, so the DuckDB oracle recomputes it bit-for-bit.
+    * A real deployment swaps in the CLIP-style image/text towers; the
+    * retrieval plumbing around it is unchanged. */
+  private[multimodal] def stubEmbed(md: java.security.MessageDigest,
+      bytes: Array[Byte]): Seq[Long] = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    (0 until 8).map(i => (h1 >> (i * 7)) & 127) ++
+      (0 until 8).map(i => (h2 >> (i * 7)) & 127)
+  }
+
+  final case class MediaEmbRow(doc_id: Long, emb: Seq[Long])
+
+  /** Cross-modal retrieval: text prompts against a media corpus through
+    * a SHARED embedding space — the CLIP-style serving join. The media
+    * tower runs executor-side in the model-serving shape (one encoder
+    * init per partition, embeddings out of the binary column); the
+    * prompt side is a BOUNDED query set embedded on the driver and
+    * broadcast, so the corpus is scanned exactly once whatever its
+    * size, scoring integer dot products (exact, engine-portable) and
+    * keeping top-3 per prompt. At 100 TB the corpus side would flow
+    * through the ANN index family (LSH/IVF/IVFPQ all apply unchanged —
+    * the embedding column is the interface); this operator pins the
+    * exact-scan baseline the indexes are measured against. */
+  def crossModalSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // one "encoder load" per partition (digest instance as the stub)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map(r => MediaEmbRow(r.doc_id, stubEmbed(md, r.media)))
+      }
+      .toDF("doc_id", "emb")
+    val mdq = java.security.MessageDigest.getInstance("SHA-256")
+    val prompts = Seq("transit delay report", "vehicle speed trace",
+      "route schedule table")
+    val q = prompts.map(p =>
+        (p, stubEmbed(mdq, p.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      .toDF("query", "q_emb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+    media.join(broadcast(q))
+      .withColumn("score", expr(
+        "aggregate(zip_with(emb, q_emb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query", "rank", "doc_id", "score")
+      .orderBy("query", "rank")
+  }
 }

@@ -92,7 +92,11 @@ object ScaleSmoke {
         // interpolation (events 10×), histogram-window median
         // (lineitem 10×), digit audit (orders 10×), OR-join counts
         "q_interpolate", "q_weighted_median", "q_benford",
-        "q_disjunctive", "dedup_editdist")) {
+        "q_disjunctive", "dedup_editdist",
+        // session-9 surface: two-phase bucketed global rank over the
+        // 10× orders table (the single-window formulation this replaces
+        // would serialize the whole sort into one task)
+        "q_global_rank")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

@@ -84,4 +84,31 @@ class MultimodalSpec extends SparkSpec {
     // the planted flips must produce pairs at several Hamming levels
     assert(got.map(_._3).distinct.length >= 3)
   }
+
+  test("cross-modal retrieval equals the sequential shared-space top-3 per prompt") {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def embed(bytes: Array[Byte]): Seq[Long] = {
+      md.reset()
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      (0 until 8).map(i => (h1 >> (i * 7)) & 127) ++
+        (0 until 8).map(i => (h2 >> (i * 7)) & 127)
+    }
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> embed(r.getString(1).getBytes("UTF-8")))
+    val want = Seq("transit delay report", "vehicle speed trace", "route schedule table")
+      .flatMap { p =>
+        val qe = embed(p.getBytes("UTF-8"))
+        corpus.map { case (id, e) =>
+          (p, id, (0 until 16).map(i => e(i) * qe(i)).sum) }
+          .sortBy { case (_, id, s) => (-s, id) }.take(3).zipWithIndex
+          .map { case ((q, id, s), i) => (q, i + 1L, id, s) }
+      }.sortBy { case (q, r, _, _) => (q, r) }
+    val got = Multimodal.crossModalSearch(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("query"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(got == want, "cross-modal top-3 diverged from the sequential reference")
+  }
 }
