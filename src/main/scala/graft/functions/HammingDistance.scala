@@ -82,6 +82,8 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head)),
     ("winnow_fps", "winnow_fps(text) - winnowing fingerprint keys (k=3, w=4, rightmost-min)",
       exprs => WinnowFps(exprs.head)),
+    ("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of two sorted int64 arrays, allocation-free",
+      exprs => SortedIntersectCount(exprs(0), exprs(1))),
     ("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates",
       exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))),
     ("kll_agg", "kll_agg(value) - KLL quantile sketch of a double column",

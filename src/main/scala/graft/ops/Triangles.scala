@@ -73,14 +73,19 @@ object Triangles {
         when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
           col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint(true)
+    graft.functions.GraftFunctions.register(spark)
     val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-    val emptyArr = array().cast("array<bigint>")
     val nTri = oriented
       .join(adj.toDF("src", "u_nbrs"), Seq("src"))
-      // dst may have no out-edges: left join + empty-array default
+      // dst may have no out-edges: left join + empty-array default.
+      // sorted_intersect_count: the neighbor arrays are sorted by
+      // construction (sort_array above), so the closing probe is an
+      // allocation-free two-pointer merge — size(array_intersect(...))
+      // built a hash set + result array per edge row and made the
+      // probe GC-bound (4.8-15 s run-to-run swings on identical work)
       .join(adj.toDF("dst", "v_nbrs"), Seq("dst"), "left")
-      .select(size(array_intersect(col("u_nbrs"),
-        coalesce(col("v_nbrs"), emptyArr))).cast("long").as("c"))
+      .select(expr(
+        "sorted_intersect_count(u_nbrs, coalesce(v_nbrs, cast(array() as array<bigint>)))").as("c"))
       .agg(sum("c").as("n"))
     // node/edge tallies read the CHECKPOINTED oriented set, not the
     // scan subtree — otherwise the co-purchase join runs two more times

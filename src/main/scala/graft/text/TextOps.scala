@@ -67,7 +67,10 @@ object TextOps {
   private def hashedShingleDocs(spark: SparkSession, dir: String): DataFrame =
     shingledDocs(spark, dir)
       .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+        // sorted ONCE per doc so every downstream verify-join can use
+        // the allocation-free sorted_intersect_count two-pointer merge
+        // instead of array_intersect's per-pair hash set + result array
+        expr("sort_array(transform(shingles, s -> xxhash64(s)))").as("hs"))
 
   /** Unsorted Jaccard ≥ 0.5 pairs — shared by the pair report and the
     * clustering operator. */
@@ -150,7 +153,7 @@ object TextOps {
     cand
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -303,7 +306,7 @@ object TextOps {
     cand
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -333,7 +336,7 @@ object TextOps {
     cand
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)

@@ -129,4 +129,37 @@ class ExpressionPropertySpec extends AnyFunSuite {
     val long4 = new GenericArrayData(Array[Any](0.1f, 0.2f, 0.3f, 0.9f))
     assert(graft.functions.NearestCell.nearest(long4, cs) == 0)
   }
+
+  test("sorted_intersect_count equals set intersection on arbitrary sorted distinct arrays") {
+    val longs = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    def arr(xs: Seq[Long]) =
+      new GenericArrayData(xs.distinct.sorted.map(x => x: Any).toArray)
+    forSamples(Gen.zip(longs, longs)) { case (xs, ys) =>
+      val want = xs.toSet.intersect(ys.toSet).size.toLong
+      assert(graft.functions.SortedIntersect.count(arr(xs), arr(ys)) == want)
+      // symmetric, and self-intersection is the set size
+      assert(graft.functions.SortedIntersect.count(arr(ys), arr(xs)) == want)
+      assert(graft.functions.SortedIntersect.count(arr(xs), arr(xs)) ==
+        xs.distinct.size.toLong)
+    }
+  }
+
+  test("winnow_fps selection is sparse, sorted, and positionally in range") {
+    forSamples(Gen.listOfN(30, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "epsilon", "zeta", "eta", "theta")).map(_.mkString(" "))) { s =>
+      val out = graft.functions.Winnow.compute(utf8(s))
+      val keys = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      // sorted distinct
+      assert(keys == keys.sorted && keys.distinct == keys)
+      // every key is md5hex#7digits with a valid position
+      keys.foreach { k =>
+        val Array(h, inv) = k.split("#")
+        assert(h.length == 32 && h.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        val pos = 9999999 - inv.toInt
+        assert(pos >= 1 && pos <= 28) // 30 words -> 28 k-grams
+      }
+      // sparsification: never more fingerprints than windows
+      assert(keys.size <= 25) // 30 words -> 25 windows
+    }
+  }
 }
