@@ -21,7 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * hash-partitioned by group across executors; within a group the
   * fold is sequential by construction — which is exactly MG's
   * contract: it is a SEQUENTIAL summary made distributed by the
-  * mergeable groupwise state, not by sharing counters. */
+  * mergeable groupwise state, not by sharing counters.
+  *
+  * Replay semantics: items carry no identity, so an at-least-once
+  * replayed micro-batch re-folds its items (counts inflate by the
+  * replayed mass — unlike stream_neardup, whose doc_ids make
+  * admission idempotent). That is the inherent contract of anonymous
+  * count sketches under at-least-once delivery; exactly-once counts
+  * need a keyed upstream dedup (stream_dedup) or an idempotent sink. */
 object HeavyHittersStream {
 
   final case class ItemIn(group: String, item: String)
