@@ -184,6 +184,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_sketch_quantiles" -> ((s, d) => Analytics.sketchQuantiles(s, d)),
     "q_theta_sketch" -> ((s, d) => Analytics.thetaSetAlgebra(s, d)),
+    "q_theta_retention" -> ((s, d) => Analytics.thetaRetention(s, d)),
     "dedup_bloom" -> ((s, d) => TextOps.dedupBloom(s, d)),
     "text_gopher" -> ((s, d) => TextOps.gopherRules(s, d)),
     "corpus_dsir" -> ((s, d) => graft.text.CorpusOps.dsirWeights(s, d)),
@@ -2316,6 +2317,20 @@ object SparkEntry {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_theta_retention" ->
+      """WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT day, COUNT(*) AS n FROM u GROUP BY 1),
+        |r AS (SELECT x.day AS day, COUNT(*) AS ret
+        |      FROM u x JOIN u y ON x.user_id = y.user_id AND y.day = x.day + 1
+        |      GROUP BY 1)
+        |SELECT c.day AS day, c.n AS n_active,
+        | COALESCE(r.ret, 0) AS n_retained,
+        | c.n - COALESCE(r.ret, 0) AS n_churned,
+        | COALESCE(r.ret, 0) * 1000000 // c.n AS retained_ppm
+        |FROM c JOIN c cn ON cn.day = c.day + 1
+        |LEFT JOIN r ON r.day = c.day
+        |ORDER BY 1""".stripMargin,
 
     "ann_mips" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -885,6 +885,37 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** Sketch-based day-over-day retention: per-day theta sketches of
+    * active users, consecutive-day INTERSECTION for the retained
+    * count, difference for churn — the retention dashboard computed
+    * entirely in sketch space. The exact cohort operator (`retention`,
+    * Analytics.scala) joins user-level rows across days — at 100 TB
+    * that is a users×days shuffle; this one reduces each day to a
+    * 2^12-hash sketch in one map-side-combinable aggregate and the
+    * day-pair join moves only sketch images (#days rows), which is why
+    * sketch retention is the production shape for long windows.
+    * Exactness contract mirrors q_theta_sketch: below the 2^lgK
+    * retained-hash budget the sketch holds every distinct user hash,
+    * so counts are EXACT and the DuckDB distinct-set oracle matches;
+    * beyond it the ±3/√k envelope applies (SketchSpec pins that
+    * regime). */
+  def thetaRetention(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sk = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("theta_agg(user_id)").as("sk"))
+    val a = sk.select(col("day"), col("sk").as("ska"))
+    val b = sk.select(col("day").as("next_day"), col("sk").as("skb"))
+    a.join(b, col("next_day") === date_add(col("day"), 1))
+      .select(col("day"),
+        expr("theta_estimate(ska)").cast("long").as("n_active"),
+        expr("theta_intersect(ska, skb)").cast("long").as("n_retained"),
+        expr("theta_diff(ska, skb)").cast("long").as("n_churned"))
+      .withColumn("retained_ppm", expr("n_retained * 1000000 div n_active"))
+      .orderBy("day")
+  }
+
   /** Exact interpolated percentiles of event value per type (p50/p90). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -37,7 +37,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dedup_bloom", "corpus_dsir",
       // sampling/rank/tokenizer batch: top-k limit boundary, two-phase
       // bucket offsets, iterative argmax merge learning
-      "sample_weighted", "q_global_rank", "text_bpe_encode")
+      "sample_weighted", "q_global_rank", "text_bpe_encode",
+      "q_theta_retention", "dedup_winnow", "mm_retrieval")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

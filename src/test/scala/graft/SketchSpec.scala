@@ -111,4 +111,30 @@ class SketchSpec extends SparkSpec {
       assert(ni <= math.min(na, nb) && nu >= math.max(na, nb))
     }
   }
+
+  test("sketch retention equals the exact user-level day-over-day recompute") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val byDay = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect()
+      .groupBy(_.getAs[java.sql.Date]("day").toString)
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).toSet).toMap
+    val got = Analytics.thetaRetention(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      val next = day.toLocalDate.plusDays(1).toString
+      val (a, b) = (byDay(day.toString), byDay(next))
+      assert(r.getAs[Long]("n_active") == a.size)
+      assert(r.getAs[Long]("n_retained") == a.intersect(b).size)
+      assert(r.getAs[Long]("n_churned") == (a -- b).size)
+      assert(r.getAs[Long]("retained_ppm") ==
+        a.intersect(b).size.toLong * 1000000L / a.size)
+    }
+    // every day with a successor day is reported
+    val want = byDay.keySet.count(d =>
+      byDay.contains(java.time.LocalDate.parse(d).plusDays(1).toString))
+    assert(got.length == want)
+  }
 }
