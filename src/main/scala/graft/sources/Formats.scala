@@ -69,6 +69,27 @@ object Formats {
       .option("rowTag", "event")
       .load(path)
 
+  /** Raw media ingestion via Spark's binaryFile source — the entry
+    * point of the multimodal family: a directory of image/audio/video
+    * files becomes (path, modificationTime, length, content) rows, and
+    * the content bytes flow straight into the binary-column operators
+    * (mm_meta/mm_dedup/mm_decode/mm_retrieval). `pathGlobFilter`
+    * prunes non-media files AT THE LISTING, and
+    * `spark.sql.files.maxPartitionBytes` governs how many files pack
+    * into a task — the two dials that matter when the directory holds
+    * billions of objects. The filename (not the payload) carries the
+    * join key upstream systems use, so it is surfaced as a column. */
+  def readMediaDir(spark: SparkSession, path: String,
+      glob: String = "*.bin"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"),
+        col("length").cast("long").as("n_bytes"),
+        sha2(col("content"), 256).as("digest"),
+        col("content").as("media"))
+
   /** Headerless single-column key list (vehicle_ids.csv analog). */
   def readKeyList(spark: SparkSession, path: String): DataFrame =
     spark.read
