@@ -35,6 +35,8 @@ object SparkEntry {
     "q_time_window" -> ((s, d) => Analytics.timeWindow(s, d)),
     "q_threshold_scan" -> ((s, d) => Analytics.thresholdScan(s, d)),
     "q_trip_trace" -> ((s, d) => Analytics.tripTrace(s, d)),
+    "q_heatmap" -> ((s, d) => Analytics.heatmapGrid(s, d)),
+    "q_trace_downsample" -> ((s, d) => Analytics.traceDownsample(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
     "q5_region" -> ((s, d) => Analytics.q5Region(s, d)),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(s, d)),
@@ -358,6 +360,28 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY user_id
         |   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS INT) AS seq
         |FROM events ORDER BY user_id, seq""".stripMargin,
+
+    "q_heatmap" ->
+      """SELECT CAST(floor(value) AS BIGINT) // 100 AS value_bucket,
+        | CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND value >= 0 AND value < 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_trace_downsample" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq,
+        |   COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |k AS (SELECT * FROM t WHERE seq % 10 = 1 OR seq = n)
+        |SELECT user_id,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS kept_rank,
+        | event_id, ts_us, value
+        |FROM k ORDER BY user_id, kept_rank""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -171,6 +171,44 @@ object Analytics {
       .orderBy("user_id", "seq")
   }
 
+  /** 2-D density heatmap grid — the engine-side aggregation behind the
+    * reference's map visualizations (`Part3/Visualizations/q1.py:34-47`
+    * renders folium heat layers; the data step is exactly a bucketed
+    * 2-D count): value-decile × hour-of-day cells with event counts and
+    * exact cent mass. One map-side-combinable aggregate over the scan —
+    * the output is bounded by the GRID (240 cells), never the data, so
+    * the render payload is constant at any corpus size. */
+  def heatmapGrid(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") >= 0 && col("value") < 1000)
+      .select(expr("CAST(floor(value) AS BIGINT) div 100").as("value_bucket"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        cents(col("value")).as("vc"))
+      .groupBy("value_bucket", "hour_of_day")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+      .orderBy("value_bucket", "hour_of_day")
+
+  /** Trace decimation for map rendering — what `visualize_map.py` needs
+    * at scale: a browser cannot draw every breadcrumb of every trip, so
+    * each per-key ordered trace keeps every 10th point plus ALWAYS the
+    * first and last (endpoint-preserving polyline decimation). Same
+    * single keyed exchange as the full trace; the kept-point rule is a
+    * pure expression over (row_number, count) so decimation adds no
+    * extra shuffle. */
+  def traceDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wn = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("seq") % 10 === 1 || col("seq") === col("n"))
+      .withColumn("kept_rank", row_number().over(w).cast("long"))
+      .select("user_id", "kept_rank", "event_id", "ts_us", "value")
+      .orderBy("user_id", "kept_rank")
+  }
+
   /** TPC-H Q3 shape: segment customers' unshipped-order revenue, top 10. */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
