@@ -56,6 +56,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
+    "q_anomaly" -> ((s, d) => Analytics.robustAnomalies(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "q_unpivot" -> ((s, d) => Analytics.unpivotMeasures(s, d)),
     "q_windowed_distinct" -> ((s, d) => Analytics.windowedDistinct(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
+    "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -532,6 +534,19 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.*, med.med, abs(ev.vc - med.med) AS absdev
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY event_type)
+        |SELECT dev.event_id, dev.event_type, dev.vc, dev.med, mad.mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.absdev > 5.0 * mad.mad
+        |ORDER BY dev.event_id""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
@@ -1885,6 +1900,22 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(t1, '\d{7,}')) AS BIGINT) AS n_longnums,
         | md5(regexp_replace(t1, '\d{7,}', '<NUM>', 'g')) AS redacted_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "vec_knn_graph" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM n q, n c WHERE c.vec_id <> q.vec_id),
+        |r AS (SELECT p.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+        |k AS (SELECT * FROM r WHERE rank <= 5)
+        |SELECT k.query_id, CAST(k.rank AS BIGINT) AS rank, k.neighbor_id, k.cos,
+        | COALESCE(m.mutual, FALSE) AS mutual
+        |FROM k LEFT JOIN (SELECT query_id AS neighbor_id, neighbor_id AS query_id,
+        |       TRUE AS mutual FROM k) m USING (query_id, neighbor_id)
+        |ORDER BY query_id, rank""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

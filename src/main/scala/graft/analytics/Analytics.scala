@@ -964,6 +964,36 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Robust per-type outlier detection: median/MAD modified z-score.
+    * Mean/stddev anomaly rules break on the very outliers they hunt
+    * (one huge value drags the mean and inflates sigma until nothing
+    * flags); the median absolute deviation is 50%-breakdown robust, so
+    * the fences hold no matter how wild the tail is. Two tiny
+    * aggregation passes (per-type median over exact cents, then
+    * per-type median of absolute deviations), each producing one row
+    * per event type, broadcast back over the scan — the corpus itself
+    * is never shuffled, so the plan is two scans + two O(|types|)
+    * broadcasts at any scale. Flags rows with |x − med| > 5·MAD; cents
+    * are integers and interpolated medians land on exact halves, so
+    * the double arithmetic is engine-exact and the oracle hash-matches
+    * (no epsilon). */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("vc"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(vc, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("vc") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("absdev") > lit(5.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
   /** Native session windows (30-min gap) via the built-in
     * session_window operator — same session semantics as the manual
     * lag/cumsum sessionization, but expressed as a single grouping

@@ -276,6 +276,70 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** k-NN GRAPH construction — every (non-zero-norm) vector's exact
+    * top-k cosine neighbors, plus the MUTUAL flag (am I in my
+    * neighbor's top-k too?). The k-NN graph is the substrate of the
+    * embedding-side curation stack: SemDeDup-style cluster pruning,
+    * graph-based diversity sampling, and agglomerative topic grouping
+    * all start from exactly this edge list, and mutual-kNN edges are
+    * the standard robust-clustering filter (one-directional edges are
+    * usually hub noise in high dimensions).
+    *
+    * Plan shape: the same block-partitioned theta-join as
+    * `dedupEmbedding` (each unordered vector pair met exactly once, no
+    * broadcast of a data-scaled side, P(P+1)/2 bounded tasks), then
+    * BOTH orientations of each scored pair feed the heap top-k
+    * operator (graft.plans.TopKPerKey — per-key bounded state, no
+    * sort), and the mutual flag is one linear self-join of the
+    * k·n-sized edge list on the swapped key. Exact all-pairs scoring
+    * is Θ(n²) by contract; at corpus scale the candidate generator
+    * swaps to the IVF/LSH cells (`annIvfProbe`) with this same top-k +
+    * mutual tail — the graph stages are built to be generator-agnostic. */
+  def vecKnnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      blocks: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0) // zero-norm: no direction, excluded (NaN cos)
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val lo = vecs
+      .withColumn("hi_blk", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(struct(col("blk").as("lo"), col("hi_blk").as("hi")).as("bp"),
+        col("vec_id").as("a_id"), col("e").as("ae"), col("nrm").as("an"),
+        col("blk").as("a_blk"))
+      .repartition(par, col("bp"))
+    val hi = vecs
+      .withColumn("lo_blk", explode(sequence(lit(0), col("blk"))))
+      .select(struct(col("lo_blk").as("lo"), col("blk").as("hi")).as("bp"),
+        col("vec_id").as("b_id"), col("e").as("be"), col("nrm").as("bn"),
+        col("blk").as("b_blk"))
+      .repartition(par, col("bp"))
+    // each unordered pair scored once (rounded BEFORE ranking, so both
+    // engines rank the same 6-digit values), then emitted in both
+    // directions for the per-query top-k
+    val scored = lo.join(hi, Seq("bp"))
+      .filter(col("a_blk") =!= col("b_blk") || col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("vec_dot(ae, be)") / (col("an") * col("bn")), 6).as("cos"))
+    val directed = scored.select(col("a_id").as("query_id"),
+        col("b_id").as("neighbor_id"), col("cos"))
+      .unionByName(scored.select(col("b_id").as("query_id"),
+        col("a_id").as("neighbor_id"), col("cos")))
+    val topk = graft.plans.TopK.perKey(directed, k, Seq("query_id"),
+        "cos", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+    val swapped = topk.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("mutual"))
+    topk.join(swapped, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * 4× storage/bandwidth path for a 100 TB embedding corpus (recall
     * work like IVF/PQ assumes quantized storage; this is the simplest

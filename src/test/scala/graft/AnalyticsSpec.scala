@@ -157,4 +157,75 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size == want.size)
     assert(got == want, "bucketed global rank diverged from the full-order reference")
   }
+
+  test("robust anomalies match a sequential median/MAD reference exactly") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.robustAnomalies(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("vc"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"))).toSet
+    // sequential reference: interpolated median = avg of middle two
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("vc")))
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val med = median(g.map(_._3.toDouble).toSeq)
+      val mad = median(g.map(t => math.abs(t._3 - med)).toSeq)
+      g.filter(t => math.abs(t._3 - med) > 5.0 * mad)
+        .map(t => (t._1, t._3, med, mad)).toSeq
+    }.toSet
+    assert(got == want, "anomaly set diverged from the sequential reference")
+    assert(want.nonEmpty, "testdata should contain at least one >5-MAD outlier")
+  }
+
+  test("heatmap grid: cells bounded by the grid and counts cover the filtered scan") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.heatmapGrid(spark, sfDir).cache()
+    assert(out.count() <= 240) // 10 value deciles x 24 hours, data-size independent
+    out.collect().foreach { r =>
+      val b = r.getAs[Long]("value_bucket"); val h = r.getAs[Long]("hour_of_day")
+      assert(b >= 0 && b <= 9 && h >= 0 && h <= 23)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("value") >= 0 && col("value") < 1000)
+      .count()
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == expected)
+    out.unpersist()
+  }
+
+  test("trace downsample keeps endpoints, every 10th point, and dense kept ranks") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.traceDownsample(spark, sfDir).cache()
+    // independent reference: recompute the kept set with a window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val ref = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("seq") % 10 === 1 || col("seq") === col("n"))
+      .select("user_id", "event_id").cache()
+    assert(out.count() == ref.count())
+    assert(out.join(ref, Seq("user_id", "event_id"), "left_anti").count() == 0)
+    // kept_rank is dense 1..k per user and the FIRST point of every trace survives
+    val perUser = out.groupBy("user_id")
+      .agg(min("kept_rank").as("lo"), max("kept_rank").as("hi"),
+        count(lit(1)).as("k")).collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("k"))
+    }
+    // every user with events appears (first+last always kept)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(perUser.length.toLong == users)
+    out.unpersist(); ref.unpersist()
+  }
 }

@@ -385,4 +385,35 @@ class VectorOpsSpec extends SparkSpec {
     val b = VectorOps.semanticDedup(spark, sfDir).collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("knn graph matches a sequential exact reference, mutual flags symmetric") {
+    val out = VectorOps.vecKnnGraph(spark, sfDir).collect()
+    // sequential reference over the same corpus
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .filter { case (_, e) => math.sqrt(e.map(x => x * x).sum) > 0 }
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.flatMap { case (q, qe) =>
+      vecs.filter(_._1 != q)
+        .map { case (n, ne) => (n, cos6(qe, ne)) }
+        .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((n, c), i) => ((q, i + 1L), (n, c)) }
+    }.toMap
+    val gotMap = out.map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("rank")),
+      (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))).toMap
+    assert(gotMap.size == want.size)
+    assert(gotMap == want, "knn edges diverged from the sequential reference")
+    // mutual is exactly "reverse edge exists in the top-k set"
+    val edges = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    out.foreach { r =>
+      val rev = edges.contains((r.getAs[Long]("neighbor_id"), r.getAs[Long]("query_id")))
+      assert(r.getAs[Boolean]("mutual") == rev)
+    }
+  }
 }
