@@ -173,6 +173,7 @@ object SparkEntry {
     // Fuzzy-key record linkage (graft.ops.RecordLinkage)
     "dedup_editdist" -> ((s, d) => graft.ops.RecordLinkage.editDistancePairs(s, d)),
     "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
+    "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "q_interpolate" -> ((s, d) => graft.analytics.TemporalOps.interpolate(s, d)),
     "q_benford" -> ((s, d) => Analytics.benfordAudit(s, d)),
     "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
@@ -2064,6 +2065,29 @@ object SparkEntry {
         |FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
         |WHERE levenshtein(s1.s_name, s2.s_name) <= 2
         |ORDER BY a_key, b_key""".stripMargin,
+
+    "text_span_dedup" ->
+      """WITH d1 AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |d AS (SELECT * FROM d1 WHERE len(words) > 0),
+        |t AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS p1 FROM d),
+        |toks AS (SELECT doc_id, p1 - 1 AS pos, words[p1] AS word FROM t),
+        |wins AS (SELECT doc_id, p1 - 1 AS start, array_to_string(words[p1:p1+7], ' ') AS wstr
+        |         FROM t WHERE p1 <= len(words) - 7),
+        |dup AS (SELECT doc_id, start AS pos, 1 AS ds
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY wstr ORDER BY doc_id, start) AS rn
+        |              FROM wins)
+        |        WHERE rn > 1),
+        |cov AS (SELECT toks.doc_id, toks.pos, toks.word,
+        |         max(coalesce(dup.ds, 0)) OVER (PARTITION BY toks.doc_id ORDER BY toks.pos
+        |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS rm
+        |        FROM toks LEFT JOIN dup USING (doc_id, pos))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')) AS kept_md5
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_containment" ->
       """WITH w AS (

@@ -554,6 +554,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicate-SPAN removal — the exact-substring dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", at fixed 8-word-window granularity: where whole-doc dedup
+    * keeps a document that merely CONTAINS a big copied block, this
+    * removes the copied block itself and keeps the rest. Contract: an
+    * 8-word window occurrence is duplicate iff the same 8-word sequence
+    * occurs earlier in (doc_id, start) order anywhere in the corpus;
+    * a token is removed iff at least one duplicate occurrence covers
+    * it; per doc we emit token/removed counts and the md5 of the
+    * surviving token sequence (order preserved).
+    *
+    * Scale shape, stage by stage: window explode is linear (n windows
+    * per n tokens); canonical selection is one hash shuffle keyed on
+    * the window text (a df-cap bounds hot boilerplate windows the same
+    * way `jaccardPairsCapped` caps hot shingles — at this exactness
+    * tier we keep them, they cost df·log df in the min); coverage is a
+    * per-doc ROWS-frame window max over dense positions (one keyed
+    * exchange); reconstruction is one ordered fold per doc. Nothing
+    * quadratic, nothing driver-side. */
+  def spanDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .filter(size(col("words")) > 0)
+    // every (doc, 0-based pos, word)
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("words")).as(Seq("pos", "word")))
+    // every w-window occurrence; docs shorter than w emit none
+    val occ = docs.filter(size(col("words")) >= w)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(words) - $w), " +
+          s"i -> array_join(slice(words, i + 1, $w), ' '))"))
+        .as(Seq("start", "wstr")))
+    // duplicate = not the globally-first (doc_id, start) for this text
+    val dup = occ
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("wstr").orderBy(col("doc_id"), col("start"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("start").as("pos"), lit(1).as("ds"))
+    // a token is covered iff some duplicate window STARTS in the last w
+    // positions (ROWS frame over dense per-doc positions — exact)
+    val covered = toks.join(dup, Seq("doc_id", "pos"), "left")
+      .withColumn("rm", max(coalesce(col("ds"), lit(0))).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-(w - 1), Window.currentRow)) === 1)
+    covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(!col("rm"), struct(col("pos"), col("word"))))),
+          s => s.getField("word")), " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Sparse lexical similarity: TF-IDF cosine ≥ 0.5 document pairs via
     * an inverted term index — the bag-of-words complement to the
     * embedding-cosine path (dedup_embedding) and the shingle paths

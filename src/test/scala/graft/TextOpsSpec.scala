@@ -360,4 +360,44 @@ class TextOpsSpec extends SparkSpec {
     val Some((m, nFps, _)) = winnowRef(a)
     assert(nFps < m, "winnowing selected every k-gram — no sparsification")
   }
+
+  test("span dedup matches a sequential reference and removes real cross-doc spans") {
+    val W = 8
+    val got = TextOps.spanDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("kept_md5")))).toMap
+    // sequential reference over the same corpus
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.replaceAll("[^a-z ]", "")
+          .split(" ").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // global first occurrence per window text, scanned in (doc, start) order
+    val firstSeen = scala.collection.mutable.Map[String, (Long, Int)]()
+    for ((id, ws) <- docs; s <- 0 to ws.length - W)
+      firstSeen.getOrElseUpdate(ws.slice(s, s + W).mkString(" "), (id, s))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = docs.map { case (id, ws) =>
+      val rm = Array.fill(ws.length)(false)
+      for (s <- 0 to ws.length - W)
+        if (firstSeen(ws.slice(s, s + W).mkString(" ")) != ((id, s)))
+          (s until s + W).foreach(rm(_) = true)
+      val kept = ws.indices.filter(!rm(_)).map(ws)
+      (id, (ws.length.toLong, rm.count(identity).toLong, md5hex(kept.mkString(" "))))
+    }.toMap
+    assert(got == want, "span dedup diverged from the sequential reference")
+    assert(want.values.map(_._2).sum > 0, "corpus should contain duplicated spans")
+    // exact-duplicate docs keep nothing but the canonical copy's spans:
+    // every doc whose text equals an earlier doc's text is fully removed
+    val byText = docs.groupBy(_._2.mkString(" ")).values.filter(_.length > 1)
+    byText.foreach { g =>
+      g.sortBy(_._1).drop(1).foreach { case (id, ws) =>
+        if (ws.length >= W) assert(got(id)._2 == ws.length.toLong,
+          s"non-canonical exact dup $id should be fully span-removed")
+      }
+    }
+  }
 }
