@@ -146,6 +146,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
     "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
     "corpus_split" -> ((s, d) => graft.text.Curation.leakageSafeSplit(s, d)),
+    "corpus_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "corpus_shard" -> ((s, d) => graft.text.Curation.globalShuffleShards(s, d)),
     // Similarity search / vector stats (graft.vector)
     "ann_bruteforce" -> ((s, d) => VectorOps.annBruteForce(s, d)),
@@ -1748,6 +1749,58 @@ object SparkEntry {
         |      ORDER BY nw.n_words DESC, l.doc_id) AS canonical_id
         |  FROM lbl l JOIN nw USING (doc_id))
         |ORDER BY doc_id""".stripMargin,
+    "corpus_curate" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, lang,
+        |   list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |     x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (SELECT *, CAST(len(words) AS BIGINT) AS n_words,
+        |       CASE WHEN len(words) < 15 THEN 'filtered_short'
+        |            WHEN lang <> 'en' THEN 'filtered_lang' END AS gstatus
+        |      FROM base),
+        |pass AS (SELECT * FROM g WHERE gstatus IS NULL),
+        |exm AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS exact_canonical
+        |        FROM pass),
+        |canon AS (SELECT * FROM exm WHERE doc_id = exact_canonical),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |        i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |      FROM canon WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |p2 AS (SELECT a_id, b_id FROM p
+        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
+        |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT cn.doc_id, cn.n_words,
+        |         least(cn.doc_id, coalesce(min(cl.b), cn.doc_id)) AS cluster_id
+        |        FROM canon cn LEFT JOIN closure cl ON cl.a = cn.doc_id
+        |        GROUP BY cn.doc_id, cn.n_words),
+        |best AS (SELECT *, FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+        |          ORDER BY n_words DESC, doc_id) AS best_id FROM lbl)
+        |SELECT doc_id, gstatus AS status, CAST(NULL AS BIGINT) AS cluster_id,
+        |       CAST(NULL AS VARCHAR) AS split
+        |FROM g WHERE gstatus IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, 'dup_exact', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |FROM exm WHERE doc_id <> exact_canonical
+        |UNION ALL
+        |SELECT doc_id, 'dup_near', cluster_id, CAST(NULL AS VARCHAR)
+        |FROM best WHERE doc_id <> best_id
+        |UNION ALL
+        |SELECT doc_id, 'kept', cluster_id,
+        |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 8 * 1000003 THEN 'train'
+        |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
+        |       ELSE 'test' END
+        |FROM best WHERE doc_id = best_id
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_split" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),

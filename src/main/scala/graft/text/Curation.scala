@@ -62,6 +62,67 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END curation pipeline as ONE declarative DataFrame
+    * chain — what a user of the engine actually runs over a raw crawl:
+    *
+    *   gate (length + language) → exact dedup (md5 canonical) →
+    *   near-dup clusters over the SURVIVORS (shingle-Jaccard pair
+    *   graph + connected components) → keep-best per cluster →
+    *   leakage-safe split for the kept docs.
+    *
+    * Every doc gets exactly one disposition: `filtered_short`,
+    * `filtered_lang`, `dup_exact`, `dup_near`, or `kept` (+ its
+    * train/val/test split). Stage composition matters: dedup runs on
+    * the gate's survivors only (no cycles wasted clustering filtered
+    * junk), and the near-dup graph runs on exact-canonicals only (an
+    * exact-dup row can never outrank its canonical anyway). Each stage
+    * is the already-plan-audited operator — the pipeline adds
+    * dispositions, not new shuffles: one hash exchange per stage key
+    * (text_hash, shingle, cluster_id) and the CC loop over pair-graph
+    * nodes, never the corpus. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val profiled = TextOps.docsRepartitioned(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        expr("text_profile(text)").getField("n_words").as("n_words"))
+    val gated = profiled.withColumn("gstatus",
+      when(col("n_words") < 15, "filtered_short")
+        .when(col("lang") =!= "en", "filtered_lang"))
+    val pass = gated.filter(col("gstatus").isNull)
+    val exact = pass
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+      .withColumn("exact_canonical",
+        min("doc_id").over(Window.partitionBy("text_hash")))
+    val canon = exact.filter(col("doc_id") === col("exact_canonical"))
+    val pairs = TextOps.jaccardPairsFrom(
+        TextOps.shingledFrom(canon.select(col("doc_id"), col("text"))))
+      .select("a_id", "b_id")
+    val clustered = canon.join(
+        TextOps.connectedComponents(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+    val best = clustered.withColumn("best_id",
+      first("doc_id").over(Window.partitionBy("cluster_id")
+        .orderBy(col("n_words").desc, col("doc_id"))))
+    val splitKey = ((col("cluster_id") % lit(1000003L)) * lit(2654435761L)) % lit(1000003L)
+    val nullLong = lit(null).cast("long")
+    val nullStr = lit(null).cast("string")
+    gated.filter(col("gstatus").isNotNull)
+      .select(col("doc_id"), col("gstatus").as("status"),
+        nullLong.as("cluster_id"), nullStr.as("split"))
+      .unionByName(exact.filter(col("doc_id") =!= col("exact_canonical"))
+        .select(col("doc_id"), lit("dup_exact").as("status"),
+          nullLong.as("cluster_id"), nullStr.as("split")))
+      .unionByName(best.filter(col("doc_id") =!= col("best_id"))
+        .select(col("doc_id"), lit("dup_near").as("status"),
+          col("cluster_id"), nullStr.as("split")))
+      .unionByName(best.filter(col("doc_id") === col("best_id"))
+        .select(col("doc_id"), lit("kept").as("status"), col("cluster_id"),
+          when(splitKey * 10 < lit(8L * 1000003L), "train")
+            .when(splitKey * 10 < lit(9L * 1000003L), "val")
+            .otherwise("test").as("split")))
+      .orderBy("doc_id")
+  }
+
   val Shards = 8
 
   /** Deterministic global shuffle into training shards: the

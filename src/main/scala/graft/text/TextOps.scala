@@ -53,10 +53,16 @@ object TextOps {
     * the compute parallelizes even off a single small file split. */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    docsRepartitioned(spark, dir)
-      .select(col("doc_id"), expr("word_shingles3(text)").as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    shingledFrom(docsRepartitioned(spark, dir))
   }
+
+  /** DataFrame-parameterized shingling — lets pipeline stages (e.g.
+    * `Curation.curate`) run the near-dup machinery over a FILTERED doc
+    * set instead of the whole table. Caller must have registered
+    * GraftFunctions on the session. */
+  private[text] def shingledFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("word_shingles3(text)").as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** (doc_id, hs): per-doc shingle sets as HASHED 64-bit arrays — the
     * payload the candidate-verify joins ship and intersect. 8-byte
@@ -74,8 +80,13 @@ object TextOps {
 
   /** Unsorted Jaccard ≥ 0.5 pairs — shared by the pair report and the
     * clustering operator. */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(spark, dir)
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(shingledDocs(spark, dir))
+
+  /** Jaccard ≥ 0.5 pairs over an arbitrary pre-shingled doc set (see
+    * `shingledFrom`); the dir-based `jaccardPairs` is the whole-corpus
+    * instantiation. */
+  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     // join on the 64-bit shingle hash, not the string: the self-join
     // shuffles longs instead of ~20-byte shingles (the hash is computed
     // codegen'd on the exploded column, outside any interpreted lambda)

@@ -81,4 +81,50 @@ class CurationSpec extends SparkSpec {
       assert(ordered.map(_.getAs[Long]("pos")).toSeq == (1L to docs.length.toLong))
     }
   }
+
+  test("curate pipeline: dispositions partition the corpus and stages are consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.curate(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("lang"),
+          r.getAs[String]("text").toLowerCase.replaceAll("[^a-z ]", "")
+            .split(" ").count(_.nonEmpty)))).toMap
+    // exactly one disposition per doc
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == docs.size)
+    assert(out.length == docs.size)
+    val statuses = Set("filtered_short", "filtered_lang", "dup_exact", "dup_near", "kept")
+    out.foreach { r =>
+      val st = r.getAs[String]("status")
+      assert(statuses.contains(st))
+      val (lang, nWords) = docs(r.getAs[Long]("doc_id"))
+      st match {
+        case "filtered_short" => assert(nWords < 15)
+        case "filtered_lang"  => assert(nWords >= 15 && lang != "en")
+        case _ =>
+          assert(nWords >= 15 && lang == "en") // survivors passed the gate
+      }
+      // cluster / split shape
+      if (st == "kept") {
+        assert(!r.isNullAt(r.fieldIndex("cluster_id")))
+        assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+      } else assert(r.isNullAt(r.fieldIndex("split")))
+      if (st == "dup_near") assert(!r.isNullAt(r.fieldIndex("cluster_id")))
+    }
+    // exactly one kept doc per near-dup cluster, and it maximizes
+    // (n_words, -doc_id) among the cluster's members
+    val clustered = out.filter(r => !r.isNullAt(r.fieldIndex("cluster_id")))
+    clustered.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, g) =>
+      val kept = g.filter(_.getAs[String]("status") == "kept")
+      assert(kept.length == 1)
+      val byQuality = g.sortBy(r => (-docs(r.getAs[Long]("doc_id"))._2.toLong,
+        r.getAs[Long]("doc_id")))
+      assert(byQuality.head.getAs[Long]("doc_id") == kept.head.getAs[Long]("doc_id"))
+    }
+    // pipeline actually exercises every stage on the test corpus
+    val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("kept", 0) > 0)
+    assert(byStatus.getOrElse("filtered_lang", 0) > 0)
+  }
 }
