@@ -162,6 +162,7 @@ object SparkEntry {
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
+    "vec_mrl_eval" -> ((s, d) => VectorOps.mrlEval(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -1954,6 +1955,31 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(t1, '\d{7,}')) AS BIGINT) AS n_longnums,
         | md5(regexp_replace(t1, '\d{7,}', '<NUM>', 'g')) AS redacted_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "vec_mrl_eval" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |p AS (SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.e[1:d.dim], c.e[1:d.dim]) /
+        |         (sqrt(list_sum(list_transform(q.e[1:d.dim], x -> x*x))) *
+        |          sqrt(list_sum(list_transform(c.e[1:d.dim], x -> x*x)))), 6) AS cos
+        |      FROM n q, n c, dims d WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |p2 AS (SELECT * FROM p WHERE NOT isnan(cos)),
+        |r AS (SELECT p2.*, row_number() OVER (PARTITION BY dim, query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rnk FROM p2),
+        |k AS (SELECT * FROM r WHERE rnk <= 5),
+        |truth AS (SELECT query_id, neighbor_id FROM k WHERE dim = 64),
+        |j AS (SELECT k.dim, k.query_id, k.neighbor_id,
+        |       CASE WHEN t.query_id IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM k LEFT JOIN truth t
+        |        ON k.query_id = t.query_id AND k.neighbor_id = t.neighbor_id)
+        |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_returned,
+        | (SELECT COUNT(*) FROM truth) AS n_truth,
+        | CAST(SUM(hit) AS BIGINT) AS n_hits,
+        | CAST(SUM(hit) AS BIGINT) * 1000000 // (SELECT COUNT(*) FROM truth) AS recall_ppm
+        |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
 
     "vec_knn_graph" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

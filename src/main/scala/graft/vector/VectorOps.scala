@@ -727,6 +727,65 @@ object VectorOps {
       .orderBy("method")
   }
 
+  /** Matryoshka (MRL) truncation evaluation: how much top-5 retrieval
+    * quality survives when the 64-dim embeddings are truncated to their
+    * first 8/16/32 dimensions — the measurement behind the
+    * matryoshka-representation storage trade (truncated prefixes as
+    * cheap first-stage vectors, full dims only for rerank). For each
+    * prefix width the per-query top-5 by truncated cosine is scored
+    * against the full-width exact top-5 in integer ppm; width 64 scores
+    * against itself (recall exactly 1.0 — a built-in self-check the
+    * spec pins).
+    *
+    * One blocked pass computes all four truncated cosines per
+    * (query, candidate) pair from the same two arrays (codegen'd
+    * vec_dot/vec_norm over array slices), so adding widths adds scalar
+    * work, not scans or shuffles; per-(query,width) ranking rides the
+    * heap top-k operator and the recall join is over the 50-row truth
+    * set. Queries are the bounded vec_id < 10 set (same contract as
+    * annBruteForce) — corpus side only ever streams. */
+  def mrlEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val widths = Seq(8, 16, 32, 64)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .filter(expr("vec_norm(e)") > 0)
+    val q = vecs.select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .filter(col("query_id") < 10)
+    val pairs = vecs.select(col("vec_id").as("neighbor_id"), col("e").as("ce"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    // per pair: one row per width with the truncated cosine (rounded
+    // before ranking, the engine-exact convention)
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      explode(array(widths.map { d =>
+        struct(lit(d.toLong).as("dim"),
+          round(expr(s"vec_dot(slice(qe, 1, $d), slice(ce, 1, $d))") /
+            (expr(s"vec_norm(slice(qe, 1, $d))") *
+              expr(s"vec_norm(slice(ce, 1, $d))")), 6).as("cos"))
+      }: _*)).as("s"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("s.dim").as("dim"), col("s.cos").as("cos"))
+      // zero-norm prefixes have no direction at that width (NaN cos):
+      // excluded, mirroring the full-width zero-norm rule
+      .filter(!isnan(col("cos")))
+    // tiny (|queries|·|widths|·5 rows) and read twice (truth count +
+    // recall join) — persist so the blocked pass runs once; the bench
+    // harness sweeps persisted blocks between queries
+    val top5 = graft.plans.TopK.perKey(scored, 5,
+      Seq("query_id", "dim"), "cos", "neighbor_id").persist()
+    val truth = top5.filter(col("dim") === 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val nTruth = truth.count()
+    top5.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_returned"), count(col("hit")).as("n_hits"))
+      .withColumn("n_truth", lit(nTruth))
+      .withColumn("recall_ppm", when(lit(nTruth) === 0, 0L)
+        .otherwise(expr("n_hits * 1000000 div n_truth")))
+      .select("dim", "n_returned", "n_truth", "n_hits", "recall_ppm")
+      .orderBy("dim")
+  }
+
   /** Distributed Lloyd k-means over the FULL corpus (vs the IVF coarse
     * quantizer, which trains on a bounded driver sample): per round,
     * assignment is the broadcast-by-reference NearestCell argmin fused

@@ -386,6 +386,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("mrl eval: full width scores perfect recall, truncations are bounded") {
+    val rows = VectorOps.mrlEval(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == Seq(8L, 16L, 32L, 64L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_returned") == r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_returned"))
+    }
+    // width 64 IS the truth — the built-in self-check
+    val full = rows.find(_.getAs[Long]("dim") == 64L).get
+    assert(full.getAs[Long]("recall_ppm") == 1000000L)
+    assert(full.getAs[Long]("n_hits") == full.getAs[Long]("n_truth"))
+  }
+
   test("knn graph matches a sequential exact reference, mutual flags symmetric") {
     val out = VectorOps.vecKnnGraph(spark, sfDir).collect()
     // sequential reference over the same corpus
