@@ -170,6 +170,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "mm_scene_change" -> ((s, d) => Multimodal.sceneChanges(s, d)),
     "mm_batch_infer" -> ((s, d) => Multimodal.batchInfer(s, d)),
     "mm_retrieval" -> ((s, d) => Multimodal.crossModalSearch(s, d)),
     // Fuzzy-key record linkage (graft.ops.RecordLinkage)
@@ -2128,6 +2129,39 @@ object SparkEntry {
         | CAST(floor(height * scale + 0.5) AS INT) AS target_h,
         | scale
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "mm_scene_change" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h1
+        |  FROM documents),
+        |f AS (SELECT doc_id, h1,
+        |       unnest(generate_series(0, CAST((h1 >> 16) % 16 AS INT))) AS frame_idx
+        |      FROM h),
+        |t AS (SELECT doc_id, h1, frame_idx,
+        |       (frame_idx = 0 OR ((h1 >> (frame_idx % 60)) & 3) = 0) AS truth_cut
+        |      FROM f),
+        |sc AS (SELECT *, CAST(SUM(CASE WHEN truth_cut THEN 1 ELSE 0 END) OVER
+        |        (PARTITION BY doc_id ORDER BY frame_idx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS truth_scene
+        |       FROM t),
+        |sg AS (SELECT doc_id, frame_idx,
+        |        xor(
+        |          ((h1 >> r) | ((h1 & ((CAST(1 AS BIGINT) << r) - 1)) << (60 - r)))
+        |            & ((CAST(1 AS BIGINT) << 60) - 1),
+        |          CASE WHEN ((h1 >> ((frame_idx * 7) % 59)) & 1) = 1
+        |            THEN CAST(1 AS BIGINT) << CAST(((h1 >> frame_idx) + frame_idx) % 60 AS INT)
+        |            ELSE 0 END) AS sig
+        |       FROM (SELECT *, (truth_scene * 13) % 60 AS r FROM sc)),
+        |hp AS (SELECT doc_id, frame_idx, sig,
+        |        CAST(bit_count(xor(sig, lag(sig) OVER
+        |          (PARTITION BY doc_id ORDER BY frame_idx))) AS BIGINT) AS hamming_prev
+        |       FROM sg),
+        |cut AS (SELECT *, (frame_idx = 0 OR hamming_prev > 8) AS is_cut FROM hp)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, hamming_prev, is_cut,
+        | CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY doc_id ORDER BY frame_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+        |FROM cut ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_frames" ->
       """WITH h AS (

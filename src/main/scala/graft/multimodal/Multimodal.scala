@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary`
@@ -152,6 +153,62 @@ object Multimodal {
         (0 until n by 2).take(4).map(i => FrameRow(id, i, i * 40L))
       }
       .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** STUB scene-change detection — the video-pipeline shot segmentation
+    * step: per-frame signatures compared consecutively, a cut declared
+    * where the Hamming distance jumps. A real deployment computes frame
+    * signatures from decoded pixels (pHash per frame); this container
+    * cannot decode, so the deterministic fake plants the structure a
+    * real video has — frames within a scene share a base signature
+    * (≤ 1 flipped "noise" bit each), scene transitions rotate the base
+    * (~30 bits apart) — and because the fake is closed-form bit
+    * arithmetic over the payload's sha256, the DuckDB oracle recomputes
+    * every signature, distance, and cut decision bit-for-bit.
+    *
+    * Plan shape: frame explode is linear (≤ 16 rows per doc), the
+    * consecutive compare is ONE lag window and the scene numbering ONE
+    * cumulative sum over the same per-doc ordering — a single keyed
+    * exchange regardless of corpus size, the same shape as
+    * sessionization. */
+  def sceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    val Mask60 = (1L << 60) - 1
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val frames = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(sha2(CAST(text AS BINARY), 256), 1, 15), 16, 10) AS BIGINT)")
+          .as("h1"))
+      .withColumn("n_frames", expr("CAST(1 + (h1 >> 16) % 16 AS INT)"))
+      .select(col("doc_id"), col("h1"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      // TRUTH scene structure (what the fake plants): a transition at
+      // frame 0 and wherever two low bits of the shifted payload hash
+      // are clear (P = 1/4)
+      .withColumn("truth_cut",
+        col("frame_idx") === 0 || expr("((h1 >> (frame_idx % 60)) & 3) = 0"))
+      .withColumn("truth_scene",
+        sum(when(col("truth_cut"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // signature: scene base = h1 rotated by 13·scene (overflow-safe
+      // rotation — low bits lifted, never a 63-bit shift), noise = at
+      // most one planted bit per frame
+      .withColumn("r", expr("(truth_scene * 13) % 60"))
+      .withColumn("base", expr(
+        s"((h1 >> r) | ((h1 & ((CAST(1 AS BIGINT) << r) - 1)) << (60 - r))) & $Mask60"))
+      .withColumn("sig", expr(
+        s"""base ^ (CASE WHEN ((h1 >> ((frame_idx * 7) % 59)) & 1) = 1
+           | THEN CAST(1 AS BIGINT) << CAST(((h1 >> frame_idx) + frame_idx) % 60 AS INT)
+           | ELSE 0 END)""".stripMargin))
+    frames
+      .withColumn("prev_sig", lag("sig", 1).over(w))
+      .withColumn("hamming_prev",
+        expr("CAST(bit_count(sig ^ prev_sig) AS BIGINT)"))
+      .withColumn("is_cut", col("frame_idx") === 0 || col("hamming_prev") > 8)
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "frame_idx", "hamming_prev", "is_cut", "scene_id")
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -111,4 +111,35 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
     assert(got == want, "cross-modal top-3 diverged from the sequential reference")
   }
+
+  test("scene changes: detection recovers the planted scene structure") {
+    val out = Multimodal.sceneChanges(spark, sfDir).collect()
+    // independent driver-side truth from the payload sha256
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val truth = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().flatMap { r =>
+        md.reset()
+        val hex = md.digest(r.getAs[String]("text").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val n = (1 + (h1 >> 16) % 16).toInt
+        (0 until n).map(i =>
+          ((r.getAs[Long]("doc_id"), i),
+            i == 0 || ((h1 >> (i % 60)) & 3) == 0))
+      }.toMap
+    assert(out.length == truth.size)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))
+      assert(r.getAs[Boolean]("is_cut") == truth(key),
+        s"detected cut diverged from planted truth at $key")
+      // within a scene, consecutive signatures differ by noise only
+      if (!r.getAs[Boolean]("is_cut"))
+        assert(r.getAs[Long]("hamming_prev") <= 2)
+    }
+    // scene ids are dense from 1 per doc
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val scenes = g.map(_.getAs[Long]("scene_id"))
+      assert(scenes.min == 1L && scenes.max == g.count(_.getAs[Boolean]("is_cut")))
+    }
+  }
 }
