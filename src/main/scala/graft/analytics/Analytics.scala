@@ -540,28 +540,107 @@ object Analytics {
   /** RFM customer segmentation over the event panel: per user recency
     * (days since last activity, against the corpus max date so the
     * result is data-determined, not wall-clock), frequency (events),
-    * monetary (integer cents) — each quintile-scored with ntile(5)
-    * (deterministic user_id tie-break), best = 5. Output is the
-    * BOUNDED cell table (≤125 rows): members + per-cell totals — the
-    * standard retention/marketing segmentation. Per-user rollup is one
-    * combinable aggregate; the ntiles sort the USER table, not events
-    * (at 100 TB user counts, swap ntile for percentile_approx quintile
-    * cuts — documented trade: the cells stay, exact boundary ties
-    * move). */
-  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    * monetary (integer cents) — each quintile-scored (deterministic
+    * user_id tie-break), best = 5. Output is the BOUNDED cell table
+    * (≤125 rows): members + per-cell totals — the standard
+    * retention/marketing segmentation.
+    *
+    * The quintiles are EXACT ntile(5) semantics but computed WITHOUT a
+    * global window: an unpartitioned ntile funnels the whole user
+    * table through one task (the q_global_rank lesson). Instead each
+    * metric gets a two-phase row_number — local ranks within key-RANGE
+    * buckets (bucket = a coarsening of the sort key, so bucket order
+    * IS sort order) plus a broadcast one-row-per-bucket prefix-offset
+    * table — and ntile's tile function is closed-form integer
+    * arithmetic over (row_number, n): the first n%5 tiles take
+    * ⌈n/5⌉ users, the rest ⌊n/5⌋, exactly the window function's
+    * contract. The only driver value is the user COUNT (one number).
+    * `rfmNtileWindow` keeps the window formulation as the spec's
+    * row-equality twin. */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame =
+    rfmFrom(rfmPerUser(spark, dir), twoPhase = true)
+
+  /** The single-window formulation (global ntile) — spec-pinned
+    * row-identical to the two-phase path; kept as the verification
+    * twin, not wired to `queries`. */
+  def rfmNtileWindow(spark: SparkSession, dir: String): DataFrame =
+    rfmFrom(rfmPerUser(spark, dir), twoPhase = false)
+
+  private def rfmPerUser(spark: SparkSession, dir: String): DataFrame = {
     val DayUs = 86400L * 1000000L
     val perUser = Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"), sum(cents(col("value"))).as("cents"))
-    val scored = perUser
-      .withColumn("recency_days",
-        expr(s"(max(last_us) OVER () - last_us) div $DayUs"))
-      // best recency = smallest gap ⇒ order DESC so ntile 5 = freshest
-      .withColumn("r", ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
-      .withColumn("f", ntile(5).over(Window.orderBy(col("freq"), col("user_id"))).cast("long"))
-      .withColumn("m", ntile(5).over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+    // corpus max date as a broadcast scalar, not a global window (an
+    // unpartitioned `max() OVER ()` funnels the user table through one
+    // task just to read one number)
+    val mx = perUser.agg(max("last_us").as("max_us"))
+    perUser.crossJoin(broadcast(mx))
+      .withColumn("recency_days", expr(s"(max_us - last_us) div $DayUs"))
+      .drop("max_us")
+  }
+
+  /** Two-phase exact row_number: local rank inside key-range buckets +
+    * broadcast per-bucket prefix offsets (the globalShuffleShards
+    * machinery, parameterized by sort direction). `bucket` MUST be a
+    * monotone coarsening of `key` (same direction). */
+  private def twoPhaseRowNumber(df: DataFrame, key: String, bucket: Column,
+      asc: Boolean, out: String): DataFrame = {
+    val b = df.withColumn("_bkt", bucket)
+    val inCell = Window.partitionBy("_bkt").orderBy(
+      (if (asc) Seq(col(key).asc, col("user_id").asc)
+       else Seq(col(key).desc, col("user_id").asc)): _*)
+    val offW = Window.orderBy(if (asc) col("_bkt").asc else col("_bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(offW), lit(0L)))
+      .select("_bkt", "_off")
+    b.withColumn("_lr", row_number().over(inCell).cast("long"))
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn(out, col("_off") + col("_lr"))
+      .drop("_bkt", "_lr", "_n", "_off")
+  }
+
+  /** ntile(k=5) as closed-form integer arithmetic over (row_number, n):
+    * tiles 1..n%5 hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — the exact window
+    * contract. Guarded against q=0 (n<5: every row falls in the
+    * boundary branch, but ANSI division still evaluates the other). */
+  private def tileOf(rCol: String, n: Long): Column = {
+    val q = n / 5; val m = n % 5; val boundary = m * (q + 1)
+    // integral `div` throughout — floor(a/b) over doubles would lose
+    // exactness past 2^53 rows
+    expr(s"CASE WHEN $rCol <= $boundary THEN ($rCol - 1) div ${q + 1} + 1 " +
+      s"ELSE $m + ($rCol - $boundary - 1) div ${math.max(q, 1L)} + 1 END")
+  }
+
+  private def rfmFrom(perUser: DataFrame, twoPhase: Boolean): DataFrame = {
+    val scored =
+      if (!twoPhase)
+        perUser
+          .withColumn("r", ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+          .withColumn("f", ntile(5).over(Window.orderBy(col("freq"), col("user_id"))).cast("long"))
+          .withColumn("m", ntile(5).over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+      else {
+        val n = perUser.count() // the one driver-side value: |users|
+        val ranked = Seq(
+          ("recency_days", false, "rr"), ("freq", true, "rf"), ("cents", true, "rm"))
+          .foldLeft(perUser) { case (df, (k, asc, out)) =>
+            // bucket widths: days are already coarse (identity), freq is
+            // small-integer (identity), cents by 1000-dollar ranges —
+            // each a monotone coarsening with a bounded offset table
+            val bkt = k match {
+              case "cents" => expr("cents div 100000")
+              case other   => col(other)
+            }
+            twoPhaseRowNumber(df, k, bkt, asc, out)
+          }
+        ranked
+          .withColumn("r", tileOf("rr", n))
+          .withColumn("f", tileOf("rf", n))
+          .withColumn("m", tileOf("rm", n))
+      }
     scored.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_cell"))
       .agg(count(lit(1)).as("n_users"), sum("freq").as("n_events"),
         sum("cents").as("sum_cents"))

@@ -158,6 +158,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want, "bucketed global rank diverged from the full-order reference")
   }
 
+  test("two-phase RFM quintiles are row-identical to the global ntile window") {
+    val tp = Analytics.rfmSegmentation(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rfm_cell"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toSeq
+    val win = Analytics.rfmNtileWindow(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rfm_cell"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toSeq
+    assert(tp.nonEmpty && tp == win,
+      "bucketed two-phase ntile diverged from the window formulation")
+  }
+
   test("robust anomalies match a sequential median/MAD reference exactly") {
     import org.apache.spark.sql.functions._
     val got = Analytics.robustAnomalies(spark, sfDir).collect()
