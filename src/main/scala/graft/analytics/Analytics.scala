@@ -582,25 +582,31 @@ object Analytics {
       .drop("max_us")
   }
 
-  /** Two-phase exact row_number: local rank inside key-range buckets +
-    * broadcast per-bucket prefix offsets (the globalShuffleShards
-    * machinery, parameterized by sort direction). `bucket` MUST be a
-    * monotone coarsening of `key` (same direction). */
-  private def twoPhaseRowNumber(df: DataFrame, key: String, bucket: Column,
-      asc: Boolean, out: String): DataFrame = {
+  /** Two-phase exact row_number (optionally per partition group):
+    * local rank inside key-range buckets + broadcast
+    * one-row-per-(group, bucket) prefix offsets — the
+    * globalShuffleShards machinery, parameterized by direction and
+    * grouping. `bucket` MUST be a monotone coarsening of `key` (same
+    * direction). Replaces global/hot-key rank windows that would
+    * funnel a data-scaled table through one task. */
+  private[graft] def twoPhaseRowNumber(df: DataFrame, partCols: Seq[String],
+      key: String, tie: String, bucket: Column, asc: Boolean,
+      out: String): DataFrame = {
     val b = df.withColumn("_bkt", bucket)
-    val inCell = Window.partitionBy("_bkt").orderBy(
-      (if (asc) Seq(col(key).asc, col("user_id").asc)
-       else Seq(col(key).desc, col("user_id").asc)): _*)
-    val offW = Window.orderBy(if (asc) col("_bkt").asc else col("_bkt").desc)
+    val cellCols = partCols :+ "_bkt"
+    val inCell = Window.partitionBy(cellCols.map(col): _*).orderBy(
+      (if (asc) Seq(col(key).asc, col(tie).asc)
+       else Seq(col(key).desc, col(tie).asc)): _*)
+    val offW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(if (asc) col("_bkt").asc else col("_bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+    val offsets = b.groupBy(cellCols.map(col): _*).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(sum("_n").over(offW), lit(0L)))
-      .select("_bkt", "_off")
+      .select(cellCols.map(col) :+ col("_off"): _*)
     b.withColumn("_lr", row_number().over(inCell).cast("long"))
-      .join(broadcast(offsets), Seq("_bkt"))
+      .join(broadcast(offsets), cellCols)
       .withColumn(out, col("_off") + col("_lr"))
-      .drop("_bkt", "_lr", "_n", "_off")
+      .drop("_bkt", "_lr", "_off")
   }
 
   /** ntile(k=5) as closed-form integer arithmetic over (row_number, n):
@@ -634,7 +640,7 @@ object Analytics {
               case "cents" => expr("cents div 100000")
               case other   => col(other)
             }
-            twoPhaseRowNumber(df, k, bkt, asc, out)
+            twoPhaseRowNumber(df, Nil, k, "user_id", bkt, asc, out)
           }
         ranked
           .withColumn("r", tileOf("rr", n))
@@ -689,9 +695,12 @@ object Analytics {
       .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
       .join(Tables.customer(spark, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), Seq("o_custkey"))
-    val byRev = Window.partitionBy("c_mktsegment")
-      .orderBy(col("rev_cents"), col("o_custkey"))
-    rev.withColumn("i", row_number().over(byRev).cast("long"))
+    // per-segment rank WITHOUT a per-segment window: only ~5 segments
+    // exist, so a segment-partitioned window is 5 hot keys each holding
+    // a data-scaled customer slice in one task — the two-phase bucketed
+    // rank spreads each segment over its revenue-range cells instead
+    twoPhaseRowNumber(rev, Seq("c_mktsegment"), "rev_cents", "o_custkey",
+        expr("rev_cents div 100000"), asc = true, out = "i")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum("rev_cents").as("total_cents"),
