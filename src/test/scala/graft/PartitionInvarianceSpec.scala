@@ -38,7 +38,14 @@ class PartitionInvarianceSpec extends SparkSpec {
       // sampling/rank/tokenizer batch: top-k limit boundary, two-phase
       // bucket offsets, iterative argmax merge learning
       "sample_weighted", "q_global_rank", "text_bpe_encode",
-      "q_theta_retention", "dedup_winnow", "mm_retrieval")
+      "q_theta_retention", "dedup_winnow", "mm_retrieval",
+      // continuation-session surface: blocked kNN products + heap
+      // top-k, global first-occurrence selection + window coverage,
+      // composed pipeline with CC loop, two-phase ntile/rank cells,
+      // per-type stat broadcasts, prefix-slice ranking
+      "vec_knn_graph", "text_span_dedup", "corpus_curate", "q_rfm",
+      "q_anomaly", "vec_mrl_eval", "mm_scene_change",
+      "q_trace_downsample")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -235,4 +235,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(bucket"),
       s"per-row rank window lost its bucket partitioning:\n${plan.take(2000)}")
   }
+
+  test("knn graph forces no broadcast and no product (blocked pair join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(graft.vector.VectorOps.vecKnnGraph(spark, sfDir))
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"knn pair scoring degenerated to a product:\n${plan.take(1500)}")
+      assert(plan.contains("TopKPerKey"),
+        s"knn ranking lost the heap top-k operator:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("rfm quintiles carry no data-scaled single-partition window") {
+    val plan = executed(Analytics.rfmSegmentation(spark, sfDir))
+    // every per-row rank window must be partitioned by the range
+    // bucket; the only unpartitioned windows left are the bounded
+    // one-row-per-bucket offset prefixes
+    assert(plan.contains("windowspecdefinition(_bkt"),
+      s"rfm rank windows lost their bucket partitioning:\n${plan.take(2000)}")
+    assert(!plan.contains("ntile("),
+      s"rfm still plans the global ntile window:\n${plan.take(2000)}")
+  }
+
+  test("span dedup coverage window is per-doc and the scan is repartitioned") {
+    val plan = executed(graft.text.TextOps.spanDedup(spark, sfDir))
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"span coverage window lost its per-doc partitioning:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(doc_id")),
+      s"document scan lost its parallelizing repartition:\n${plan.take(1500)}")
+  }
+
+  test("anomaly fences broadcast the per-type stats, never shuffling the corpus twice") {
+    val plan = executed(Analytics.robustAnomalies(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"),
+      s"per-type stat tables lost their broadcast:\n${plan.take(1500)}")
+  }
 }
