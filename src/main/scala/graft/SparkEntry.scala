@@ -177,6 +177,7 @@ object SparkEntry {
     "dedup_editdist" -> ((s, d) => graft.ops.RecordLinkage.editDistancePairs(s, d)),
     "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
+    "text_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "q_interpolate" -> ((s, d) => graft.analytics.TemporalOps.interpolate(s, d)),
     "q_benford" -> ((s, d) => Analytics.benfordAudit(s, d)),
     "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
@@ -2178,6 +2179,23 @@ object SparkEntry {
         |FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
         |WHERE levenshtein(s1.s_name, s2.s_name) <= 2
         |ORDER BY a_key, b_key""".stripMargin,
+
+    "text_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i))
+        |SELECT doc_id, COUNT(*) AS n_words,
+        | CAST(SUM(w_milli) AS BIGINT) AS logit_milli,
+        | CAST(SUM(w_milli) AS BIGINT) > 0 AS keep
+        |FROM b JOIN wt USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_span_dedup" ->
       """WITH d1 AS (

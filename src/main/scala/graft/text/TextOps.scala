@@ -565,6 +565,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hashed linear quality classifier — the fasttext-style scoring
+    * pass every LLM data pipeline runs (CCNet/GPT-3-family "looks like
+    * reference text?" filters): words hash into a fixed bucket space,
+    * each bucket carries a trained milli-unit weight, and a document's
+    * logit is the sum over its tokens. The weight VECTOR here is a
+    * closed-form stand-in for a trained artifact (deterministic, so
+    * the DuckDB oracle recomputes it); the pipeline shape is the real
+    * one — model inference as a columnar scan: explode tokens → hash
+    * to bucket (feature hashing needs no vocabulary shuffle) →
+    * broadcast-join the 1024-row weight table → one combinable
+    * per-doc sum. Nothing scales but the token scan; the "model" rides
+    * a broadcast exactly as a real exported linear head would.
+    * Integer milli-unit logits end to end (no FP drift, no div — a
+    * truncating Spark `div` and DuckDB's flooring `//` disagree on
+    * negative logits). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val words = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % 1024"))
+    val weights = spark.range(1024).select(col("id").as("bucket"),
+      expr("(id * 2654435761) % 2001 - 1000").as("w_milli"))
+    words.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("w_milli").as("logit_milli"))
+      .withColumn("keep", col("logit_milli") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Cross-document duplicate-SPAN removal — the exact-substring dedup
     * of Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", at fixed 8-word-window granularity: where whole-doc dedup

@@ -361,6 +361,30 @@ class TextOpsSpec extends SparkSpec {
     assert(nFps < m, "winnowing selected every k-gram — no sparsification")
   }
 
+  test("quality classifier matches a sequential hashed-linear reference") {
+    val got = TextOps.qualityClassifier(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_words"),
+        r.getAs[Long]("logit_milli"), r.getAs[Boolean]("keep")))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      md.reset()
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024
+    }
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ws = r.getAs[String]("text").toLowerCase.replaceAll("[^a-z ]", "")
+          .split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) None else {
+          val logit = ws.map(w => (bucket(w) * 2654435761L) % 2001 - 1000).sum
+          Some(r.getAs[Long]("doc_id") -> ((ws.length.toLong, logit, logit > 0)))
+        }
+      }.toMap
+    assert(got == want, "classifier logits diverged from the sequential reference")
+    // the weight space is balanced enough that both classes occur
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("span dedup matches a sequential reference and removes real cross-doc spans") {
     val W = 8
     val got = TextOps.spanDedup(spark, sfDir).collect()
