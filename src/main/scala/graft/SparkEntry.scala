@@ -57,6 +57,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "q_percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "q_anomaly" -> ((s, d) => Analytics.robustAnomalies(s, d)),
+    "q_forecast" -> ((s, d) => Analytics.forecastEval(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "q_unpivot" -> ((s, d) => Analytics.unpivotMeasures(s, d)),
     "q_windowed_distinct" -> ((s, d) => Analytics.windowedDistinct(s, d)),
@@ -539,6 +540,22 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_forecast" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS h,
+        |   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS a
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |fc AS (SELECT event_type, CAST(d + INTERVAL 1 DAY AS DATE) AS d, h, a AS f FROM hourly)
+        |SELECT hourly.event_type, COUNT(*) AS n_cells,
+        | CAST(SUM(hourly.a) AS BIGINT) AS actual_cents,
+        | CAST(SUM(abs(hourly.a - fc.f)) AS BIGINT) AS abs_err_cents,
+        | CAST(SUM(abs(hourly.a - fc.f)) AS BIGINT) * 1000000
+        |   // CAST(SUM(hourly.a) AS BIGINT) AS wape_ppm
+        |FROM hourly JOIN fc ON hourly.event_type = fc.event_type
+        |  AND hourly.d = fc.d AND hourly.h = fc.h
+        |GROUP BY hourly.event_type ORDER BY hourly.event_type""".stripMargin,
 
     "q_anomaly" ->
       """WITH ev AS (

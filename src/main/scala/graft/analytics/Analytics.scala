@@ -715,6 +715,32 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Seasonal-naive forecast backtest: predict each (type, day, hour)
+    * cell's cent mass with the SAME HOUR YESTERDAY and score the error
+    * — the baseline every real forecaster must beat, and the shape of
+    * any backtest harness (align predictions with actuals by key,
+    * aggregate errors). One hourly rollup (combinable, bounded by
+    * types × hours in range), one self-join on the day-shifted key,
+    * and WAPE reported as exact integer ppm (Σ|a−f|·10⁶ div Σa —
+    * the weighted form has no per-row division, so zero-actual hours
+    * need no epsilon and the integer arithmetic is engine-exact). */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).as("h"))
+      .agg(sum(cents(col("value"))).as("a"))
+    val fc = hourly.select(col("event_type"), date_add(col("d"), 1).as("d"),
+      col("h"), col("a").as("f"))
+    hourly.join(fc, Seq("event_type", "d", "h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("a").as("actual_cents"),
+        sum(abs(col("a") - col("f"))).as("abs_err_cents"))
+      .withColumn("wape_ppm", expr("abs_err_cents * 1000000 div actual_cents"))
+      .orderBy("event_type")
+  }
+
   /** Week-over-week revenue change per event type — the calendar-
     * aligned period comparison behind every trend dashboard (vs
     * `runningAgg`'s row-cumulative and `retention`'s cohort offsets):

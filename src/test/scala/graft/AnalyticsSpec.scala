@@ -169,6 +169,26 @@ class AnalyticsSpec extends SparkSpec {
       "bucketed two-phase ntile diverged from the window formulation")
   }
 
+  test("forecast backtest: WAPE bounded, self-forecast scores zero error") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.forecastEval(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cells") > 0)
+      assert(r.getAs[Long]("abs_err_cents") >= 0)
+      assert(r.getAs[Long]("wape_ppm") >= 0)
+    }
+    // sanity of the alignment: a 0-day shift (self-forecast) has zero
+    // error by construction — recompute with the same rollup
+    val hourly = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("a"))
+    val self = hourly.alias("x").join(hourly.alias("y"), Seq("event_type", "d", "h"))
+      .agg(sum(abs(col("x.a") - col("y.a")))).collect()(0).getLong(0)
+    assert(self == 0L)
+  }
+
   test("robust anomalies match a sequential median/MAD reference exactly") {
     import org.apache.spark.sql.functions._
     val got = Analytics.robustAnomalies(spark, sfDir).collect()
