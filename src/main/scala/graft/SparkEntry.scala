@@ -191,6 +191,7 @@ object SparkEntry {
     "vec_kmeans" -> ((s, d) => VectorOps.vecKmeans(s, d)),
     "etl_variant" -> ((s, d) => EventsEtl.variantProps(s, d)),
     "ann_mips" -> ((s, d) => VectorOps.annMips(s, d)),
+    "ann_bq" -> ((s, d) => VectorOps.annBq(s, d)),
     "dedup_semantic" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_sketch_quantiles" -> ((s, d) => Analytics.sketchQuantiles(s, d)),
     "q_theta_sketch" -> ((s, d) => Analytics.thetaSetAlgebra(s, d)),
@@ -1974,6 +1975,29 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(t1, '\d{7,}')) AS BIGINT) AS n_longnums,
         | md5(regexp_replace(t1, '\d{7,}', '<NUM>', 'g')) AS redacted_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ann_bq" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |m AS (SELECT vec_id, e, nrm,
+        |  CAST(list_sum(list_transform(generate_series(0, 31),
+        |    j -> CASE WHEN e[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m0,
+        |  CAST(list_sum(list_transform(generate_series(0, 31),
+        |    j -> CASE WHEN e[j+33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m1
+        | FROM n),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       CAST(bit_count(xor(q.m0, c.m0)) + bit_count(xor(q.m1, c.m1)) AS BIGINT) AS hamming
+        |      FROM m q, m c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT * FROM (SELECT h.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY hamming, neighbor_id) AS hr FROM h) WHERE hr <= 32),
+        |r AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM s JOIN m q ON s.query_id = q.vec_id JOIN m c ON s.neighbor_id = c.vec_id),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank FROM r)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos, hamming
+        |FROM k WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "vec_mrl_eval" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -704,7 +704,7 @@ object VectorOps {
         .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
       (method, row.getLong(0), row.getLong(1))
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
@@ -713,6 +713,7 @@ object VectorOps {
         "ivf_1probe" -> (() => annIvf(spark, dir)),
         "ivf_3probe" -> (() => annIvfProbe(spark, dir)),
         "ivfpq_adc" -> (() => annIvfPq(spark, dir)),
+        "bq_hamming" -> (() => annBq(spark, dir)),
         "pq_adc" -> (() => annPq(spark, dir)))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(
@@ -1032,6 +1033,60 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Binary-quantized ANN: 1-bit-per-dimension sign masks (the 32×
+    * storage cut modern vector stores ship as "binary quantization"),
+    * Hamming-distance prefilter, exact-cosine rerank of the shortlist.
+    * The 64 sign bits pack into TWO 32-bit halves (m0 = dims 0–31,
+    * m1 = dims 32–63) so no bit ever reaches a BIGINT's sign position
+    * — both engines' shift/xor arithmetic stays in the portable range,
+    * and the DuckDB oracle recomputes masks, Hamming distances, and
+    * the rerank bit-for-bit.
+    *
+    * Plan shape: the mask table is a 2-long-per-vector scan (the
+    * compressed representation a real deployment stores); the
+    * shortlist is the heap top-32 per query by (−Hamming, id) — sign
+    * masks never shuffle more than 16 bytes/vector; only the ≤32
+    * shortlisted candidates rejoin the full float vectors for the
+    * exact rerank (index join on ids). Queries are the bounded
+    * vec_id < 10 set. */
+  def annBq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0)
+    val masks = vecs.select(col("vec_id"),
+      expr("""aggregate(sequence(0, 31),  CAST(0 AS BIGINT),
+             | (acc, j) -> acc | CAST(CASE WHEN element_at(e, j + 1)  > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END AS BIGINT))""".stripMargin).as("m0"),
+      expr("""aggregate(sequence(0, 31),  CAST(0 AS BIGINT),
+             | (acc, j) -> acc | CAST(CASE WHEN element_at(e, j + 33) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END AS BIGINT))""".stripMargin).as("m1"))
+    val qm = masks.filter(col("vec_id") < 10)
+      .toDF("query_id", "q0", "q1")
+    val cand = masks.toDF("neighbor_id", "c0", "c1")
+      .join(broadcast(qm), col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(q0 ^ c0) + bit_count(q1 ^ c1) AS BIGINT)"))
+      .withColumn("neg_h", -col("hamming"))
+    val shortlist = graft.plans.TopK.perKey(cand, 32,
+        Seq("query_id"), "neg_h", "neighbor_id")
+      .select("query_id", "neighbor_id", "hamming")
+    // exact rerank over the ≤32-per-query shortlist
+    val qv = vecs.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("nrm").as("qn")).filter(col("query_id") < 10)
+    val cv = vecs.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"), col("hamming"))
       .orderBy("query_id", "rank")
   }
 

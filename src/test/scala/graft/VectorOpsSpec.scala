@@ -218,7 +218,8 @@ class VectorOpsSpec extends SparkSpec {
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_truth"),
           r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
     assert(rows.keySet ==
-      Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "ivfpq_adc", "pq_adc"))
+      Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "ivfpq_adc", "pq_adc",
+        "bq_hamming"))
     val nTruth = rows.values.head._2
     for ((m, (ret, t, hits, ppm)) <- rows) {
       assert(t == nTruth, s"$m scored against a different truth")
@@ -384,6 +385,25 @@ class VectorOpsSpec extends SparkSpec {
     val a = VectorOps.semanticDedup(spark, sfDir).collect().map(_.toString)
     val b = VectorOps.semanticDedup(spark, sfDir).collect().map(_.toString)
     assert(a.sameElements(b))
+  }
+
+  test("binary-quantized ANN: reported cosines agree with brute force exactly") {
+    val bf = VectorOps.annBruteForce(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bf_cos"))
+    val bq = VectorOps.annBq(spark, sfDir)
+    // every (query, neighbor) pair bq reports must carry the exact cos
+    val joined = bq.join(bf, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bf_cos").isNotNull && col("cos") =!= col("bf_cos"))
+      .count() == 0, "bq rerank cosine drifted from the exact kernel")
+    // shape: 5 ranked rows per query, hamming in [0, 64]
+    val rows = bq.collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 64)
+    }
   }
 
   test("mrl eval: full width scores perfect recall, truncations are bounded") {
