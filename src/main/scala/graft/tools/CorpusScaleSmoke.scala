@@ -88,7 +88,14 @@ object CorpusScaleSmoke {
         // priority sample is a TakeOrdered heap; IVFPQ's trainings
         // stay bounded while codes/probes scan the replicated corpus
         "text_winnow", "dedup_winnow", "text_bpe_encode",
-        "sample_weighted", "ann_ivfpq")) {
+        "sample_weighted", "ann_ivfpq",
+        // continuation-session surface: span removal + classifier are
+        // linear scans/shuffles; curate composes the audited stages;
+        // bq prefilters on 16-byte masks; mrl reranks slices; the
+        // exact knn graph carries its documented Θ(n²) contract (the
+        // corpus path swaps in IVF/LSH candidates)
+        "text_span_dedup", "text_classifier", "corpus_curate",
+        "ann_bq", "vec_mrl_eval", "mm_scene_change")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()
