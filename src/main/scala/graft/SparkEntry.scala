@@ -163,6 +163,7 @@ object SparkEntry {
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
+    "vec_knn_graph_ann" -> ((s, d) => VectorOps.vecKnnGraphAnn(s, d)),
     "vec_mrl_eval" -> ((s, d) => VectorOps.mrlEval(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)

@@ -340,6 +340,58 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The CORPUS-SCALE realization of the k-NN graph: candidates from
+    * multi-probe IVF cells instead of the exact blocked product — the
+    * generator swap `vecKnnGraph`'s contract names, actually wired.
+    * Every vector lands in its nearest cell and probes its `probes`
+    * nearest (query side), so candidate pairs are (cell-mates) — the
+    * SemDeDup partitioning argument: Σ n_c² instead of n², perfectly
+    * parallel per cell, nothing broadcast but the k·d centroid array
+    * (corpus-constant). The ranking/mutual tail is IDENTICAL to the
+    * exact operator (heap top-k per query, linear swapped self-join),
+    * so recall loss is confined to the candidate stage and is
+    * MEASURED: the spec computes edge recall against `vecKnnGraph` on
+    * the test corpus and pins its floor. Rows-only (approximate by
+    * design); the exact twin is the oracle-checked verifier. */
+  def vecKnnGraphAnn(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = trainCentroids(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0)
+    val home = base.withColumn("cell",
+        org.apache.spark.sql.GraftPlanBridge.column(graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    val probed = base.withColumn("cell",
+        explode(org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.NearestCells(
+            org.apache.spark.sql.GraftPlanBridge.expression(col("e")),
+            centroids, probes))))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val scored = probed.join(home, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id") // met via ≤probes cells
+      .withColumn("cos",
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    val topk = graft.plans.TopK.perKey(scored, k, Seq("query_id"),
+        "cos", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+    val swapped = topk.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("mutual"))
+    topk.join(swapped, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * 4× storage/bandwidth path for a 100 TB embedding corpus (recall
     * work like IVF/PQ assumes quantized storage; this is the simplest
