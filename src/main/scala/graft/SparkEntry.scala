@@ -377,7 +377,7 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
-        |WHERE value IS NOT NULL AND value >= 0 AND value < 1000
+        |WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0 AND value < 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_trace_downsample" ->
@@ -386,7 +386,7 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY user_id
         |     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq,
         |   COUNT(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |k AS (SELECT * FROM t WHERE seq % 10 = 1 OR seq = n)
         |SELECT user_id,
         | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS kept_rank,

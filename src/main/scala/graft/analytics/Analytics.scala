@@ -180,7 +180,8 @@ object Analytics {
     * the render payload is constant at any corpus size. */
   def heatmapGrid(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("value") >= 0 && col("value") < 1000)
+      .filter(col("ts").isNotNull &&
+        col("value").isNotNull && col("value") >= 0 && col("value") < 1000)
       .select(expr("CAST(floor(value) AS BIGINT) div 100").as("value_bucket"),
         hour(col("ts")).cast("long").as("hour_of_day"),
         cents(col("value")).as("vc"))
@@ -199,6 +200,11 @@ object Analytics {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val wn = Window.partitionBy("user_id")
     Tables.events(spark, dir)
+      // a breadcrumb without a timestamp has no place on a polyline —
+      // and NULL ordering differs across engines (Spark NULLS FIRST,
+      // DuckDB NULLS LAST), so keeping them would make the kept set
+      // engine-dependent the first time a data drop contains one
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("seq", row_number().over(w))
