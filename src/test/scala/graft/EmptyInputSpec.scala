@@ -12,9 +12,11 @@ class EmptyInputSpec extends SparkSpec {
         "orders", "lineitem", "documents", "embeddings"))
       graft.sources.Tables.load(spark, sfDir, t).limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    // events ships as TIMESTAMP(NANOS) parquet: read it as a raw long
-    // (same flag Tables.events sets) and copy the pre-conversion schema
-    // with zero rows — Tables.events then applies its usual conversion
+    // events has shipped as TIMESTAMP(NANOS) in some data drops and
+    // micros-NTZ in others; set the nanos legacy flag (harmless on a
+    // micros file) and copy the PRE-conversion schema with zero rows —
+    // Tables.events then applies whichever adaptation the copied
+    // schema calls for, exactly as on the real file
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet").limit(0)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
