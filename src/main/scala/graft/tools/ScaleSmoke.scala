@@ -96,7 +96,12 @@ object ScaleSmoke {
         // session-9 surface: two-phase bucketed global rank over the
         // 10× orders table (the single-window formulation this replaces
         // would serialize the whole sort into one task)
-        "q_global_rank")) {
+        "q_global_rank",
+        // continuation-session events surface: robust fences (stat
+        // broadcasts), naive backtest (day-shifted self-join), bounded
+        // heat grid, endpoint-preserving decimation, two-phase RFM
+        "q_anomaly", "q_forecast", "q_heatmap", "q_trace_downsample",
+        "q_rfm")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 
