@@ -180,6 +180,7 @@ object SparkEntry {
     "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
+    "text_novelty" -> ((s, d) => TextOps.noveltyCurve(s, d)),
     "q_interpolate" -> ((s, d) => graft.analytics.TemporalOps.interpolate(s, d)),
     "q_benford" -> ((s, d) => Analytics.benfordAudit(s, d)),
     "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
@@ -1210,6 +1211,22 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN value >= 0 AND value <= 300 THEN 0 ELSE 1 END) * 1000000 // COUNT(*) AS BIGINT)
         |FROM e
         |ORDER BY rule_name""".stripMargin,
+
+    "text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+        |fs AS (SELECT sh, MIN(doc_id) AS first_doc FROM ex GROUP BY sh)
+        |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(SUM(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM ex JOIN fs USING (sh)
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
 
     "text_dup_coverage" ->
       """WITH w AS (

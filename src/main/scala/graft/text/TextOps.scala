@@ -647,6 +647,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus novelty curve: per document, the fraction of its DISTINCT
+    * 3-shingles whose globally FIRST occurrence (min doc_id) is this
+    * document — the marginal-contribution signal curation teams read
+    * before appending a new source to a corpus (a slice whose novelty
+    * ppm has collapsed is re-crawl/boilerplate; `text_dup_coverage` is
+    * the unordered twin — "shared with anyone" vs "seen before me").
+    * Same scale shape as dup_coverage: one combinable min-aggregate
+    * over hashed shingles (8-byte keys), one index-shaped join back —
+    * per-doc cost ∝ its shingle count, exact integer ppm. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingledDocs(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+    val firstSeen = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    ex.join(firstSeen.hint("shuffle_hash"), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Sparse lexical similarity: TF-IDF cosine ≥ 0.5 document pairs via
     * an inverted term index — the bag-of-words complement to the
     * embedding-cosine path (dedup_embedding) and the shingle paths

@@ -361,6 +361,28 @@ class TextOpsSpec extends SparkSpec {
     assert(nFps < m, "winnowing selected every k-gram — no sparsification")
   }
 
+  test("novelty curve: doc 0 fully novel, duplicates fully stale, ppm bounded") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.noveltyCurve(spark, sfDir).cache()
+    val first = out.orderBy("doc_id").first()
+    // the lowest doc_id owns every one of its shingles by definition
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    out.collect().foreach { r =>
+      val ppm = r.getAs[Long]("novelty_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+    // a doc whose text equals an EARLIER doc's text has zero novelty
+    val dups = TextOps.dedupExact(spark, sfDir)
+      .filter(col("is_dup")).select("doc_id").collect().map(_.getLong(0))
+    if (dups.nonEmpty) {
+      val stale = out.filter(col("doc_id").isin(dups.toSeq: _*))
+        .filter(col("novelty_ppm") =!= 0).count()
+      assert(stale == 0, "an exact duplicate of an earlier doc scored novel shingles")
+    }
+    out.unpersist()
+  }
+
   test("quality classifier matches a sequential hashed-linear reference") {
     val got = TextOps.qualityClassifier(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_words"),
