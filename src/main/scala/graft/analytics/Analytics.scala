@@ -94,13 +94,25 @@ object Analytics {
 
   /** NTILE quartile profile per event type: equal-frequency buckets
     * (the histogram twin for skewed distributions where fixed-width
-    * bins collapse). One window shuffle on the type key, then a plain
-    * aggregate rides it. */
+    * bins collapse). EXACT ntile(4) semantics without the per-type
+    * window: there are ~5 event types, so a type-partitioned window is
+    * 5 hot keys each holding a data-scaled slice in one task — ranks
+    * come from the two-phase bucketed row_number instead (value-range
+    * cells spread each type's sort), and the tile assignment is the
+    * closed-form integer formula over (rank, per-type n), n joined in
+    * from a broadcast one-row-per-type count. */
   def ntileProfile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
+    val e = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val ranked = twoPhaseRowNumber(e, Seq("event_type"), "value", "event_id",
+      expr("CAST(floor(value) AS BIGINT)"), asc = true, out = "r")
+    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+    ranked.join(broadcast(counts), Seq("event_type"))
+      .withColumn("quartile", expr(
+        "CASE WHEN r <= (n_type % 4) * (n_type div 4 + 1) " +
+          "THEN (r - 1) div (n_type div 4 + 1) + 1 " +
+          "ELSE (n_type % 4) + (r - (n_type % 4) * (n_type div 4 + 1) - 1) " +
+          "div greatest(n_type div 4, 1) + 1 END"))
       .groupBy("event_type", "quartile")
       .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
       .orderBy("event_type", "quartile")
@@ -851,11 +863,15 @@ object Analytics {
     * finds both bounds; the bounded per-type stats table joins back by
     * broadcast. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    val byVal = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
-    val ranked = e.withColumn("rn", row_number().over(byVal).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    // per-type order statistics WITHOUT a per-type window (5 hot keys,
+    // each a data-scaled one-task sort): two-phase bucketed ranks +
+    // broadcast per-type counts, the q_gini/q_rfm machinery
+    val ranked = twoPhaseRowNumber(e, Seq("event_type"), "vc", "event_id",
+        expr("vc div 1000"), asc = true, out = "rn")
+      .join(broadcast(e.groupBy("event_type").agg(count(lit(1)).as("n"))),
+        Seq("event_type"))
     val bounds = ranked
       .filter(col("rn") === expr("(n-1)*5 div 100 + 1") ||
         col("rn") === expr("(n-1)*95 div 100 + 1"))
