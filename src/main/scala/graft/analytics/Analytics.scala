@@ -530,17 +530,35 @@ object Analytics {
     * DECIMAL38 beyond ~10⁹ cents·rows per type (same trade as
     * q_gini). */
   def changepoint(spark: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-    val ordered = Window.partitionBy("event_type")
-      .orderBy(col("ts_us"), col("event_id"))
-    Tables.events(spark, dir)
+    // per-type running (rank, prefix sum) WITHOUT the per-type window
+    // (~5 hot keys = 5 one-task sorts at scale): rank and cumsum are
+    // local to (type, clock-hour) cells, then shifted by a broadcast
+    // per-cell offset table (count + sum prefixes over the bounded
+    // types × hours dimension) — the q_concurrency/globalShuffleShards
+    // prefix machinery, here carrying TWO running quantities at once
+    val e = Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
       .select(col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), cents(col("value")).as("vc"))
-      .withColumn("n", count(lit(1)).over(byType))
-      .withColumn("sx", sum("vc").over(byType))
-      .withColumn("i", row_number().over(ordered).cast("long"))
-      .withColumn("s_i", sum("vc").over(ordered))
+      .withColumn("_bkt", expr("ts_us div 3600000000"))
+    val wCell = Window.partitionBy("event_type", "_bkt")
+      .orderBy(col("ts_us"), col("event_id"))
+    val offW = Window.partitionBy("event_type").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = e.groupBy("event_type", "_bkt")
+      .agg(count(lit(1)).as("_cn"), sum("vc").as("_cs"))
+      .withColumn("_offn", coalesce(sum("_cn").over(offW), lit(0L)))
+      .withColumn("_offs", coalesce(sum("_cs").over(offW), lit(0L)))
+      .select("event_type", "_bkt", "_offn", "_offs")
+    val totals = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sx"))
+    e.withColumn("_lr", row_number().over(wCell).cast("long"))
+      .withColumn("_ls", sum("vc").over(
+        wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("event_type", "_bkt"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("i", col("_offn") + col("_lr"))
+      .withColumn("s_i", col("_offs") + col("_ls"))
       .withColumn("cusum", col("s_i") * col("n") - col("i") * col("sx"))
       .withColumn("abs_cusum", abs(col("cusum")))
       .groupBy(col("event_type"))

@@ -45,7 +45,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       // per-type stat broadcasts, prefix-slice ranking
       "vec_knn_graph", "text_span_dedup", "corpus_curate", "q_rfm",
       "q_anomaly", "vec_mrl_eval", "mm_scene_change",
-      "q_trace_downsample")
+      "q_trace_downsample",
+      // two-phase cell upgrades: rank/prefix offsets must reproduce
+      // the window semantics on any layout
+      "q_changepoint", "q_ntile", "text_novelty", "text_classifier",
+      "ann_bq", "vec_knn_graph_ann", "q_forecast")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
