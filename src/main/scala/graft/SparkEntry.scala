@@ -165,6 +165,7 @@ object SparkEntry {
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
     "vec_knn_graph_ann" -> ((s, d) => VectorOps.vecKnnGraphAnn(s, d)),
     "vec_mrl_eval" -> ((s, d) => VectorOps.mrlEval(s, d)),
+    "sample_diverse" -> ((s, d) => VectorOps.sampleDiverse(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     // Multimodal binary-column plumbing (graft.multimodal)
     "mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -780,6 +780,57 @@ object VectorOps {
       .orderBy("method")
   }
 
+  /** Cluster-balanced representative sampling — the embedding-side
+    * corpus PRUNING step (SemDeDup/DataComp family): train k-means,
+    * then keep the `perCell` most-representative vectors of every
+    * cell (smallest distance to centroid, id tie-break). Balancing
+    * across cells is the point — a global "closest to any centroid"
+    * top-N collapses onto the densest region, while per-cell quotas
+    * preserve coverage of the embedding space's structure.
+    *
+    * Shape: training is the bounded-driver-state Lloyd fit
+    * ([[kmeansFit]]); assignment + distance are one broadcast-argmin
+    * scan (NearestCell codegen); per-cell selection is the heap top-k
+    * operator keyed by cell. Distances in integer micro-units
+    * (deterministic ranking, no FP-order seams). Rows-only: the
+    * k-means basis is driver-trained, so no SQL oracle — the spec pins
+    * quota exactness, representativeness (selected ≤ every
+    * non-selected distance within the cell), and determinism. */
+  def sampleDiverse(spark: SparkSession, dir: String, k: Int = 8,
+      perCell: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (cent, _) = kmeansFit(spark, dir, k, iters = 6)
+    if (cent.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("vec_id", "cell", "dist_micro", "cell_rank")
+    }
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("cell", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.NearestCell(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), cent))
+        .cast("long"))
+    // exact squared distance to the assigned centroid, micro-quantized:
+    // ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², computed per row against the
+    // broadcast-by-value centroid array
+    val centSqNorm = cent.map(c => c.map(x => x * x).sum)
+    val centCols = cent.indices.map(i => struct(
+      lit(centSqNorm(i)).as("c2"),
+      array(cent(i).map(lit(_)): _*).as("cv")))
+    val withDist = assigned
+      .withColumn("_c", element_at(array(centCols: _*), col("cell").cast("int") + 1))
+      .withColumn("dist_micro", expr(
+        "CAST(floor((vec_dot(e, e) - 2 * vec_dot(e, _c.cv) + _c.c2) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("neg_d", -col("dist_micro"))
+    graft.plans.TopK.perKey(withDist, perCell, Seq("cell"), "neg_d", "vec_id")
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("cell")
+          .orderBy(col("dist_micro"), col("vec_id"))).cast("long"))
+      .select("vec_id", "cell", "dist_micro", "cell_rank")
+      .orderBy("cell", "cell_rank")
+  }
+
   /** Matryoshka (MRL) truncation evaluation: how much top-5 retrieval
     * quality survives when the 64-dim embeddings are truncated to their
     * first 8/16/32 dimensions — the measurement behind the

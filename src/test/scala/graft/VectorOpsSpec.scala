@@ -387,6 +387,43 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("diverse sample: per-cell quotas, representativeness, determinism") {
+    val out = VectorOps.sampleDiverse(spark, sfDir).collect()
+    val out2 = VectorOps.sampleDiverse(spark, sfDir).collect()
+    assert(out.map(_.toString).sameElements(out2.map(_.toString)), "nondeterministic sample")
+    // sequential reference: same Lloyd fit, same assignment/distance math
+    val (cent, _) = VectorOps.kmeansFit(spark, sfDir, 8, 6)
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    // sequential double accumulation, same order as the vec_dot kernel
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def dotFD(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    // NearestCell minimizes ‖x−c‖² via (‖c‖² − 2x·c) + ‖x‖²; replicate
+    // the same scalar sequence so FP ties break identically
+    def cellAndDist(e: Array[Float]): (Int, Long) = {
+      val ds = cent.map(c => dotFF(e, e) - 2 * dotFD(e, c) + c.map(x => x * x).sum)
+      val cell = ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      (cell, math.floor(ds(cell) * 1e6 + 0.5).toLong)
+    }
+    val byCell = vecs.map { case (id, e) => val (c, d) = cellAndDist(e); (c, d, id) }
+      .groupBy(_._1)
+    val gotByCell = out.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (c, members) =>
+      val want = members.map(t => (t._2, t._3)).sorted.take(4).map(_._2).toSeq
+      val got = gotByCell(c.toLong).sortBy(_.getAs[Long]("cell_rank"))
+        .map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == want, s"cell $c selected ${got} but reference picks ${want}")
+    }
+  }
+
   test("binary-quantized ANN: reported cosines agree with brute force exactly") {
     val bf = VectorOps.annBruteForce(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"), col("cos").as("bf_cos"))
