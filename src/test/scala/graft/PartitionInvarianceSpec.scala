@@ -49,7 +49,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       // two-phase cell upgrades: rank/prefix offsets must reproduce
       // the window semantics on any layout
       "q_changepoint", "q_ntile", "text_novelty", "text_classifier",
-      "ann_bq", "vec_knn_graph_ann", "q_forecast")
+      "ann_bq", "vec_knn_graph_ann", "q_forecast", "sample_diverse")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
