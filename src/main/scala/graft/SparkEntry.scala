@@ -203,6 +203,14 @@ object SparkEntry {
     "text_gopher" -> ((s, d) => TextOps.gopherRules(s, d)),
     "corpus_dsir" -> ((s, d) => graft.text.CorpusOps.dsirWeights(s, d)),
     "q_trip_summary" -> ((s, d) => Analytics.tripSummary(s, d)),
+    // Model-eval / data-monitoring (graft.analytics.MlEval)
+    "q_auc" -> ((s, d) => graft.analytics.MlEval.aucScore(s, d)),
+    "q_calibration" -> ((s, d) => graft.analytics.MlEval.calibration(s, d)),
+    "q_drift" -> ((s, d) => graft.analytics.MlEval.drift(s, d)),
+    "vec_knn_classify" -> ((s, d) => VectorOps.knnClassify(s, d)),
+    "vec_outliers" -> ((s, d) => VectorOps.vecOutliers(s, d)),
+    "text_readability" -> ((s, d) => TextOps.readability(s, d)),
+    "text_textrank" -> ((s, d) => graft.text.TextRank.keywords(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2611,5 +2619,161 @@ object SparkEntry {
         |       ORDER BY dot DESC, neighbor_id) AS rank FROM p)
         |SELECT query_id, rank, neighbor_id, dot FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS s
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.s, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |g AS (SELECT s, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |       CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |      FROM lab GROUP BY s),
+        |r AS (SELECT *, COALESCE(SUM(nn) OVER (ORDER BY s
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below FROM g)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        | CAST(SUM(np * nn_below) AS BIGINT) AS wins,
+        | CAST(SUM(np * nn) AS BIGINT) AS ties,
+        | CAST((2 * CAST(SUM(np * nn_below) AS HUGEINT) + SUM(np * nn)) * 1000000
+        |   // (2 * CAST(SUM(np) AS HUGEINT) * SUM(nn)) AS BIGINT) AS auc_ppm
+        |FROM r""".stripMargin,
+
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.doc_id, sc.logit_milli, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |n AS (SELECT COUNT(*) AS n FROM lab),
+        |r AS (SELECT *, row_number() OVER (ORDER BY logit_milli, doc_id) AS i FROM lab)
+        |SELECT CAST((i - 1) * 10 // n.n + 1 AS BIGINT) AS decile,
+        | COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        | MIN(logit_milli) AS min_logit, MAX(logit_milli) AS max_logit,
+        | CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+        |FROM r CROSS JOIN n
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, (day(CAST(ts AS TIMESTAMP)) <= 15) AS in_a,
+        |   CAST(floor(value / 5) AS BIGINT) AS bucket
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |bb AS (SELECT event_type, bucket,
+        |        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |       FROM ev GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+        |        CAST(SUM(cb) AS BIGINT) AS nb
+        |       FROM bb GROUP BY 1)
+        |SELECT bb.event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        | COUNT(*) AS n_buckets,
+        | CAST(SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) * 1000000
+        |   // (2 * CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS tvd_ppm
+        |FROM bb JOIN tt USING (event_type)
+        |GROUP BY bb.event_type ORDER BY event_type""".stripMargin,
+
+    "vec_knn_classify" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, label,
+        |       sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |p AS (SELECT q.vec_id, q.label AS true_label, c.vec_id AS n_id, c.label AS n_label,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM n q JOIN n c ON q.vec_id % 5 = 0 AND c.vec_id % 5 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |       ORDER BY cos DESC, n_id) AS rk FROM p),
+        |votes AS (SELECT vec_id, true_label, n_label, COUNT(*) AS votes
+        |          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY votes DESC, n_label) AS vr FROM votes)
+        |SELECT vec_id, true_label, n_label AS pred_label, votes,
+        | n_label = true_label AS correct
+        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+
+    "vec_outliers" ->
+      """WITH m AS (SELECT vec_id, label,
+        |       list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |e AS (SELECT label, unnest(generate_series(1, len(mv))) AS p, mv FROM m),
+        |cp AS (SELECT label, p, COUNT(*) AS n, SUM(mv[p]) AS s FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, p, CAST((s + n * 10000000) // n - 10000000 AS BIGINT) AS cv FROM cp),
+        |t AS (SELECT vec_id, label, unnest(generate_series(1, len(mv))) AS p, mv FROM m),
+        |d AS (SELECT t.vec_id, t.label, SUM((mv[t.p] - cv) * (mv[t.p] - cv)) AS d2
+        |      FROM t JOIN c ON t.label = c.label AND t.p = c.p GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |       ORDER BY d2 DESC, vec_id) AS rank FROM d)
+        |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, CAST(d2 AS BIGINT) AS d2
+        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+
+    "text_readability" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |       words
+        |      FROM d0 WHERE len(words) > 0),
+        |t AS (SELECT doc_id, n_sentences, unnest(words) AS w FROM d),
+        |s AS (SELECT doc_id, n_sentences,
+        |       CAST(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS BIGINT) AS syl
+        |      FROM t),
+        |g AS (SELECT doc_id, n_sentences, COUNT(*) AS n_words,
+        |       CAST(SUM(syl) AS BIGINT) AS n_syllables
+        |      FROM s GROUP BY 1, 2)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        | CAST((39 * n_words * n_words + 1180 * n_syllables * n_sentences)
+        |   // (n_sentences * n_words) - 1559 AS BIGINT) AS fk_centi
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_textrank" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |w AS (SELECT words FROM d WHERE len(words) > 1),
+        |bp AS (SELECT unnest(generate_series(1, len(words) - 1)) AS i, words FROM w),
+        |e0 AS (SELECT DISTINCT words[i] AS a, words[i + 1] AS b
+        |       FROM bp WHERE words[i] <> words[i + 1]),
+        |edges AS (SELECT src, dst FROM (SELECT a AS src, b AS dst FROM e0
+        |          UNION ALL SELECT b, a FROM e0) GROUP BY src, dst),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, CAST(1000000000000 // n_nodes AS BIGINT) FROM deg, n
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.dst,
+        |    CAST(150000000000 // n.n_nodes
+        |         + SUM((p.rank * 85) // (100 * d.outdeg)) AS BIGINT)
+        |  FROM pr p
+        |  JOIN deg d ON d.src = p.node
+        |  JOIN edges e ON e.src = p.node
+        |  CROSS JOIN n
+        |  WHERE p.iter < 10
+        |  GROUP BY p.iter, e.dst, n.n_nodes
+        |)
+        |SELECT node AS word, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
+        |ORDER BY rank DESC, word LIMIT 30""".stripMargin,
   )
 }

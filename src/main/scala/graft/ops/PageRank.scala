@@ -96,8 +96,15 @@ object PageRank {
   // each. Keep AQE on; the remaining cost is the 10 synchronous
   // stage barriers, inherent to power iteration and amortized at
   // real scale (10× edges costs only 1.6×).
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = symmetricEdges(spark, dir)
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    powerIterate(symmetricEdges(spark, dir)).orderBy("node")
+
+  /** The iteration loop over an arbitrary symmetric (src, dst) edge
+    * list — shared by the trade graph above and TextRank's word
+    * co-occurrence graph (graft.text.TextRank); node ids may be any
+    * orderable type (long trade nodes, string words). Returns
+    * (node, rank) unordered. */
+  private[graft] def powerIterate(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one cached, src-partitioned structure reused by every round
     val adj = edges.join(deg, "src")
@@ -131,6 +138,6 @@ object PageRank {
       if (i % 5 == 0) ranks = ranks.localCheckpoint()
     }
     adj.unpersist(blocking = false)
-    ranks.orderBy("node")
+    ranks
   }
 }

@@ -1066,4 +1066,38 @@ object TextOps {
       .filter(col("n_shared") >= 2)
       .orderBy("a_id", "b_id")
   }
+
+  /** Per-document readability: Flesch-Kincaid grade level as EXACT
+    * integer centi-units — the length/complexity quality gate the
+    * classic C4/Gopher heuristics don't cover (they count and ratio,
+    * they don't model sentence or word complexity). Syllables use the
+    * standard vowel-group proxy (runs of [aeiouy], min 1 per word);
+    * sentences count [.!?]+ runs in the RAW text, min 1. The grade
+    *
+    *   0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * is computed over the common denominator S·W in one integral
+    * division — `(39·W² + 1180·Y·S) div (S·W) − 1559` — so there is
+    * no per-term truncation drift and both engines produce identical
+    * bits (numerator is non-negative: trunc == floor). One explode +
+    * one combinable per-doc aggregate; embarrassingly parallel. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsRepartitioned(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        wordsCol.as("words"))
+      .filter(size(col("words")) > 0)
+    d.select(col("doc_id"), col("n_sentences"), explode(col("words")).as("w"))
+      .select(col("doc_id"), col("n_sentences"),
+        greatest(size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0))),
+          lit(1)).cast("long").as("syl"))
+      .groupBy("doc_id", "n_sentences")
+      .agg(count(lit(1)).as("n_words"), sum("syl").as("n_syllables"))
+      .withColumn("fk_centi", expr(
+        """(39 * n_words * n_words + 1180 * n_syllables * n_sentences)
+          | div (n_sentences * n_words) - 1559""".stripMargin))
+      .select("doc_id", "n_sentences", "n_words", "n_syllables", "fk_centi")
+      .orderBy("doc_id")
+  }
 }

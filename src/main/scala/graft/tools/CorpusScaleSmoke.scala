@@ -95,7 +95,15 @@ object CorpusScaleSmoke {
         // exact knn graph carries its documented Θ(n²) contract (the
         // corpus path swaps in IVF/LSH candidates)
         "text_span_dedup", "text_classifier", "corpus_curate",
-        "ann_bq", "vec_mrl_eval", "mm_scene_change")) {
+        "ann_bq", "vec_mrl_eval", "mm_scene_change",
+        // ml-eval batch: AUC/calibration ride the classifier scan +
+        // bounded distinct-score tables; readability is a per-row
+        // scan; textrank's graph is vocabulary-bounded (word-salting
+        // multiplies the vocab — linear in vocab is the signal);
+        // outliers broadcast labels×dim centroids; the knn classifier
+        // carries the documented exact-product contract
+        "q_auc", "q_calibration", "text_readability", "text_textrank",
+        "vec_outliers", "vec_knn_classify")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

@@ -101,7 +101,11 @@ object ScaleSmoke {
         // broadcasts), naive backtest (day-shifted self-join), bounded
         // heat grid, endpoint-preserving decimation, two-phase RFM
         "q_anomaly", "q_forecast", "q_heatmap", "q_trace_downsample",
-        "q_rfm")) {
+        "q_rfm",
+        // ml-eval batch: TVD drift is one (type, bucket) aggregate +
+        // broadcast totals — the histogram table stays bounded while
+        // events replicate
+        "q_drift")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

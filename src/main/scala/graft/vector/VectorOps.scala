@@ -1306,4 +1306,104 @@ object VectorOps {
     }.toDF("i", "j", "n_vecs", "sum_micro2")
       .orderBy("i", "j")
   }
+
+  /** Embedding-space outlier detection — the curation step that prunes
+    * mislabeled / out-of-distribution vectors before they poison a
+    * training mix: the 5 vectors farthest from their label centroid,
+    * per label, by exact squared distance in integer micro-units.
+    *
+    * Exactness: coordinates quantize to micro ints
+    * (floor(x·1e6+0.5), engine-independent); the centroid quantizes
+    * ONCE per (label, pos) as `sum_micro div n` (integral division),
+    * so the distance Σ(x_micro − c_micro)² is pure BIGINT arithmetic —
+    * order-independent, oracle-reproducible. 64 dims × (2·10⁶)² ≈
+    * 2.6·10¹⁴ per vector: no overflow headroom issues.
+    *
+    * Scale shape: the (label, pos) sum is one map-side-combinable
+    * aggregate bounded by |labels|·dim; centroid ARRAYS ride a
+    * broadcast join back (corpus-constant build side — labels×dim,
+    * never corpus-sized); the per-row distance is one codegen'd
+    * zip_with/aggregate over the joined arrays (no explode of the
+    * corpus, no second shuffle); the top-5-per-label tail is the heap
+    * operator. The corpus is scanned twice and shuffled never. */
+  def vecOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val micro = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+    val cent = micro
+      .select(col("label"), posexplode(col("m")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      // coordinate sums go negative; Spark `div` truncates where
+      // DuckDB `//` floors, so shift into the non-negative domain
+      // (coords are unit-scale ≪ 10, so s ≥ −n·10⁷ always) where the
+      // two conventions coincide
+      .withColumn("c", expr("(s + n * 10000000) div n - 10000000"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cvec"))
+    val d2 = micro.join(broadcast(cent), Seq("label"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(m, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .select(col("label"), col("vec_id"), col("d2"))
+    graft.plans.TopK.perKey(d2, k, Seq("label"), "d2", "vec_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("d2").desc, col("vec_id"))).cast("long"))
+      .select("label", "rank", "vec_id", "d2")
+      .orderBy("label", "rank")
+  }
+
+  /** k-NN label classifier with exact neighbors — the label-propagation
+    * / auto-labeling primitive of a curation pipeline (classify
+    * unlabeled documents from their embedding neighborhoods): a
+    * deterministic holdout (vec_id % 5 = 0) plays the unlabeled set,
+    * every held-out vector takes the majority label of its k=5 nearest
+    * labeled neighbors by cosine (tie → smaller label id), and the
+    * output carries truth for accuracy audits downstream.
+    *
+    * Shape: the labeled side hash-blocks once; each held-out vector
+    * replicates across the `blocks` block ids (bounded constant
+    * fan-out), so the candidate product is block-partitioned test×train
+    * — P bounded tasks, no broadcast of a data-scaled side, same
+    * contract as `vecKnnGraph`'s exact tier. Top-k rides the heap
+    * operator (no per-query sort); the vote argmax is ONE aggregate
+    * (lexicographic max over (votes, −label) structs), not a second
+    * window. Exactness tier is the documented contract — the corpus-
+    * scale swap keeps the vote/argmax tail and feeds it IVF/LSH
+    * candidates instead (see vecKnnGraphAnn). Cosines round to 6
+    * digits BEFORE ranking so both engines rank identical values. */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5,
+      blocks: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val par = spark.sparkContext.defaultParallelism
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0) // zero-norm: no direction (NaN cos)
+    val test = base.filter(col("vec_id") % 5 === 0)
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .select(col("blk"), col("vec_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+      .repartition(par, col("blk"))
+    val train = base.filter(col("vec_id") % 5 =!= 0)
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+      .select(col("blk"), col("vec_id").as("n_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("label").as("n_label"))
+      .repartition(par, col("blk"))
+    val scored = test.join(train, Seq("blk"))
+      .select(col("vec_id"), col("true_label"), col("n_id"), col("n_label"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    graft.plans.TopK.perKey(scored, k, Seq("vec_id"), "cos", "n_id")
+      .groupBy("vec_id", "true_label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("vec_id", "true_label")
+      .agg(max(struct(col("votes"), (-col("n_label")).as("neg_label"),
+        col("n_label"))).as("best"))
+      .select(col("vec_id"), col("true_label"),
+        col("best.n_label").as("pred_label"), col("best.votes").as("votes"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy("vec_id")
+  }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.MlEval
+import graft.text.{TextOps, TextRank}
+import graft.vector.VectorOps
+
+/** Specs for the model-eval / monitoring batch: every operator is
+  * pinned against an in-memory brute-force twin computed from the same
+  * tables — the O(n²)/sequential reference the distributed plan must
+  * reproduce bit-for-bit (all outputs are integer-exact by design). */
+class MlEvalSpec extends SparkSpec {
+
+  private def scoresAndLabels(): Seq[(Long, Boolean)] = {
+    val scores = TextOps.qualityClassifier(spark, sfDir)
+      .select("doc_id", "logit_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+    scores.toSeq.map { case (id, s) => s -> langs(id) }
+  }
+
+  test("q_auc equals the O(n²) pairwise Mann-Whitney AUC") {
+    val sl = scoresAndLabels()
+    val pos = sl.filter(_._2).map(_._1); val neg = sl.filterNot(_._2).map(_._1)
+    var wins = 0L; var ties = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) wins += 1 else if (p == n) ties += 1
+    }
+    val expPpm = (BigInt(2) * wins + ties) * 1000000 /
+      (BigInt(2) * pos.size * neg.size)
+    val row = MlEval.aucScore(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_pos") == pos.size.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.size.toLong)
+    assert(row.getAs[Long]("wins") == wins)
+    assert(row.getAs[Long]("ties") == ties)
+    assert(row.getAs[Long]("auc_ppm") == expPpm.toLong)
+    // a score with any signal should beat coin-flip floor sanity
+    assert(row.getAs[Long]("auc_ppm") >= 0 && row.getAs[Long]("auc_ppm") <= 1000000)
+  }
+
+  test("q_calibration deciles partition the corpus with the closed-form cut") {
+    val rows = MlEval.calibration(spark, sfDir).collect()
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    // the explicit formula (i-1)*10 div n + 1 puts either ⌊n/10⌋ or
+    // ⌈n/10⌉ rows in every decile
+    val lo = total / 10; val hi = lo + (if (total % 10 == 0) 0 else 1)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      assert(nd == lo || nd == hi, s"decile size $nd outside [$lo,$hi]")
+      assert(r.getAs[Long]("n_pos") <= nd)
+      assert(r.getAs[Long]("pos_ppm") == r.getAs[Long]("n_pos") * 1000000 / nd)
+      assert(r.getAs[Long]("min_logit") <= r.getAs[Long]("max_logit"))
+    }
+    // deciles are ordered by score: min of decile d ≥ max of d-1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("min_logit") >= a.getAs[Long]("max_logit") - 0)
+    }
+  }
+
+  test("q_drift equals the brute-force TVD over value buckets") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), dayofmonth(col("ts")).as("dom"),
+        floor(col("value") / 5).cast("long").as("b")).collect()
+    val types = ev.map(_.getString(0)).distinct.sorted
+    val exp = types.map { t =>
+      val rows = ev.filter(_.getString(0) == t)
+      val a = rows.filter(_.getAs[Int]("dom") <= 15).map(_.getAs[Long]("b"))
+      val b = rows.filter(_.getAs[Int]("dom") > 15).map(_.getAs[Long]("b"))
+      val buckets = (a ++ b).distinct
+      val na = a.size.toLong; val nb = b.size.toLong
+      val num = buckets.map { k =>
+        (BigInt(a.count(_ == k)) * nb - BigInt(b.count(_ == k)) * na).abs
+      }.sum
+      (t, na, nb, buckets.size.toLong, (num * 1000000 / (BigInt(2) * na * nb)).toLong)
+    }
+    val got = MlEval.drift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("vec_knn_classify equals brute-force exact kNN + majority vote") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .filter { case (_, e, _) => math.sqrt(e.map(x => x.toDouble * x).sum) > 0 }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val train = vecs.filter(_._1 % 5 != 0); val test = vecs.filter(_._1 % 5 == 0)
+    val exp = test.sortBy(_._1).map { case (qid, qe, ql) =>
+      val top = train.map { case (cid, ce, cl) => (cos(qe, ce), cid, cl) }
+        .sortBy { case (c, cid, _) => (-c, cid) }.take(5)
+      val votes = top.groupBy(_._3).toSeq.map { case (l, g) => (g.size, l) }
+      val (v, pred) = votes.sortBy { case (n, l) => (-n, l) }.head
+      (qid, ql, pred, v.toLong, pred == ql)
+    }
+    val got = VectorOps.knnClassify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("vec_outliers equals brute-force centroid distances") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def micro(e: Array[Float]): Array[Long] =
+      e.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val byLabel = vecs.groupBy(_._3)
+    val exp = byLabel.toSeq.sortBy(_._1).flatMap { case (l, g) =>
+      val ms = g.map { case (id, e, _) => (id, micro(e)) }
+      val dim = ms.head._2.length
+      val cent = (0 until dim).map { p =>
+        // non-negative-shifted floor division, matching the operator
+        (ms.map(_._2(p)).sum + ms.size * 10000000L) / ms.size - 10000000L
+      }
+      val d2 = ms.map { case (id, m) =>
+        (id, (0 until dim).map { p => val d = m(p) - cent(p); d * d }.sum)
+      }
+      d2.sortBy { case (id, d) => (-d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (l, (i + 1).toLong, id, d) }
+    }
+    val got = VectorOps.vecOutliers(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+  }
+
+  test("text_readability equals the sequential FK computation") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val words = text.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+      if (words.isEmpty) None else {
+        val sents = math.max("[.!?]+".r.findAllIn(text).size, 1).toLong
+        val syl = words.map(w => math.max("[aeiouy]+".r.findAllIn(w).size, 1).toLong).sum
+        val nw = words.length.toLong
+        val fk = (39 * nw * nw + 1180 * syl * sents) / (sents * nw) - 1559
+        Some((id, sents, nw, syl, fk))
+      }
+    }
+    val got = TextOps.readability(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("text_textrank equals the sequential integer power iteration") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val edges = scala.collection.mutable.Set[(String, String)]()
+    docs.foreach { t =>
+      val ws = t.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+      ws.sliding(2).foreach {
+        case Array(a, b) if a != b => edges += ((a, b)); edges += ((b, a))
+        case _ =>
+      }
+    }
+    val adj = edges.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val n = adj.size
+    val M = 1000000000000L; val tele = (M * 15 / 100) / n
+    var rank = adj.keys.map(_ -> M / n).toMap
+    for (_ <- 1 to 10) {
+      val nxt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((a, nbrs) <- adj) {
+        val c = (rank(a) * 85) / (100 * nbrs.size)
+        nbrs.foreach(b => nxt(b) += c)
+      }
+      rank = nxt.map { case (k, v) => k -> (v + tele) }.toMap
+    }
+    val exp = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(30)
+    val got = TextRank.keywords(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exp)
+  }
+}

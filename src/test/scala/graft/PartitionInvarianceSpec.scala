@@ -49,7 +49,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       // two-phase cell upgrades: rank/prefix offsets must reproduce
       // the window semantics on any layout
       "q_changepoint", "q_ntile", "text_novelty", "text_classifier",
-      "ann_bq", "vec_knn_graph_ann", "q_forecast", "sample_diverse")
+      "ann_bq", "vec_knn_graph_ann", "q_forecast", "sample_diverse",
+      // ml-eval batch: two-phase prefix sums (AUC), two-phase decile
+      // ranks, blocked kNN product + vote argmax, iterative word-graph
+      // ranking
+      "q_auc", "q_calibration", "vec_knn_classify", "text_textrank",
+      "vec_outliers")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
