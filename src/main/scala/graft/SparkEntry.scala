@@ -210,6 +210,8 @@ object SparkEntry {
     "vec_knn_classify" -> ((s, d) => VectorOps.knnClassify(s, d)),
     "vec_outliers" -> ((s, d) => VectorOps.vecOutliers(s, d)),
     "text_readability" -> ((s, d) => TextOps.readability(s, d)),
+    "dedup_sweep" -> ((s, d) => TextOps.dedupSweep(s, d)),
+    "text_filter_cascade" -> ((s, d) => TextOps.filterCascade(s, d)),
     "text_textrank" -> ((s, d) => graft.text.TextRank.keywords(s, d)),
   )
 
@@ -2745,6 +2747,58 @@ object SparkEntry {
         | CAST((39 * n_words * n_words + 1180 * n_syllables * n_sentences)
         |   // (n_sentences * n_words) - 1559 AS BIGINT) AS fk_centi
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_sweep" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |j AS (SELECT inter * 1000000 // (a_n + b_n - inter) AS j_ppm FROM p),
+        |t AS (SELECT i * 100000 AS thr_ppm FROM generate_series(3, 9) AS g(i))
+        |SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm,
+        | CAST(COALESCE((SELECT COUNT(*) FROM j WHERE j_ppm >= thr_ppm), 0) AS BIGINT) AS n_pairs
+        |FROM t ORDER BY thr_ppm""".stripMargin,
+
+    "text_filter_cascade" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |st AS (SELECT doc_id,
+        |        CAST(len(words) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS chars,
+        |        CAST(len(list_filter(words, w -> w IN ('the', 'a'))) AS BIGINT) AS stopword_hits
+        |       FROM d),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |cls AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |        FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |f AS (SELECT st.doc_id, n_words,
+        |       CASE WHEN n_words = 0 THEN NULL ELSE (100 * chars) // n_words END AS mwl_centi,
+        |       stopword_hits, logit_milli
+        |      FROM st LEFT JOIN cls ON st.doc_id = cls.doc_id),
+        |r AS (SELECT *,
+        |       CASE
+        |        WHEN n_words < 10 OR n_words > 5000 THEN 'word_count'
+        |        WHEN mwl_centi < 200 OR mwl_centi > 1200 THEN 'word_length'
+        |        WHEN stopword_hits < 1 THEN 'stopword'
+        |        WHEN logit_milli IS NULL OR logit_milli <= -500 THEN 'classifier'
+        |        ELSE NULL END AS first_fail
+        |      FROM f)
+        |SELECT doc_id, n_words, mwl_centi, stopword_hits, logit_milli,
+        | first_fail, first_fail IS NULL AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_textrank" ->
       """WITH RECURSIVE

@@ -1067,6 +1067,76 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Dedup threshold-sensitivity sweep: pair counts at every Jaccard
+    * cut from 0.30 to 0.90 in one pass over the inverted-index join —
+    * the tuning report run before committing a corpus to a threshold
+    * (how many pairs does 0.8 vs 0.7 actually cost?). Exact integer
+    * ppm Jaccard (`inter·10⁶ div union` — no FP rank boundary), one
+    * pair computation, a bounded 7-row threshold explode on the
+    * already-aggregated pair table (never on the index), and a spine
+    * left-join so empty cuts report 0 instead of vanishing. Same scale
+    * shape as `jaccardPairs`; the df-capped shingle variant is the
+    * 100 TB swap, unchanged. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+    val a = ex.toDF("a_id", "a_n", "sh")
+    val b = ex.toDF("b_id", "b_n", "sh")
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j_ppm", expr("inter * 1000000 div (a_n + b_n - inter)"))
+      .filter(col("j_ppm") >= 300000L)
+    val counts = pairs
+      .select(explode(expr("sequence(300000L, 900000L, 100000L)")).as("thr_ppm"),
+        col("j_ppm"))
+      .filter(col("j_ppm") >= col("thr_ppm"))
+      .groupBy("thr_ppm").agg(count(lit(1)).as("n_pairs"))
+    spark.range(3, 10).select((col("id") * 100000L).as("thr_ppm"))
+      .join(counts, Seq("thr_ppm"), "left")
+      .select(col("thr_ppm"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("thr_ppm")
+  }
+
+  /** Quality-filter CASCADE with per-rule attribution: the composed
+    * keep/drop decision every curation pipeline actually ships (vs the
+    * single-signal reports of `gopherRules`/`c4Filter`/
+    * `qualityClassifier`), answering the operational question those
+    * can't: WHICH rule killed each document. Rules evaluate in fixed
+    * order — word-count bounds, mean-word-length bounds (exact
+    * centi-units), stopword presence, classifier logit floor — and
+    * `first_fail` carries the first violation (NULL = keep), so rule
+    * costs are attributable and reorderable. One token scan computes
+    * the length stats; the classifier join reuses the broadcast-scored
+    * logit scan; everything per-row after that. */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val stats = docsRepartitioned(spark, dir)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("chars"),
+        size(filter(col("ws"), w => w.isin("the", "a"))).cast("long")
+          .as("stopword_hits"))
+      .withColumn("mwl_centi",
+        expr("CASE WHEN n_words = 0 THEN NULL ELSE (100 * chars) div n_words END"))
+    stats.join(qualityClassifier(spark, dir).select("doc_id", "logit_milli"),
+        Seq("doc_id"), "left")
+      .withColumn("first_fail", expr(
+        """CASE
+          | WHEN n_words < 10 OR n_words > 5000 THEN 'word_count'
+          | WHEN mwl_centi < 200 OR mwl_centi > 1200 THEN 'word_length'
+          | WHEN stopword_hits < 1 THEN 'stopword'
+          | WHEN logit_milli IS NULL OR logit_milli <= -500 THEN 'classifier'
+          | ELSE NULL END""".stripMargin))
+      .withColumn("keep", col("first_fail").isNull)
+      .select("doc_id", "n_words", "mwl_centi", "stopword_hits",
+        "logit_milli", "first_fail", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Per-document readability: Flesch-Kincaid grade level as EXACT
     * integer centi-units — the length/complexity quality gate the
     * classic C4/Gopher heuristics don't cover (they count and ratio,

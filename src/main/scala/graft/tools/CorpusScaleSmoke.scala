@@ -103,7 +103,11 @@ object CorpusScaleSmoke {
         // outliers broadcast labels×dim centroids; the knn classifier
         // carries the documented exact-product contract
         "q_auc", "q_calibration", "text_readability", "text_textrank",
-        "vec_outliers", "vec_knn_classify")) {
+        "vec_outliers", "vec_knn_classify",
+        // the sweep rides the same inverted-index join as the jaccard
+        // pair family; the cascade is a token scan + the classifier's
+        // broadcast-scored join
+        "dedup_sweep", "text_filter_cascade")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

@@ -152,6 +152,58 @@ class MlEvalSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("dedup_sweep equals brute-force pair counts and is monotone") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val ppms = for {
+      i <- shingles.indices; j <- (i + 1) until shingles.length
+      inter = (shingles(i)._2 & shingles(j)._2).size if inter > 0
+    } yield inter.toLong * 1000000L / (shingles(i)._2.size + shingles(j)._2.size - inter)
+    val exp = (3L to 9L).map(k => (k * 100000L, ppms.count(_ >= k * 100000L).toLong))
+    val got = graft.text.TextOps.dedupSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == exp)
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse,
+      "pair counts must be non-increasing in the threshold")
+  }
+
+  test("text_filter_cascade equals the sequential rule evaluation") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5bucket(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    val exp = docs.sortBy(_._1).map { case (id, t) =>
+      val ws = t.toLowerCase.replaceAll("[^a-z ]", "").split(" ").filter(_.nonEmpty)
+      val nw = ws.length.toLong
+      val chars = ws.map(_.length.toLong).sum
+      val mwl: Option[Long] = if (nw == 0) None else Some(100 * chars / nw)
+      val stop = ws.count(w => w == "the" || w == "a").toLong
+      val logit: Option[Long] = if (nw == 0) None
+        else Some(ws.map(w => (md5bucket(w) * 2654435761L) % 2001L - 1000L).sum)
+      val fail: Option[String] =
+        if (nw < 10 || nw > 5000) Some("word_count")
+        else if (mwl.exists(m => m < 200 || m > 1200)) Some("word_length")
+        else if (stop < 1) Some("stopword")
+        else if (logit.forall(_ <= -500)) Some("classifier")
+        else None
+      (id, nw, mwl, stop, logit, fail, fail.isEmpty)
+    }
+    val got = graft.text.TextOps.filterCascade(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getAs[String]("first_fail")), r.getBoolean(6)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("text_textrank equals the sequential integer power iteration") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))

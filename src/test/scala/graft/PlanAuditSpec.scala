@@ -273,4 +273,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"per-type stat tables lost their broadcast:\n${plan.take(1500)}")
   }
+
+  test("auc running count rides bucket-partitioned windows, not one global sort") {
+    val plan = executed(graft.analytics.MlEval.aucScore(spark, sfDir))
+    // the in-cell prefix window must be partitioned by the score cell;
+    // the only unpartitioned window is the bounded per-cell offset table
+    assert(plan.contains("windowspecdefinition(_c"),
+      s"auc prefix window lost its cell partitioning:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"auc cell offsets lost their broadcast:\n${plan.take(1500)}")
+  }
+
+  test("drift broadcasts per-type totals back over the bounded histogram") {
+    val plan = executed(graft.analytics.MlEval.drift(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"),
+      s"drift totals lost their broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"drift histogram join fell back to SMJ:\n${plan.take(1500)}")
+  }
+
+  test("outlier distances ride a broadcast centroid join and the heap top-k") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // forced broadcast of the labels×dim centroid arrays must
+      // survive auto-broadcast off (it is corpus-constant by design)
+      val plan = executed(graft.vector.VectorOps.vecOutliers(spark, sfDir))
+      assert(plan.contains("BroadcastExchange"),
+        s"centroid arrays lost their forced broadcast:\n${plan.take(1500)}")
+      assert(plan.contains("TopKPerKey"),
+        s"outlier ranking lost the heap top-k operator:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("knn classifier blocked product forces no data-scaled broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(graft.vector.VectorOps.knnClassify(spark, sfDir))
+      assert(!plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+        s"test×train product forces a data-scaled broadcast/product:\n${plan.take(1500)}")
+      assert(plan.contains("TopKPerKey"),
+        s"neighbor ranking lost the heap top-k operator:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
