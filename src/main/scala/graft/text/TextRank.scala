@@ -35,9 +35,15 @@ object TextRank {
           | (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    // dedup BEFORE doubling: normalize to unordered pairs so the one
+    // distinct runs over bigram occurrences (with map-side partials),
+    // not twice that; both directions then append shuffle-free —
+    // disjoint by construction since a ≠ b
+    val und = e0.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
       .distinct()
+    val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
     graft.ops.PageRank.powerIterate(edges)
       .select(col("node").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word"))
