@@ -211,6 +211,7 @@ object SparkEntry {
     "vec_outliers" -> ((s, d) => VectorOps.vecOutliers(s, d)),
     "text_readability" -> ((s, d) => TextOps.readability(s, d)),
     "dedup_sweep" -> ((s, d) => TextOps.dedupSweep(s, d)),
+    "q_spatial_join" -> ((s, d) => graft.ops.SpatialJoin.spatialNeighbors(s, d)),
     "text_filter_cascade" -> ((s, d) => TextOps.filterCascade(s, d)),
     "text_textrank" -> ((s, d) => graft.text.TextRank.keywords(s, d)),
   )
@@ -2747,6 +2748,28 @@ object SparkEntry {
         | CAST((39 * n_words * n_words + 1180 * n_syllables * n_sentences)
         |   // (n_sentences * n_words) - 1559 AS BIGINT) AS fk_centi
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_spatial_join" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
+        |   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 100 AS yc
+        |  FROM events WHERE value IS NOT NULL),
+        |p2 AS (SELECT * FROM p WHERE yc IS NOT NULL),
+        |h AS (SELECT *, xc // 200 AS cx, yc // 200 AS cy FROM p2),
+        |probe AS (SELECT event_id AS a_id, xc AS ax, yc AS ay,
+        |           cx + dx.i AS ncx, cy + dy.i AS ncy
+        |          FROM h, generate_series(-1, 1) AS dx(i), generate_series(-1, 1) AS dy(i)),
+        |cand AS (SELECT a_id, COUNT(*) AS n_neighbors,
+        |          MIN((ax - bx) * (ax - bx) + (ay - byc) * (ay - byc)) AS d2_min
+        |         FROM probe JOIN (SELECT event_id AS b_id, xc AS bx, yc AS byc,
+        |                cx AS ncx, cy AS ncy FROM h) b USING (ncx, ncy)
+        |         WHERE a_id <> b_id
+        |          AND (ax - bx) * (ax - bx) + (ay - byc) * (ay - byc) <= 40000
+        |         GROUP BY a_id)
+        |SELECT p2.event_id, CAST(COALESCE(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+        | CAST(d2_min AS BIGINT) AS d2_min
+        |FROM p2 LEFT JOIN cand ON p2.event_id = cand.a_id
+        |ORDER BY event_id""".stripMargin,
 
     "dedup_sweep" ->
       """WITH w AS (

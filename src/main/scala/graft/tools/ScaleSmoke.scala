@@ -105,7 +105,11 @@ object ScaleSmoke {
         // ml-eval batch: TVD drift is one (type, bucket) aggregate +
         // broadcast totals — the histogram table stays bounded while
         // events replicate
-        "q_drift")) {
+        "q_drift",
+        // grid spatial self-join: candidate work is Σ cell products —
+        // replicated events densify the plane, the quadratic-in-density
+        // regime the cell decomposition is supposed to localize
+        "q_spatial_join")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

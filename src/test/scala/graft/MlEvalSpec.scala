@@ -204,6 +204,28 @@ class MlEvalSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("q_spatial_join equals the O(n²) brute-force distance join") {
+    val pts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("xc"),
+        (get_json_object(col("props"), "$.k").cast("long") * 100).as("yc"))
+      .filter(col("yc").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val R2 = 200L * 200L
+    val exp = pts.sortBy(_._1).map { case (id, x, y) =>
+      val ds = pts.filter(_._1 != id)
+        .map { case (_, bx, by) => (x - bx) * (x - bx) + (y - by) * (y - by) }
+        .filter(_ <= R2)
+      (id, ds.length.toLong, if (ds.isEmpty) None else Some(ds.min))
+    }
+    val got = graft.ops.SpatialJoin.spatialNeighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == exp.toSeq)
+    // the grid actually found neighbors (non-degenerate input)
+    assert(got.exists(_._2 > 0))
+  }
+
   test("text_textrank equals the sequential integer power iteration") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))

@@ -54,7 +54,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       // ranks, blocked kNN product + vote argmax, iterative word-graph
       // ranking
       "q_auc", "q_calibration", "vec_knn_classify", "text_textrank",
-      "vec_outliers", "dedup_sweep", "text_filter_cascade")
+      "vec_outliers", "dedup_sweep", "text_filter_cascade",
+      "q_spatial_join")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
