@@ -214,6 +214,12 @@ object SparkEntry {
     "q_spatial_join" -> ((s, d) => graft.ops.SpatialJoin.spatialNeighbors(s, d)),
     "text_filter_cascade" -> ((s, d) => TextOps.filterCascade(s, d)),
     "text_textrank" -> ((s, d) => graft.text.TextRank.keywords(s, d)),
+    "q_pr_auc" -> ((s, d) => graft.analytics.MlEval.prAuc(s, d)),
+    "q_ks_stat" -> ((s, d) => graft.analytics.MlEval.ksStat(s, d)),
+    "q_gains" -> ((s, d) => graft.analytics.MlEval.gains(s, d)),
+    "q_confusion" -> ((s, d) => graft.analytics.MlEval.confusion(s, d)),
+    "q_link_predict" -> ((s, d) => graft.ops.LinkPredict.linkPredict(s, d)),
+    "vec_cluster_eval" -> ((s, d) => VectorOps.clusterEval(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -2852,5 +2858,163 @@ object SparkEntry {
         |)
         |SELECT node AS word, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10
         |ORDER BY rank DESC, word LIMIT 30""".stripMargin,
+
+    "q_pr_auc" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.doc_id, sc.logit_milli, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY logit_milli DESC, doc_id) AS rank,
+        |       SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) OVER (ORDER BY logit_milli DESC, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM lab),
+        |n AS (SELECT COUNT(*) AS n_docs FROM lab)
+        |SELECT n.n_docs, COUNT(*) AS n_pos,
+        | CAST(SUM(CAST(cum_pos AS HUGEINT) * 1000000 // rank) // COUNT(*) AS BIGINT) AS ap_ppm
+        |FROM r CROSS JOIN n WHERE is_pos GROUP BY n.n_docs""".stripMargin,
+
+    "q_ks_stat" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS s
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.s, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |g AS (SELECT s, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |       CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |      FROM lab GROUP BY s),
+        |r AS (SELECT s,
+        |       SUM(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |       SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |      FROM g),
+        |tt AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg FROM g),
+        |dd AS (SELECT s, abs(CAST(cp AS HUGEINT) * tt.n_neg - CAST(cn AS HUGEINT) * tt.n_pos) AS dn,
+        |        tt.n_pos, tt.n_neg FROM r CROSS JOIN tt)
+        |SELECT n_pos, n_neg,
+        | CAST(dn * 1000000 // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS ks_ppm,
+        | s AS at_logit
+        |FROM dd ORDER BY dn DESC, s LIMIT 1""".stripMargin,
+
+    "q_gains" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.doc_id, sc.logit_milli, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |n AS (SELECT COUNT(*) AS n FROM lab),
+        |r AS (SELECT *, row_number() OVER (ORDER BY logit_milli DESC, doc_id) AS i FROM lab),
+        |g AS (SELECT CAST((i - 1) * 10 // n.n + 1 AS BIGINT) AS decile,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       MAX(n.n) AS n_all
+        |      FROM r CROSS JOIN n GROUP BY 1),
+        |c AS (SELECT *,
+        |       SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |       SUM(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+        |       SUM(n_pos) OVER () AS tot_pos FROM g)
+        |SELECT decile, n_docs, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+        | CAST(CAST(cum_pos AS HUGEINT) * 1000000 // tot_pos AS BIGINT) AS gain_ppm,
+        | CAST(CAST(cum_pos AS HUGEINT) * n_all * 1000000
+        |   // (CAST(cum_docs AS HUGEINT) * tot_pos) AS BIGINT) AS lift_ppm
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q_confusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.logit_milli, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |m AS (SELECT
+        |  CAST(SUM(CASE WHEN is_pos AND logit_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN NOT is_pos AND logit_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN is_pos AND logit_milli <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN NOT is_pos AND logit_milli <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        | FROM lab)
+        |SELECT tp, fp, fn, tn,
+        | CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+        | CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+        | CAST(CAST(2 AS HUGEINT) * tp * 1000000
+        |   // (CAST(2 AS HUGEINT) * tp + fp + fn) AS BIGINT) AS f1_ppm,
+        | CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_ppm
+        |FROM m""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS a, b.pk AS b
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |ctr AS (SELECT node, deg FROM deg WHERE deg BETWEEN 2 AND 64),
+        |w AS (SELECT x.dst AS u, y.dst AS v, ctr.deg AS degz
+        |      FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+        |      JOIN ctr ON ctr.node = x.src),
+        |sc AS (SELECT u, v, COUNT(*) AS common_neighbors,
+        |        CAST(SUM(1000000 // degz) AS BIGINT) AS ra_ppm
+        |       FROM w GROUP BY 1, 2),
+        |cand AS (SELECT sc.* FROM sc LEFT JOIN e0 ON sc.u = e0.a AND sc.v = e0.b
+        |         WHERE e0.a IS NULL)
+        |SELECT u AS part_u, v AS part_v, common_neighbors, ra_ppm
+        |FROM cand ORDER BY ra_ppm DESC, common_neighbors DESC, u, v LIMIT 50""".stripMargin,
+
+    "vec_cluster_eval" ->
+      """WITH m AS (SELECT vec_id, label,
+        |       list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |e AS (SELECT label, unnest(generate_series(1, len(mv))) AS p, mv FROM m),
+        |cp AS (SELECT label, p, COUNT(*) AS n, SUM(mv[p]) AS s FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, p, CAST((s + n * 10000000) // n - 10000000 AS BIGINT) AS cv FROM cp),
+        |t AS (SELECT vec_id, label, unnest(generate_series(1, len(mv))) AS p, mv FROM m),
+        |d AS (SELECT t.vec_id, t.label, SUM((mv[t.p] - cv) * (mv[t.p] - cv)) AS d2
+        |      FROM t JOIN c ON t.label = c.label AND t.p = c.p GROUP BY 1, 2),
+        |coh AS (SELECT label, COUNT(*) AS n_vecs,
+        |         CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_d2
+        |        FROM d GROUP BY 1),
+        |cd AS (SELECT a.label AS label, b.label AS lb,
+        |        CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS cd2
+        |       FROM c a JOIN c b ON a.p = b.p AND a.label <> b.label GROUP BY 1, 2),
+        |sep AS (SELECT label, lb AS nearest_label, cd2 AS sep_d2,
+        |         row_number() OVER (PARTITION BY label ORDER BY cd2, lb) AS rn FROM cd)
+        |SELECT coh.label, coh.n_vecs, coh.mean_d2, sep.nearest_label, sep.sep_d2,
+        | CAST(CAST(coh.mean_d2 AS HUGEINT) * 1000000 // sep.sep_d2 AS BIGINT) AS cohesion_ppm
+        |FROM coh LEFT JOIN sep ON coh.label = sep.label AND sep.rn = 1
+        |ORDER BY coh.label""".stripMargin,
   )
 }

@@ -1355,6 +1355,58 @@ object VectorOps {
       .orderBy("label", "rank")
   }
 
+  /** Cluster-quality report per label: cohesion (mean squared distance
+    * to the own-label centroid) against separation (squared distance
+    * to the nearest OTHER centroid) — the Davies-Bouldin-style check
+    * run after any clustering/labeling pass before the labels are
+    * trusted downstream (a label whose cohesion_ppm ≫ 10⁶ overlaps its
+    * neighbor and is not a cluster). Same micro-int/shifted-floor
+    * centroid contract as `vecOutliers`, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: centroids come from one (label, pos) combinable
+    * aggregate (bounded |labels|·dim); the per-row distance rides a
+    * broadcast of that corpus-constant table and folds straight into a
+    * per-label aggregate (sum widened to DECIMAL(38,0) — d2 is ~2.6e16
+    * per row, the BIGINT sum dies at ~350 rows); the centroid-pair
+    * scan is |labels|² on the bounded table. The corpus is scanned
+    * twice and shuffled never. */
+  def clusterEval(spark: SparkSession, dir: String): DataFrame = {
+    val micro = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+    val cent = micro
+      .select(col("label"), posexplode(col("m")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .withColumn("c", expr("(s + n * 10000000) div n - 10000000"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cvec"))
+    val coh = micro.join(broadcast(cent), Seq("label"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(m, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(SUM(CAST(d2 AS DECIMAL(38,0))) div COUNT(1) AS BIGINT)")
+          .as("mean_d2"))
+    val sep = cent.toDF("label", "ca").crossJoin(cent.toDF("lb", "cb"))
+      .filter(col("label") =!= col("lb"))
+      .withColumn("cd2", expr(
+        "aggregate(zip_with(ca, cb, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy("label")
+      .agg(min(struct(col("cd2"), col("lb"))).as("m"))
+      .select(col("label"), col("m.lb").as("nearest_label"),
+        col("m.cd2").as("sep_d2"))
+    coh.join(sep, Seq("label"), "left")
+      .withColumn("cohesion_ppm", expr(
+        "CAST(CAST(mean_d2 AS DECIMAL(38,0)) * 1000000 div sep_d2 AS BIGINT)"))
+      .select("label", "n_vecs", "mean_d2", "nearest_label", "sep_d2",
+        "cohesion_ppm")
+      .orderBy("label")
+  }
+
   /** k-NN label classifier with exact neighbors — the label-propagation
     * / auto-labeling primitive of a curation pipeline (classify
     * unlabeled documents from their embedding neighborhoods): a

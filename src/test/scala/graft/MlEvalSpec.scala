@@ -226,6 +226,152 @@ class MlEvalSpec extends SparkSpec {
     assert(got.exists(_._2 > 0))
   }
 
+  private def idScoresLabels(): Seq[(Long, Long, Boolean)] = {
+    val scores = TextOps.qualityClassifier(spark, sfDir)
+      .select("doc_id", "logit_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+    scores.toSeq.map { case (id, s) => (id, s, langs(id)) }
+  }
+
+  test("q_pr_auc equals the sequential average-precision sum") {
+    val rows = idScoresLabels().sortBy { case (id, s, _) => (-s, id) }
+    var cum = 0L; var sp = BigInt(0); var np = 0L
+    rows.zipWithIndex.foreach { case ((_, _, pos), i0) =>
+      val rank = i0 + 1L
+      if (pos) { cum += 1; np += 1; sp += BigInt(cum) * 1000000 / rank }
+    }
+    val r = MlEval.prAuc(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") == rows.size.toLong)
+    assert(r.getAs[Long]("n_pos") == np)
+    assert(r.getAs[Long]("ap_ppm") == (sp / np).toLong)
+    // AP of a scored ranking lives in (prevalence·floor, 1e6]
+    assert(r.getAs[Long]("ap_ppm") > 0 && r.getAs[Long]("ap_ppm") <= 1000000)
+  }
+
+  test("q_ks_stat equals the sequential max CDF gap with min-score ties") {
+    val sl = idScoresLabels()
+    val np = sl.count(_._3).toLong; val nn = sl.size - np
+    val byS = sl.groupBy(_._2).toSeq.sortBy(_._1)
+    var cp = 0L; var cn = 0L
+    var best = BigInt(-1); var bestS = 0L
+    byS.foreach { case (s, g) =>
+      cp += g.count(_._3); cn += g.count(x => !x._3)
+      val d = (BigInt(cp) * nn - BigInt(cn) * np).abs
+      if (d > best) { best = d; bestS = s }
+    }
+    val r = MlEval.ksStat(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_pos") == np && r.getAs[Long]("n_neg") == nn)
+    assert(r.getAs[Long]("ks_ppm") == (best * 1000000 / (BigInt(np) * nn)).toLong)
+    assert(r.getAs[Long]("at_logit") == bestS)
+  }
+
+  test("q_gains deciles accumulate to the corpus and match brute force") {
+    val rows = idScoresLabels().sortBy { case (id, s, _) => (-s, id) }
+    val n = rows.size.toLong
+    val totPos = rows.count(_._3).toLong
+    val byDec = rows.zipWithIndex.groupBy { case (_, i0) => i0.toLong * 10 / n + 1 }
+    var cumPos = 0L; var cumDocs = 0L
+    val exp = byDec.toSeq.sortBy(_._1).map { case (d, g) =>
+      val ndocs = g.size.toLong; val npos = g.count(_._1._3).toLong
+      cumPos += npos; cumDocs += ndocs
+      (d, ndocs, npos, cumPos,
+        (BigInt(cumPos) * 1000000 / totPos).toLong,
+        (BigInt(cumPos) * n * 1000000 / (BigInt(cumDocs) * totPos)).toLong)
+    }
+    val got = MlEval.gains(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    // the last decile closes the books exactly
+    assert(got.last._5 == 1000000L && got.last._6 == 1000000L)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+  }
+
+  test("q_confusion equals the sequential counts at the keep threshold") {
+    val sl = idScoresLabels()
+    val tp = sl.count(x => x._3 && x._2 > 0).toLong
+    val fp = sl.count(x => !x._3 && x._2 > 0).toLong
+    val fn = sl.count(x => x._3 && x._2 <= 0).toLong
+    val tn = sl.count(x => !x._3 && x._2 <= 0).toLong
+    val r = MlEval.confusion(spark, sfDir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((tp, fp, fn, tn)))
+    assert(r.getAs[Long]("precision_ppm") == tp * 1000000 / (tp + fp))
+    assert(r.getAs[Long]("recall_ppm") == tp * 1000000 / (tp + fn))
+    assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000 / (2 * tp + fp + fn))
+    assert(r.getAs[Long]("accuracy_ppm") == (tp + tn) * 1000000 / sl.size)
+  }
+
+  test("q_link_predict equals brute-force wedge scoring on the repeat graph") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Int]()
+    li.groupBy(_._1).foreach { case (_, g) =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val scores = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    adj.foreach { case (_, nbrs) =>
+      val d = nbrs.size
+      if (d >= 2 && d <= 64) {
+        val ns = nbrs.toSeq.sorted
+        for (i <- ns.indices; j <- (i + 1) until ns.length) {
+          val key = (ns(i), ns(j))
+          val (cn, ra) = scores.getOrElse(key, (0L, 0L))
+          scores(key) = (cn + 1, ra + 1000000L / d)
+        }
+      }
+    }
+    val exp = scores.toSeq.filterNot { case (k, _) => edges(k) }
+      .map { case ((u, v), (cn, ra)) => (u, v, cn, ra) }
+      .sortBy { case (u, v, cn, ra) => (-ra, -cn, u, v) }.take(50)
+    val got = graft.ops.LinkPredict.linkPredict(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // predicted edges must not already exist
+    assert(got.forall { case (u, v, _, _) => !edges((u, v)) })
+  }
+
+  test("vec_cluster_eval equals brute-force cohesion/separation") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def micro(e: Array[Float]): Array[Long] =
+      e.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val byLabel = vecs.groupBy(_._3)
+    val cents = byLabel.map { case (l, g) =>
+      val ms = g.map(v => micro(v._2))
+      val dim = ms.head.length
+      l -> (0 until dim).map { p =>
+        (ms.map(_(p)).sum + ms.size * 10000000L) / ms.size - 10000000L
+      }.toArray
+    }
+    val exp = byLabel.toSeq.sortBy(_._1).map { case (l, g) =>
+      val c = cents(l)
+      val d2s = g.map { v =>
+        val m = micro(v._2)
+        c.indices.map { p => val d = m(p) - c(p); BigInt(d) * d }.sum
+      }
+      val meanD2 = (d2s.sum / g.size).toLong
+      val (sepD2, nl) = cents.filter(_._1 != l).toSeq.map { case (ol, oc) =>
+        (c.indices.map { p => val d = c(p) - oc(p); d * d }.sum, ol)
+      }.minBy { case (dd, ol) => (dd, ol) }
+      (l, g.size.toLong, meanD2, nl, sepD2,
+        (BigInt(meanD2) * 1000000 / sepD2).toLong)
+    }
+    val got = VectorOps.clusterEval(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+  }
+
   test("text_textrank equals the sequential integer power iteration") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))

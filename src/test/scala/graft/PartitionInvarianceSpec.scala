@@ -55,7 +55,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       // ranking
       "q_auc", "q_calibration", "vec_knn_classify", "text_textrank",
       "vec_outliers", "dedup_sweep", "text_filter_cascade",
-      "q_spatial_join")
+      "q_spatial_join",
+      // eval-curve batch: two-phase descending ranks + running sums,
+      // struct argmax over distinct scores, wedge-join + TakeOrdered
+      // boundary, centroid arithmetic from partial sums
+      "q_pr_auc", "q_ks_stat", "q_gains", "q_confusion",
+      "q_link_predict", "vec_cluster_eval")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -317,4 +317,39 @@ class PlanAuditSpec extends SparkSpec {
         s"neighbor ranking lost the heap top-k operator:\n${plan.take(1500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pr-auc rank and prefix windows are cell-partitioned with broadcast offsets") {
+    val plan = executed(graft.analytics.MlEval.prAuc(spark, sfDir))
+    assert(plan.contains("windowspecdefinition(_c"),
+      s"pr-auc prefix window lost its cell partitioning:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"pr-auc cell offsets lost their broadcast:\n${plan.take(1500)}")
+  }
+
+  test("ks statistic rides the bounded distinct-score table, one struct argmax") {
+    val plan = executed(graft.analytics.MlEval.ksStat(spark, sfDir))
+    assert(plan.contains("windowspecdefinition(_c"),
+      s"ks prefix window lost its cell partitioning:\n${plan.take(2000)}")
+    // the argmax is an aggregate over the score table — no rank window
+    assert(!plan.contains("row_number"),
+      s"ks argmax regressed to a rank window:\n${plan.take(1500)}")
+  }
+
+  test("link prediction tail is a TakeOrdered heap, never a product join") {
+    val plan = executed(graft.ops.LinkPredict.linkPredict(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 lost the TakeOrdered heap:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti joins fell back to a product:\n${plan.take(1500)}")
+  }
+
+  test("cluster eval forces the corpus-constant centroid broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(graft.vector.VectorOps.clusterEval(spark, sfDir))
+      assert(plan.contains("BroadcastExchange"),
+        s"centroid arrays lost their forced broadcast:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
