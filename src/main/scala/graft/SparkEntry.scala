@@ -220,6 +220,9 @@ object SparkEntry {
     "q_confusion" -> ((s, d) => graft.analytics.MlEval.confusion(s, d)),
     "q_link_predict" -> ((s, d) => graft.ops.LinkPredict.linkPredict(s, d)),
     "vec_cluster_eval" -> ((s, d) => VectorOps.clusterEval(s, d)),
+    "q_clamped_balance" -> ((s, d) => Analytics.clampedBalance(s, d)),
+    "q_bootstrap" -> ((s, d) => Analytics.bootstrap(s, d)),
+    "q_ts_cv_folds" -> ((s, d) => Analytics.tsCvFolds(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3016,5 +3019,56 @@ object SparkEntry {
         | CAST(CAST(coh.mean_d2 AS HUGEINT) * 1000000 // sep.sep_d2 AS BIGINT) AS cohesion_ppm
         |FROM coh LEFT JOIN sep ON coh.label = sep.label AND sep.rn = 1
         |ORDER BY coh.label""".stripMargin,
+
+    "q_clamped_balance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   CAST(round(value * 100) AS BIGINT) - 5000 AS delta_c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT *, SUM(delta_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx FROM e),
+        |b AS (SELECT *, pfx - LEAST(MIN(pfx) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS balance_c FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |       ORDER BY ts_us DESC, event_id DESC) AS rn FROM b)
+        |SELECT user_id, COUNT(*) AS n_tx,
+        | CAST(MAX(CASE WHEN rn = 1 THEN balance_c END) AS BIGINT) AS final_balance_c,
+        | CAST(MAX(balance_c) AS BIGINT) AS peak_balance_c,
+        | CAST(SUM(CASE WHEN balance_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_hits
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE value IS NOT NULL),
+        |x AS (SELECT event_id, value_c, unnest(generate_series(0, 31)) AS b FROM e),
+        |u AS (SELECT *, CAST(('0x' || substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+        |        CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 AS uu FROM x),
+        |w AS (SELECT b, value_c,
+        |       CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+        |        WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+        |        WHEN uu < 996340 THEN 4 ELSE 5 END AS w
+        |      FROM u)
+        |SELECT b, CAST(SUM(w) AS BIGINT) AS n_samples,
+        | CAST(SUM(w * value_c) AS BIGINT) AS sum_c,
+        | CAST(SUM(w * value_c) // SUM(w) AS BIGINT) AS mean_c
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
+
+    "q_ts_cv_folds" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |bounds AS (SELECT MIN(ts_us) AS t0, MAX(ts_us) AS t1 FROM e),
+        |folds AS (SELECT unnest(generate_series(1, 5)) AS fold),
+        |r AS (SELECT fold,
+        |       t0 + fold * ((t1 - t0) // 6) AS train_end_us,
+        |       t0 + fold * ((t1 - t0) // 6) + 3600000000 AS val_start_us,
+        |       t0 + (fold + 1) * ((t1 - t0) // 6) AS val_end_us
+        |      FROM folds CROSS JOIN bounds)
+        |SELECT fold, train_end_us, val_start_us, val_end_us,
+        | CAST(SUM(CASE WHEN ts_us < train_end_us THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        | CAST(SUM(CASE WHEN ts_us >= val_start_us AND ts_us < val_end_us
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+        |FROM e CROSS JOIN r GROUP BY 1, 2, 3, 4 ORDER BY fold""".stripMargin,
   )
 }

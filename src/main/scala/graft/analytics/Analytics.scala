@@ -332,6 +332,100 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Floored running balance per user — the inventory/credit/quota
+    * recurrence b_i = max(0, b_{i-1} + Δ_i), which looks like it needs
+    * a sequential per-key scan (the naive port is mapPartitions over
+    * sorted groups) but has the exact closed form
+    *
+    *   b_i = P_i − min(0, min_{j≤i} P_j)        (P = prefix sum)
+    *
+    * so it rides TWO stacked window functions on ONE user_id exchange —
+    * fully declarative, codegen'd, and scale-free. Deltas are cents
+    * net of a 50-unit carrying cost (values are non-negative, so the
+    * raw recurrence would never clamp); per user we report the final
+    * and peak balance and how often the floor engaged. */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (cents(col("value")) - lit(5000L)).as("delta_c"))
+      .withColumn("pfx", sum("delta_c").over(w))
+      .withColumn("floor_adj", least(min(col("pfx")).over(w), lit(0L)))
+      .withColumn("balance_c", col("pfx") - col("floor_adj"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_tx"),
+        max(struct(col("ts_us"), col("event_id"), col("balance_c")))
+          .getField("balance_c").as("final_balance_c"),
+        max("balance_c").as("peak_balance_c"),
+        sum(when(col("balance_c") === 0, 1L).otherwise(0L)).as("n_floor_hits"))
+      .orderBy("user_id")
+  }
+
+  val BootstrapReps = 32
+
+  /** Deterministic Poisson bootstrap of the mean event value — the
+    * uncertainty quantification every data-quality metric needs before
+    * someone acts on a 0.3% shift. Each replicate b resamples the
+    * corpus with Poisson(1) multiplicities, derived NOT from an RNG
+    * but from md5(event_id:b) reduced mod 1e6 against the fixed
+    * Poisson CDF thresholds — so 1000 executors, a re-run, and DuckDB
+    * all draw the SAME resample (the thresholds are the contract).
+    * Emits the full replicate table (the caller reads any CI off it);
+    * the plan is one scan × B-fold explode into a map-side-combinable
+    * B-group aggregate — the shuffle carries B·partitions rows, and
+    * the B× explode work is the inherent cost of bootstrap. */
+  def bootstrap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), cents(col("value")).as("value_c"),
+        explode(sequence(lit(0L), lit(BootstrapReps - 1L))).as("b"))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(cast(event_id AS string), ':', cast(b AS string))), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("w", expr(
+        """CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+          | WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+          | WHEN u < 996340 THEN 4 ELSE 5 END""".stripMargin))
+      .groupBy("b")
+      .agg(sum("w").as("n_samples"), sum(expr("w * value_c")).as("sum_c"))
+      .withColumn("mean_c", expr("sum_c div n_samples"))
+      .select("b", "n_samples", "sum_c", "mean_c")
+      .orderBy("b")
+  }
+
+  val CvFolds = 5L
+  val CvGapUs = 3600000000L // 1-hour purge between train end and val start
+
+  /** Expanding-window time-series cross-validation folds with a purge
+    * gap — the leakage-safe split protocol for anything temporal
+    * (forecast eval, drift-robust model selection): fold k trains on
+    * [t0, t0+k·slice) and validates on [t0+k·slice+gap, t0+(k+1)·slice),
+    * never the reverse, with the gap absorbing label lookahead. The
+    * time range is one 2-value aggregate; the 5-row fold table
+    * broadcasts back over the scan into conditional counts — bounded
+    * output, one pass, all epoch-micro integer arithmetic. */
+  def tsCvFolds(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("ts_us"))
+    val bounds = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+    val ranges = spark.range(1, CvFolds + 1).select(col("id").as("fold"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("slice", expr(s"(t1 - t0) div ${CvFolds + 1}"))
+      .withColumn("train_end_us", expr("t0 + fold * slice"))
+      .withColumn("val_start_us", expr(s"t0 + fold * slice + ${CvGapUs}L"))
+      .withColumn("val_end_us", expr("t0 + (fold + 1) * slice"))
+      .select("fold", "train_end_us", "val_start_us", "val_end_us")
+    ev.crossJoin(broadcast(ranges))
+      .groupBy("fold", "train_end_us", "val_start_us", "val_end_us")
+      .agg(sum(when(col("ts_us") < col("train_end_us"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts_us") >= col("val_start_us")
+          && col("ts_us") < col("val_end_us"), 1L).otherwise(0L)).as("n_val"))
+      .orderBy("fold")
+  }
+
   /** Sessionization: a >30-min silence starts a new session; flag with
     * lag, then a cumulative sum assigns session ids — two window ops,
     * one shuffle. */

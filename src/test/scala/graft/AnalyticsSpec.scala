@@ -259,4 +259,78 @@ class AnalyticsSpec extends SparkSpec {
     assert(perUser.length.toLong == users)
     out.unpersist(); ref.unpersist()
   }
+
+  test("clamped balance closed form equals the sequential max(0, b+d) recurrence") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        (expr("CAST(round(value * 100) AS BIGINT)") - 5000L).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
+      var b = 0L; var peak = Long.MinValue; var hits = 0L
+      g.sortBy(x => (x._2, x._3)).foreach { case (_, _, _, d) =>
+        b = math.max(0L, b + d) // the REAL recurrence, not the closed form
+        peak = math.max(peak, b)
+        if (b == 0) hits += 1
+      }
+      (u, g.size.toLong, b, peak, hits)
+    }
+    val got = Analytics.clampedBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // the floor actually engages somewhere (non-degenerate contract)
+    assert(got.exists(_._5 > 0))
+  }
+
+  test("bootstrap replicates equal the sequential hash-weighted resample") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def weight(id: Long, b: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+      if (u < 367879) 0 else if (u < 735759) 1 else if (u < 919699) 2
+      else if (u < 981012) 3 else if (u < 996340) 4 else 5
+    }
+    val exp = (0L until Analytics.BootstrapReps.toLong).map { b =>
+      var n = 0L; var s = 0L
+      ev.foreach { case (id, v) => val w = weight(id, b); n += w; s += w * v }
+      (b, n, s, s / n)
+    }
+    val got = Analytics.bootstrap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // replicate means vary (the resample is real) but stay in-range
+    assert(got.map(_._4).distinct.length > 1)
+  }
+
+  test("ts cv folds are leakage-free, gap-purged, and count-exact") {
+    import org.apache.spark.sql.functions._
+    val ts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull).select(unix_micros(col("ts")).as("t"))
+      .collect().map(_.getLong(0))
+    val t0 = ts.min; val slice = (ts.max - t0) / 6
+    val exp = (1L to Analytics.CvFolds).map { k =>
+      val trainEnd = t0 + k * slice
+      val valStart = trainEnd + Analytics.CvGapUs
+      val valEnd = t0 + (k + 1) * slice
+      (k, trainEnd, valStart, valEnd,
+        ts.count(_ < trainEnd).toLong,
+        ts.count(t => t >= valStart && t < valEnd).toLong)
+    }
+    val got = Analytics.tsCvFolds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    got.foreach { case (_, trainEnd, valStart, valEnd, nTrain, nVal) =>
+      assert(valStart - trainEnd == Analytics.CvGapUs) // purge gap enforced
+      assert(valStart <= valEnd && nTrain > 0 && nVal > 0)
+    }
+    // expanding windows: each fold trains on at least as much data
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+  }
 }

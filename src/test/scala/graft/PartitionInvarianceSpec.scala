@@ -60,7 +60,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       // struct argmax over distinct scores, wedge-join + TakeOrdered
       // boundary, centroid arithmetic from partial sums
       "q_pr_auc", "q_ks_stat", "q_gains", "q_confusion",
-      "q_link_predict", "vec_cluster_eval")
+      "q_link_predict", "vec_cluster_eval",
+      // recurrence/resample batch: stacked prefix windows + struct
+      // argmax, hash-deterministic resample weights, broadcast fold
+      // ranges over conditional counts
+      "q_clamped_balance", "q_bootstrap", "q_ts_cv_folds")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -343,6 +343,19 @@ class PlanAuditSpec extends SparkSpec {
       s"wedge/anti joins fell back to a product:\n${plan.take(1500)}")
   }
 
+  test("clamped balance rides ONE user exchange for both windows and the agg") {
+    val plan = executed(graft.analytics.Analytics.clampedBalance(spark, sfDir))
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1500)}")
+  }
+
+  test("bootstrap is one scan into a combinable B-group aggregate — no window") {
+    val plan = executed(graft.analytics.Analytics.bootstrap(spark, sfDir))
+    assert(!plan.contains("Window"), s"bootstrap regressed to a window plan:\n${plan.take(1200)}")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"bootstrap lost map-side partial aggregation:\n${plan.take(1500)}")
+  }
+
   test("cluster eval forces the corpus-constant centroid broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
