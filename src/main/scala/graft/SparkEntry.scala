@@ -223,6 +223,14 @@ object SparkEntry {
     "q_clamped_balance" -> ((s, d) => Analytics.clampedBalance(s, d)),
     "q_bootstrap" -> ((s, d) => Analytics.bootstrap(s, d)),
     "q_ts_cv_folds" -> ((s, d) => Analytics.tsCvFolds(s, d)),
+    "q_value_share" -> ((s, d) => Analytics.valueShare(s, d)),
+    "q_late_blame" -> ((s, d) => Analytics.lateBlame(s, d)),
+    "q_dormant_rich" -> ((s, d) => Analytics.dormantRich(s, d)),
+    "ann_rrf" -> ((s, d) => VectorOps.annRrf(s, d)),
+    "corpus_interleave" -> ((s, d) => graft.text.Curation.interleave(s, d)),
+    "q_overlap_join" -> ((s, d) => Analytics.overlapJoin(s, d)),
+    "q_twap" -> ((s, d) => Analytics.twap(s, d)),
+    "q_hhi" -> ((s, d) => Analytics.hhi(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3070,5 +3078,132 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN ts_us >= val_start_us AND ts_us < val_end_us
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_val
         |FROM e CROSS JOIN r GROUP BY 1, 2, 3, 4 ORDER BY fold""".stripMargin,
+
+    "q_value_share" ->
+      """WITH li AS (SELECT l_partkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |  FROM lineitem),
+        |pp AS (SELECT l_partkey, SUM(CAST(rev_cp AS HUGEINT)) AS v FROM li GROUP BY 1),
+        |t AS (SELECT SUM(v) AS tot, COUNT(*) AS np FROM pp)
+        |SELECT l_partkey, CAST(v AS BIGINT) AS part_value_cp,
+        |  CAST(v * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM pp CROSS JOIN t WHERE v * np * 2 > tot * 3
+        |ORDER BY part_value_cp DESC, l_partkey""".stripMargin,
+
+    "q_late_blame" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS (SELECT ok, sk, max(late) AS late FROM li GROUP BY ok, sk),
+        |b AS (SELECT l.ok, l.sk FROM p l WHERE l.late
+        |  AND EXISTS (SELECT 1 FROM p o WHERE o.ok = l.ok AND o.sk <> l.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM p o WHERE o.ok = l.ok AND o.sk <> l.sk AND o.late))
+        |SELECT s_suppkey, s_name, numwait FROM
+        |  (SELECT sk, CAST(count(*) AS BIGINT) AS numwait FROM b GROUP BY sk) j
+        |  JOIN supplier ON sk = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q_dormant_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT SUM(bal_c) // COUNT(1) AS avg_c FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, CAST(COUNT(1) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c CROSS JOIN a
+        |WHERE bal_c > avg_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "ann_rrf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |nf AS (SELECT * FROM n WHERE nrm > 0),
+        |cosl AS (SELECT * FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+        |        c.vec_id) AS BIGINT) AS rank_cos
+        |  FROM nf q, nf c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        | WHERE rank_cos <= 64),
+        |dotl AS (SELECT * FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(q.e, c.e), 6) DESC, c.vec_id) AS BIGINT)
+        |      AS rank_dot
+        |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        | WHERE rank_dot <= 64),
+        |f AS (SELECT query_id, neighbor_id, rank_cos, rank_dot,
+        |    coalesce(1000000 // (60 + rank_cos), 0)
+        |      + coalesce(1000000 // (60 + rank_dot), 0) AS rrf_score
+        |  FROM cosl FULL OUTER JOIN dotl USING (query_id, neighbor_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, neighbor_id) AS rk FROM f)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |  CAST(rrf_score AS BIGINT) AS rrf_score, rank_cos, rank_dot
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "corpus_interleave" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |idx AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+        |  FROM (SELECT DISTINCT source FROM d)),
+        |s AS (SELECT COUNT(*) AS ns FROM idx),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |      AS src_rank
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.src_rank, idx.src_idx,
+        |  CAST((r.src_rank - 1) * s.ns + idx.src_idx AS BIGINT) AS interleave_key
+        |FROM r JOIN idx USING (source) CROSS JOIN s
+        |ORDER BY interleave_key""".stripMargin,
+
+    "q_overlap_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL AND event_type IN ('click', 'error')),
+        |s AS (SELECT user_id, event_type, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)),
+        |s2 AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM s),
+        |iv AS (SELECT user_id, event_type, sess,
+        |    CAST(MIN(ts_us) AS BIGINT) AS s_us, CAST(MAX(ts_us) AS BIGINT) AS e_us
+        |  FROM s2 GROUP BY 1, 2, 3)
+        |SELECT a.user_id, a.s_us AS a_s_us, a.e_us AS a_e_us,
+        |  b.s_us AS b_s_us, b.e_us AS b_e_us,
+        |  least(a.e_us + 3600000000, b.e_us)
+        |    - greatest(a.s_us - 3600000000, b.s_us) AS overlap_us
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'error'
+        |  AND a.s_us - 3600000000 <= b.e_us AND b.s_us <= a.e_us + 3600000000
+        |ORDER BY a.user_id, a_s_us, b_s_us""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT user_id, v_c,
+        |    least(coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      - ts_us, 3600000000), 3600000000) AS w_us
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_ticks,
+        |  CAST(SUM(w_us) AS BIGINT) AS held_us,
+        |  CAST(SUM(CAST(v_c AS HUGEINT) * w_us) // SUM(w_us) AS BIGINT) AS twap_c
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_hhi" ->
+      """WITH li AS (SELECT s_nationkey, s_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |ps AS (SELECT s_nationkey, s_suppkey, SUM(CAST(rev_cp AS HUGEINT)) AS v
+        |  FROM li GROUP BY 1, 2)
+        |SELECT s_nationkey, CAST(COUNT(1) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(v * v) * 1000000 // (SUM(v) * SUM(v)) AS BIGINT) AS hhi_ppm
+        |FROM ps GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

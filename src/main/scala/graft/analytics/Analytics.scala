@@ -1735,4 +1735,197 @@ object Analytics {
       .select("o_orderkey", "price_cents", "global_rank")
       .orderBy("global_rank", "o_orderkey")
   }
+
+  /** Value-concentration slice (TPC-H Q11 shape): parts whose revenue
+    * share exceeds 1.5× the average part share — the HAVING-against-a-
+    * global-scalar-subquery pattern, with a DATA-ADAPTIVE threshold
+    * (a fixed ppm cut would select everything at small part counts and
+    * nothing at large ones — the same reason TPC-H divides Q11's
+    * fraction by SF). The scalar (total, n_parts) rides a 1×1
+    * broadcast crossJoin, never an unpartitioned window (a
+    * `sum() OVER ()` would funnel the per-part table through one task
+    * to read one number). Revenue is exact cent·pct integers
+    * (price_cents · (100 − disc_pct)); per-part sums widen to
+    * DECIMAL(38,0) — at ~10⁹ cent·pct per row the BIGINT Σ dies near
+    * 10¹⁰ rows — and the threshold compare cross-multiplies
+    * (2·v·n > 3·tot ⟺ share > 1.5× average) so no division decides
+    * membership. One hash aggregate over l_partkey is the only
+    * data-scaled shuffle. */
+  def valueShare(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .groupBy("l_partkey")
+      .agg(sum(col("rev_cp").cast("decimal(38,0)")).as("v"))
+    val total = perPart.agg(sum("v").as("tot"), count(lit(1)).as("np"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("v") * col("np") * 2 > col("tot") * 3)
+      .select(col("l_partkey"), col("v").cast("long").as("part_value_cp"),
+        expr("CAST(v * 1000000 div tot AS BIGINT)").as("share_ppm"))
+      .orderBy(col("part_value_cp").desc, col("l_partkey"))
+  }
+
+  /** Sole-blame late suppliers (TPC-H Q21 shape): suppliers who
+    * shipped late (> 60 days after the order date) on a multi-supplier
+    * order where EVERY other supplier shipped on time — the classic
+    * EXISTS + NOT-EXISTS double correlation, expressed as one
+    * left-semi ("some other supplier participated") and one left-anti
+    * ("no other supplier was late") join against the same distinct
+    * (order, supplier) pair set. All three legs are equi-joins on
+    * l_orderkey with the supplier-inequality as a residual condition —
+    * per-key work is bounded by order width, so the shape survives any
+    * corpus size; the tail is a TakeOrdered heap, not a global sort. */
+  def lateBlame(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    val pairs = li.groupBy("ok", "sk").agg(max("late").as("late"))
+    val late = pairs.filter(col("late")).select("ok", "sk")
+    val all = pairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val lateOther = pairs.filter(col("late"))
+      .select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val blamed = late
+      .join(all, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOther, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    blamed.groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir), col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Dormant high-balance customers (TPC-H Q22 shape): customers with
+    * an above-average positive account balance and no order since the
+    * dormancy cutoff (2000-01-01 — in this dataset every customer has
+    * SOME order, so the classic "no orders at all" predicate is
+    * vacuous; the filtered NOT EXISTS is the same plan shape with a
+    * pushed-down date filter on the anti side), rolled up per nation.
+    * The average is exact integral cents (Σ div n over the
+    * positive-balance population, a 1×1 broadcast crossJoin); the
+    * dormancy predicate is one left-anti equi-join on o_custkey whose
+    * right side is the date-pruned orders scan; the nation rollup is a
+    * bounded-output hash aggregate. Nothing sorts or windows the
+    * customer table. */
+  def dormantRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    val avgPos = cust.filter(col("bal_c") > 0)
+      .agg(expr("sum(bal_c) div count(1)").as("avg_c"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") > col("avg_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Per-(user, type) 30-minute-gap sessions as [start,end] micro
+    * intervals — the shared interval builder for the overlap join.
+    * One (user) exchange carries the lag window, the session-id
+    * running sum, and the bounds aggregate. */
+  private def sessionsOf(spark: SparkSession, dir: String, typ: String): DataFrame = {
+    val GapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type") === typ)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_s",
+        when(col("ts_us") - coalesce(lag("ts_us", 1).over(w), lit(Long.MinValue / 4)) > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_s").over(run))
+      .groupBy("user_id", "sess")
+      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+  }
+
+  /** Interval×interval overlap join (click sessions, padded to a ±1 h
+    * attribution window, × error sessions per user): which error
+    * bursts landed within an hour of a user's click activity — the
+    * incident-attribution primitive (unpadded sessions in this data
+    * are near-points and touch almost never). The scale shape is the
+    * standard BUCKETED interval join: each (padded) interval explodes
+    * to its covered hour buckets (fan-out bounded by 1 + duration/1h —
+    * sessions are gap-bounded, so short), the join is a plain hash
+    * equi-join on (user, bucket), and each overlapping pair is kept
+    * EXACTLY ONCE at its canonical bucket — the hour of
+    * max(padded start_a, start_b), which both sides provably generate
+    * when the intervals overlap (max(starts) ≤ min(ends) lies inside
+    * both). No inequality-only join, no product, no dedup shuffle.
+    * Closed intervals; touching windows overlap with overlap_us = 0;
+    * reported bounds are the RAW session bounds, overlap is measured
+    * on the padded window. */
+  def overlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000
+    def bucketed(df: DataFrame, p: String, pad: Long): DataFrame =
+      df.select(col("user_id"), col("s_us").as(s"${p}_s_us"), col("e_us").as(s"${p}_e_us"),
+        explode(expr(s"sequence((s_us - $pad) div $HourUs, (e_us + $pad) div $HourUs)"))
+          .as("bucket"))
+    val a = bucketed(sessionsOf(spark, dir, "click"), "a", HourUs)
+    val b = bucketed(sessionsOf(spark, dir, "error"), "b", 0L)
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("a_s_us") - HourUs <= col("b_e_us") &&
+        col("b_s_us") <= col("a_e_us") + HourUs)
+      .filter(col("bucket") === expr(s"greatest(a_s_us - $HourUs, b_s_us) div $HourUs"))
+      .select(col("user_id"), col("a_s_us"), col("a_e_us"), col("b_s_us"), col("b_e_us"),
+        (least(col("a_e_us") + HourUs, col("b_e_us")) -
+          greatest(col("a_s_us") - HourUs, col("b_s_us"))).as("overlap_us"))
+      .orderBy("user_id", "a_s_us", "b_s_us")
+  }
+
+  /** Time-weighted average value per user (TWAP): each event's value
+    * holds until the next event, weights capped at one hour (the
+    * standard last-observation-carried-forward cap so a vanished user
+    * doesn't weight their final tick forever) — ONE user exchange
+    * carries the lead window and the aggregate. The Σ value·weight
+    * numerator is ~3.6×10¹⁶ per row (cents × hour-micros): widened to
+    * DECIMAL(38,0), where a BIGINT Σ would overflow at ~250 rows. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("v_c"))
+      .withColumn("w_us",
+        least(coalesce(lead("ts_us", 1).over(w) - col("ts_us"), lit(HourUs)), lit(HourUs)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum("w_us").as("held_us"),
+        sum(expr("CAST(v_c AS DECIMAL(38,0)) * w_us")).as("_num"))
+      .withColumn("twap_c", expr("CAST(_num div held_us AS BIGINT)"))
+      .select("user_id", "n_ticks", "held_us", "twap_c")
+      .orderBy("user_id")
+  }
+
+  /** Herfindahl-Hirschman concentration index of supplier revenue
+    * within each nation — "is this market one supplier in a trench
+    * coat": HHI = Σᵢ shareᵢ² in exact ppm via cross-multiplication
+    * (Σv²·10⁶ div (Σv)² — no per-supplier division, no floats). Two
+    * stacked hash aggregates — (nation, supplier) revenue, then the
+    * bounded per-nation moment sums; v² runs in DECIMAL(38,0) where
+    * the BIGINT square of a ~10¹³ cent·pct revenue already overflows. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"),
+        col("s_suppkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .groupBy("s_nationkey", "s_suppkey")
+      .agg(sum(col("rev_cp").cast("decimal(38,0)")).as("v"))
+    perSupp.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("v").as("_tot"), sum(expr("v * v")).as("_sq"))
+      .withColumn("hhi_ppm", expr("CAST(_sq * 1000000 div (_tot * _tot) AS BIGINT)"))
+      .select("s_nationkey", "n_suppliers", "hhi_ppm")
+      .orderBy("s_nationkey")
+  }
 }

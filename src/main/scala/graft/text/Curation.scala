@@ -163,4 +163,39 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("shard_key"), col("pos"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic round-robin source interleave — the training-order
+    * primitive: a corpus mixed from S sources must reach the trainer
+    * with sources evenly spread (a run of one source is a curriculum
+    * accident), and the order must be REPRODUCIBLE so a restarted job
+    * reads the same stream. Every doc gets an interleave key
+    *
+    *   key = (rank_within_source − 1) · S + source_index
+    *
+    * (rank by doc_id inside its source, sources indexed
+    * alphabetically): sorting by key emits source₀'s first doc, then
+    * source₁'s, …, round-robin until a source exhausts, after which
+    * its slots simply vanish from the (still totally-ordered) key
+    * space. The within-source rank is the two-phase bucketed
+    * row_number — NO per-source global window (one source can be half
+    * the corpus: a hot-key sort in window form); the source-index
+    * table is a bounded broadcast. Swapping the rank key to
+    * quality-desc turns the same plan into curriculum ordering. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val srcIdx = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val s = srcIdx.count() // bounded: |sources|
+    val idxW = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    val indexed = srcIdx
+      .withColumn("src_idx", coalesce(count(lit(1)).over(idxW), lit(0L)))
+      .select("source", "src_idx")
+    val ranked = graft.analytics.Analytics.twoPhaseRowNumber(
+      docs, Seq("source"), "doc_id", "doc_id", expr("doc_id div 1000"),
+      asc = true, out = "src_rank")
+    ranked.join(broadcast(indexed), Seq("source"))
+      .withColumn("interleave_key", (col("src_rank") - 1) * lit(s) + col("src_idx"))
+      .select("doc_id", "source", "src_rank", "src_idx", "interleave_key")
+      .orderBy("interleave_key")
+  }
 }

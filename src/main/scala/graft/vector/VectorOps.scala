@@ -1458,4 +1458,56 @@ object VectorOps {
       .withColumn("correct", col("pred_label") === col("true_label"))
       .orderBy("vec_id")
   }
+
+  /** Reciprocal-rank fusion of two retrievers — cosine (direction)
+    * and raw dot product (MIPS magnitude×direction) — the standard
+    * hybrid-search combiner (Cormack-Clarke-Büttcher RRF, the same
+    * formula production vector stores ship for dense+sparse fusion):
+    *
+    *   score(c) = Σ_lists ⌊10⁶ / (60 + rank_list(c))⌋
+    *
+    * in exact integers, so fusion is order-independent and both
+    * engines agree bit-for-bit; a candidate absent from one list
+    * contributes only its present term (the standard top-k-list
+    * convention). Per query each retriever contributes its EXACT
+    * top-64 via the heap operator (`TopKPerKey` — no per-query corpus
+    * sort), ranks come from windows over those ≤64-row lists, the
+    * full-outer fuse joins two 64-row lists per query, and the tail is
+    * another 10-heap. Retriever semantics match `annBruteForce`
+    * (zero-norm vectors have no direction: excluded from the cosine
+    * list) and `annMips` (all vectors eligible) exactly. */
+  def annRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+    val q = vecs.filter(col("vec_id") < 10).toDF("query_id", "qe")
+    val scored = vecs.toDF("neighbor_id", "ce")
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", round(expr("vec_dot(qe, ce)"), 6))
+      .withColumn("qn", expr("vec_norm(qe)"))
+      .withColumn("cn", expr("vec_norm(ce)"))
+    val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val wDot = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    val cosList = graft.plans.TopK.perKey(
+        scored.filter(col("qn") > 0 && col("cn") > 0)
+          .withColumn("cos", round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+          .select("query_id", "neighbor_id", "cos"),
+        64, Seq("query_id"), "cos", "neighbor_id")
+      .withColumn("rank_cos", row_number().over(wCos).cast("long"))
+      .select("query_id", "neighbor_id", "rank_cos")
+    val dotList = graft.plans.TopK.perKey(
+        scored.select("query_id", "neighbor_id", "dot"),
+        64, Seq("query_id"), "dot", "neighbor_id")
+      .withColumn("rank_dot", row_number().over(wDot).cast("long"))
+      .select("query_id", "neighbor_id", "rank_dot")
+    val fused = cosList.join(dotList, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000 div (60 + rank_cos)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_dot)"), lit(0L)))
+    graft.plans.TopK.perKey(fused, 10, Seq("query_id"), "rrf_score", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("neighbor_id"))).cast("long"))
+      .select("query_id", "rank", "neighbor_id", "rrf_score", "rank_cos", "rank_dot")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -333,4 +333,154 @@ class AnalyticsSpec extends SparkSpec {
     // expanding windows: each fold trains on at least as much data
     assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
   }
+
+  test("value share matches the sequential global-total threshold") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1)) * (100 - r.getLong(2))))
+    val perPart = li.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val tot = perPart.values.sum
+    val np = perPart.size
+    val exp = perPart.toSeq.filter { case (_, v) => v * np * 2 > tot * 3 }
+      .map { case (k, v) => (k, v.toLong, (v * 1000000 / tot).toLong) }
+      .sortBy(x => (-x._2, x._1))
+    val got = Analytics.valueShare(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty) // the threshold actually selects something
+  }
+
+  test("late blame equals the sequential exists/not-exists evaluation") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = rows.groupBy(x => (x._1, x._2))
+      .map { case ((ok, sk), g) => (ok, sk, g.exists(_._3)) }.toSeq
+    val byOrder = pairs.groupBy(_._1)
+    val blamed = pairs.filter(_._3).filter { case (ok, sk, _) =>
+      val others = byOrder(ok).filter(_._2 != sk)
+      others.nonEmpty && !others.exists(_._3) // EXISTS other, NOT EXISTS other-late
+    }
+    val exp = blamed.groupBy(_._2).map { case (sk, g) => sk -> g.size.toLong }
+    val got = Analytics.lateBlame(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // the query reports the top-20 slice of exactly this map
+    assert(got.toSeq == exp.toSeq.sortBy(x => (-x._2, x._1)).take(20))
+    assert(got.nonEmpty)
+  }
+
+  test("dormant rich equals the sequential avg-threshold anti join") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("b"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getLong(2)))
+    val withOrders = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val pos = cust.filter(_._3 > 0)
+    val avg = pos.map(_._3).sum / pos.length
+    val exp = cust.filter(c => c._3 > avg && !withOrders.contains(c._1))
+      .groupBy(_._2).toSeq
+      .map { case (n, g) => (n, g.size.toLong, g.map(_._3).sum) }
+      .sortBy(_._1)
+    val got = Analytics.dormantRich(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  private def seqSessions(evs: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    // (user, ts_us, event_id) -> (user, s_us, e_us) under the 30-min gap
+    val GapUs = 30L * 60 * 1000000
+    evs.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val sorted = g.map(x => (x._2, x._3)).sortBy(identity)
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for ((ts, _) <- sorted) {
+        if (sessions.nonEmpty && ts - sessions.last._2 <= GapUs)
+          sessions(sessions.length - 1) = (sessions.last._1, ts)
+        else sessions += ((ts, ts))
+      }
+      sessions.map { case (s, e) => (u, s, e) }
+    }
+  }
+
+  test("bucketed overlap join equals the all-pairs sequential interval join") {
+    import org.apache.spark.sql.functions._
+    def evs(t: String) = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("event_type") === t)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val Pad = 3600L * 1000000
+    val clicks = seqSessions(evs("click").toSeq)
+    val errors = seqSessions(evs("error").toSeq).groupBy(_._1)
+    val exp = clicks.flatMap { case (u, as, ae) =>
+      errors.getOrElse(u, Nil)
+        .filter { case (_, bs, be) => as - Pad <= be && bs <= ae + Pad }
+        .map { case (_, bs, be) =>
+          (u, as, ae, bs, be, math.min(ae + Pad, be) - math.max(as - Pad, bs))
+        }
+    }.sortBy(x => (x._1, x._2, x._4))
+    val got = Analytics.overlapJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // exact recall AND exactly-once emission (the canonical-bucket dedup)
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("twap equals the sequential hold-until-next weighting") {
+    import org.apache.spark.sql.functions._
+    val HourUs = 3600L * 1000000
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
+      val s = g.sortBy(x => (x._2, x._3))
+      var num = BigInt(0); var den = 0L
+      for (i <- s.indices) {
+        val w = if (i + 1 < s.length) math.min(s(i + 1)._2 - s(i)._2, HourUs) else HourUs
+        num += BigInt(s(i)._4) * w; den += w
+      }
+      (u, s.length.toLong, den, (num / den).toLong)
+    }
+    val got = Analytics.twap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+  }
+
+  test("hhi equals the sequential share-squared sum") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("s_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        BigInt(r.getLong(2)) * (100 - r.getLong(3))))
+    val exp = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, g) =>
+      val perSupp = g.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      val tot = perSupp.sum
+      (n, perSupp.size.toLong,
+        (perSupp.map(v => v * v).sum * 1000000 / (tot * tot)).toLong)
+    }
+    val got = Analytics.hhi(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    // sanity: HHI of a perfectly even 1/n split is 1e6/n — everything
+    // real sits strictly between that floor and monopoly
+    got.foreach { case (_, n, h) => assert(h >= 1000000 / n && h <= 1000000) }
+  }
 }

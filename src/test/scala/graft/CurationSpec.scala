@@ -127,4 +127,25 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.getOrElse("kept", 0) > 0)
     assert(byStatus.getOrElse("filtered_lang", 0) > 0)
   }
+
+  test("interleave key reproduces the sequential round-robin order") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sources = docs.map(_._2).distinct.sorted
+    val s = sources.length.toLong
+    val idx = sources.zipWithIndex.map { case (src, i) => src -> i.toLong }.toMap
+    val exp = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      g.map(_._1).sorted.zipWithIndex.map { case (id, r) =>
+        (id, src, r + 1L, idx(src), r.toLong * s + idx(src))
+      }
+    }.sortBy(_._5)
+    val got = Curation.interleave(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // keys are unique (a total order) and the first |sources| rows
+    // cycle through every source once — the round-robin contract
+    assert(got.map(_._5).distinct.length == got.length)
+    assert(got.take(s.toInt).map(_._2).toSet == sources.toSet)
+  }
 }

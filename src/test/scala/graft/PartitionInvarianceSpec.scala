@@ -64,7 +64,15 @@ class PartitionInvarianceSpec extends SparkSpec {
       // recurrence/resample batch: stacked prefix windows + struct
       // argmax, hash-deterministic resample weights, broadcast fold
       // ranges over conditional counts
-      "q_clamped_balance", "q_bootstrap", "q_ts_cv_folds")
+      "q_clamped_balance", "q_bootstrap", "q_ts_cv_folds",
+      // relational-shape + fusion batch: semi/anti double correlation,
+      // heap top-k list boundaries feeding a full-outer fuse, two-phase
+      // per-source ranks, global-scalar broadcast thresholds
+      "q_late_blame", "q_value_share", "q_dormant_rich", "ann_rrf",
+      "corpus_interleave",
+      // interval/weighting batch: session windows + bucket-exploded
+      // equi-join dedup, lead-weighted decimal sums, stacked aggregates
+      "q_overlap_join", "q_twap", "q_hhi")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

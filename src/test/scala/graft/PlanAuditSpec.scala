@@ -365,4 +365,33 @@ class PlanAuditSpec extends SparkSpec {
         s"centroid arrays lost their forced broadcast:\n${plan.take(1500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("value share: one data-scaled hash aggregate, scalar rides a broadcast") {
+    val plan = executed(graft.analytics.Analytics.valueShare(spark, sfDir))
+    // the (tot, np) scalar joins via broadcast, never a global window
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"global scalar lost its broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"scalar became a global window:\n${plan.take(1200)}")
+  }
+
+  test("late blame: semi and anti legs stay equi-keyed, no product join") {
+    val plan = executed(graft.analytics.Analytics.lateBlame(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"double correlation fell back to a product join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected one semi and one anti leg:\n${plan.take(1500)}")
+  }
+
+  test("rrf fusion runs every list stage through the bounded heap operator") {
+    val plan = executed(graft.vector.VectorOps.annRrf(spark, sfDir))
+    val heaps = plan.linesIterator.count(_.contains("TopKPerKey"))
+    // 2 retriever lists + the fused tail, each partial+final = 6 nodes
+    assert(heaps >= 3, s"expected heap top-k stages, got $heaps:\n${plan.take(1500)}")
+  }
+
+  test("interleave joins the bounded source-index table via broadcast") {
+    val plan = executed(graft.text.Curation.interleave(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"source-index table lost its broadcast:\n${plan.take(1500)}")
+  }
 }

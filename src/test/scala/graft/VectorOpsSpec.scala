@@ -516,4 +516,50 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("mutual") == rev)
     }
   }
+
+  test("RRF fusion equals the sequential two-list reciprocal-rank combine") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val norms = vecs.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val queries = vecs.filter(_._1 < 10)
+    val exp = queries.sortBy(_._1).flatMap { case (qid, qe) =>
+      val cands = vecs.filter(_._1 != qid)
+      val cosList = cands.filter(c => norms(qid) > 0 && norms(c._1) > 0)
+        .map(c => c._1 -> r6(dot(qe, c._2) / (norms(qid) * norms(c._1))))
+        .sortBy(x => (-x._2, x._1)).take(64).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val dotList = cands.map(c => c._1 -> r6(dot(qe, c._2)))
+        .sortBy(x => (-x._2, x._1)).take(64).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      (cosList.keySet ++ dotList.keySet).toSeq.map { id =>
+        val s = cosList.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          dotList.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (id, s, cosList.get(id), dotList.get(id))
+      }.sortBy(x => (-x._2, x._1)).take(10).zipWithIndex.map { case ((id, s, rc, rd), i) =>
+        (qid, i + 1L, id, s, rc, rd)
+      }
+    }
+    val got = VectorOps.annRrf(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }
+    assert(got.toSeq == exp.toSeq)
+    // score arithmetic is exactly the reciprocal-rank sum of the rank
+    // columns (the testdata is unit-norm, so the two retrievers mostly
+    // agree here — the sequential twin above is what pins the fusion
+    // semantics; disagreement-rich corpora exercise the outer join)
+    got.foreach { r =>
+      val s = r._5.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        r._6.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r._4 == s)
+    }
+  }
 }
