@@ -231,6 +231,7 @@ object SparkEntry {
     "q_overlap_join" -> ((s, d) => Analytics.overlapJoin(s, d)),
     "q_twap" -> ((s, d) => Analytics.twap(s, d)),
     "q_hhi" -> ((s, d) => Analytics.hhi(s, d)),
+    "corpus_budget" -> ((s, d) => graft.text.CorpusOps.tokenBudget(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3205,5 +3206,29 @@ object SparkEntry {
         |SELECT s_nationkey, CAST(COUNT(1) AS BIGINT) AS n_suppliers,
         |  CAST(SUM(v * v) * 1000000 // (SUM(v) * SUM(v)) AS BIGINT) AS hhi_ppm
         |FROM ps GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "corpus_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS logit_milli
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |tok AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |j AS (SELECT sc.doc_id, sc.logit_milli, tok.n_tok FROM sc JOIN tok USING (doc_id)),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY logit_milli DESC, doc_id) AS BIGINT) AS rank,
+        |      CAST(SUM(n_tok) OVER (ORDER BY logit_milli DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j),
+        |bud AS (SELECT SUM(n_tok) // 2 AS budget FROM j)
+        |SELECT doc_id, logit_milli, n_tok, rank, cum_tokens
+        |FROM r CROSS JOIN bud WHERE cum_tokens <= budget ORDER BY rank""".stripMargin,
   )
 }

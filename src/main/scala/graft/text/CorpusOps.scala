@@ -516,4 +516,50 @@ object CorpusOps {
       .orderBy(col("freq").desc, col("word"))
       .limit(200)
   }
+
+  /** Token-budget curation: fill a training budget — 50% of the
+    * corpus's whitespace tokens, scale-free by construction — with the
+    * highest-quality documents first (quality = the hashed linear
+    * classifier's logit, ties pinned by doc_id). The greedy
+    * quality-ordered prefix is what budgeted pretraining actually
+    * ships: rank docs by score, admit until the token meter fills.
+    *
+    * Scale shape: rank AND running token total come from ONE two-phase
+    * pass (in-cell rank + running sum over 10-milli logit cells,
+    * broadcast per-cell (count, token) offsets — no one-task global
+    * sort, the `prAuc` discipline); the budget is a 1×1 broadcast
+    * scalar. Admission compares the INCLUSIVE running total, so the
+    * first doc that would overflow the budget is dropped along with
+    * everything below it. Token sums stay BIGINT (corpus tokens ≪
+    * 9.2e18); docs the classifier never scores (wordless) are outside
+    * the candidate set, exactly as in the eval-curve family. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val scored = TextOps.qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("logit_milli"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("token_profile(text).n_ws_tokens").as("n_tok"))
+    val j = scored.join(toks, Seq("doc_id"))
+      .withColumn("_c", expr("logit_milli div 10"))
+    val inCell = Window.partitionBy("_c")
+      .orderBy(col("logit_milli").desc, col("doc_id").asc)
+    val inCellRun = inCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = j.groupBy("_c")
+      .agg(count(lit(1)).as("_n"), sum("n_tok").as("_t"))
+      .withColumn("_offn", coalesce(sum("_n").over(offW), lit(0L)))
+      .withColumn("_offt", coalesce(sum("_t").over(offW), lit(0L)))
+      .select("_c", "_offn", "_offt")
+    val budget = j.agg(expr("sum(n_tok) div 2").as("budget_tok"))
+    j.withColumn("_i", row_number().over(inCell).cast("long"))
+      .withColumn("_tin", sum("n_tok").over(inCellRun))
+      .join(broadcast(offsets), Seq("_c"))
+      .withColumn("rank", col("_offn") + col("_i"))
+      .withColumn("cum_tokens", col("_offt") + col("_tin"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget_tok"))
+      .select("doc_id", "logit_milli", "n_tok", "rank", "cum_tokens")
+      .orderBy("rank")
+  }
 }

@@ -107,7 +107,12 @@ object CorpusScaleSmoke {
         // the sweep rides the same inverted-index join as the jaccard
         // pair family; the cascade is a token scan + the classifier's
         // broadcast-scored join
-        "dedup_sweep", "text_filter_cascade")) {
+        "dedup_sweep", "text_filter_cascade",
+        // fusion/ordering surface: RRF fuses two bounded top-64 lists
+        // per query (corpus growth only widens the scans feeding the
+        // heaps); interleave's two-phase ranks spread with the corpus
+        // while the source-index broadcast stays |sources|
+        "ann_rrf", "corpus_interleave")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

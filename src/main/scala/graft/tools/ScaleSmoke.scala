@@ -109,7 +109,15 @@ object ScaleSmoke {
         // grid spatial self-join: candidate work is Σ cell products —
         // replicated events densify the plane, the quadratic-in-density
         // regime the cell decomposition is supposed to localize
-        "q_spatial_join")) {
+        "q_spatial_join",
+        // relational hard shapes on the replicated facts: global-scalar
+        // HAVING, semi+anti double correlation, date-pruned anti join
+        "q_value_share", "q_late_blame", "q_dormant_rich", "q_hhi",
+        // interval/weighting surface: bucketed overlap join fan-out
+        // grows with session density, TWAP rides one user exchange
+        "q_overlap_join", "q_twap",
+        // recurrence/resample surface on 10x events
+        "q_clamped_balance", "q_bootstrap")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

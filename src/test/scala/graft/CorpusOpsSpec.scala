@@ -274,4 +274,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(r =>
       r.getAs[Long]("n_tokens") < r.getAs[String]("word").length))
   }
+
+  test("token budget equals the sequential greedy quality-ordered prefix") {
+    import org.apache.spark.sql.functions._
+    val scores = graft.text.TextOps.qualityClassifier(spark, sfDir)
+      .select("doc_id", "logit_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .toMap
+    val cand = scores.keys.toSeq.map(id => (id, scores(id), toks(id)))
+      .sortBy(x => (-x._2, x._1))
+    val budget = cand.map(_._3).sum / 2
+    var cum = 0L
+    val exp = cand.zipWithIndex.flatMap { case ((id, s, n), i) =>
+      cum += n
+      if (cum <= budget) Some((id, s, n, i + 1L, cum)) else None
+    }
+    // greedy prefix: once over budget, everything below is out too
+    val got = graft.text.CorpusOps.tokenBudget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // the budget genuinely splits the corpus: some kept, some dropped
+    assert(exp.nonEmpty && exp.length < cand.length)
+  }
 }

@@ -72,7 +72,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "corpus_interleave",
       // interval/weighting batch: session windows + bucket-exploded
       // equi-join dedup, lead-weighted decimal sums, stacked aggregates
-      "q_overlap_join", "q_twap", "q_hhi")
+      "q_overlap_join", "q_twap", "q_hhi",
+      // two-phase rank + running-token admission against a broadcast
+      // budget scalar
+      "corpus_budget")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
