@@ -232,6 +232,8 @@ object SparkEntry {
     "q_twap" -> ((s, d) => Analytics.twap(s, d)),
     "q_hhi" -> ((s, d) => Analytics.hhi(s, d)),
     "corpus_budget" -> ((s, d) => graft.text.CorpusOps.tokenBudget(s, d)),
+    "text_langid_eval" -> ((s, d) => TextOps.langidEval(s, d)),
+    "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3230,5 +3232,49 @@ object SparkEntry {
         |bud AS (SELECT SUM(n_tok) // 2 AS budget FROM j)
         |SELECT doc_id, logit_milli, n_tok, rank, cum_tokens
         |FROM r CROSS JOIN bud WHERE cum_tokens <= budget ORDER BY rank""".stripMargin,
+
+    "text_langid_eval" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) AS c_en,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' le ', ''))) / 4 AS BIGINT) AS c_fr,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' el ', ''))) / 4 AS BIGINT) AS c_es,
+        |   CAST((length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5 AS BIGINT) AS c_de,
+        |   CAST((length(lower(text)) - length(replace(lower(text), '的', ''))) / 1 AS BIGINT) AS c_zh
+        |  FROM documents),
+        |g AS (SELECT c.*, greatest(c_en, c_fr, c_es, c_de, c_zh) AS best FROM c),
+        |p AS (SELECT actual_lang,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN c_en = best THEN 'en' WHEN c_fr = best THEN 'fr'
+        |       WHEN c_es = best THEN 'es' WHEN c_de = best THEN 'de'
+        |       ELSE 'zh' END AS pred_lang FROM g),
+        |m AS (SELECT actual_lang, pred_lang, CAST(COUNT(1) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT actual_lang, SUM(n_docs) AS tot FROM m GROUP BY 1)
+        |SELECT m.actual_lang, m.pred_lang, m.n_docs,
+        |  CAST(m.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm,
+        |  m.actual_lang = m.pred_lang AS correct
+        |FROM m JOIN t USING (actual_lang)
+        |ORDER BY actual_lang, pred_lang""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    event_type, value
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT user_id, MIN(d) AS cd FROM e GROUP BY user_id),
+        |sz AS (SELECT cd // 7 AS cohort_wk, CAST(COUNT(1) AS BIGINT) AS n_users
+        |  FROM c GROUP BY 1),
+        |rev AS (SELECT c.cd // 7 AS cohort_wk, (e.d - c.cd) // 7 AS age_wk,
+        |    CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(SUM(rev_c) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c FROM rev)
+        |SELECT CAST(cum.cohort_wk AS BIGINT) AS cohort_wk,
+        |  CAST(cum.age_wk AS BIGINT) AS age_wk, sz.n_users, cum.rev_c, cum.cum_rev_c,
+        |  cum.cum_rev_c // sz.n_users AS ltv_per_user_c
+        |FROM cum JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, age_wk""".stripMargin,
   )
 }

@@ -1782,7 +1782,13 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
         (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    // three consumers (the blamed set, the some-other-supplier semi
+    // side, the other-late anti side) — pin the distinct pair table
+    // once instead of re-scanning lineitem per leg (measured: 5 fact
+    // scans without this, 1 with; the pair table is |order×supplier|
+    // participations, far smaller than the fact table)
     val pairs = li.groupBy("ok", "sk").agg(max("late").as("late"))
+      .localCheckpoint(true)
     val late = pairs.filter(col("late")).select("ok", "sk")
     val all = pairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
     val lateOther = pairs.filter(col("late"))
@@ -1927,5 +1933,38 @@ object Analytics {
       .withColumn("hhi_ppm", expr("CAST(_sq * 1000000 div (_tot * _tot) AS BIGINT)"))
       .select("s_nationkey", "n_suppliers", "hhi_ppm")
       .orderBy("s_nationkey")
+  }
+
+  /** Cohort lifetime value: per signup-week cohort, purchase revenue
+    * by age-week plus the cumulative LTV and per-capita LTV — the
+    * revenue companion to `q_retention`'s activity table. Everything
+    * is integer date math (epoch-day div 7 weeks, cents); the cohort
+    * assignment is one per-user min aggregate joined back on user_id;
+    * the cumulative window runs over the BOUNDED (cohort_wk, age_wk)
+    * table — at most weeks² rows regardless of corpus size — and the
+    * cohort-size table broadcasts at |weeks| rows. Ages with zero
+    * purchases are absent (sparse): the cumulative sum is over
+    * observed ages, which preserves every reported value exactly. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), col("value"))
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cd"))
+    val sizes = cohort.groupBy(expr("cd div 7").as("cohort_wk"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort_wk").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(cohort, Seq("user_id"))
+      .withColumn("cohort_wk", expr("cd div 7"))
+      .withColumn("age_wk", expr("(d - cd) div 7"))
+      .groupBy("cohort_wk", "age_wk")
+      .agg(sum(cents(col("value"))).as("rev_c"))
+      .withColumn("cum_rev_c", sum("rev_c").over(w))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .withColumn("ltv_per_user_c", expr("cum_rev_c div n_users"))
+      .select("cohort_wk", "age_wk", "n_users", "rev_c", "cum_rev_c", "ltv_per_user_c")
+      .orderBy("cohort_wk", "age_wk")
   }
 }

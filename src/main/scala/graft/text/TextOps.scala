@@ -755,6 +755,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation: the (actual, predicted) confusion matrix
+    * of the n-gram heuristic against the corpus's truth labels, with
+    * each cell's share of its actual-language row in exact ppm — the
+    * audit run before trusting a language filter's routing decisions
+    * (a cell off the diagonal with a big share is a systematic
+    * misroute, not noise). One hash aggregate over the langId scan;
+    * the per-actual totals are a bounded (|langs|-row) broadcast. */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langId(spark, dir).select("actual_lang", "pred_lang")
+    val cells = scored.groupBy("actual_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("actual_lang").agg(sum("n_docs").as("_tot"))
+    cells.join(broadcast(totals), Seq("actual_lang"))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div _tot"))
+      .withColumn("correct", col("actual_lang") === col("pred_lang"))
+      .select("actual_lang", "pred_lang", "n_docs", "share_ppm", "correct")
+      .orderBy("actual_lang", "pred_lang")
+  }
+
   /** Document quality scoring: length, word stats, punctuation ratio,
     * stopword ratio, composite score — deterministic arithmetic only.
     * All four counters come from the fused text_profile expression:

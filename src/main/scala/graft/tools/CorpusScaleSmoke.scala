@@ -112,7 +112,10 @@ object CorpusScaleSmoke {
         // per query (corpus growth only widens the scans feeding the
         // heaps); interleave's two-phase ranks spread with the corpus
         // while the source-index broadcast stays |sources|
-        "ann_rrf", "corpus_interleave")) {
+        "ann_rrf", "corpus_interleave",
+        // budget admission: classifier scan + bounded rank cells; the
+        // admission filter rides the broadcast budget scalar
+        "corpus_budget")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

@@ -483,4 +483,40 @@ class AnalyticsSpec extends SparkSpec {
     // real sits strictly between that floor and monopoly
     got.foreach { case (_, n, h) => assert(h >= 1000000 / n && h <= 1000000) }
   }
+
+  test("cohort ltv equals the sequential cohort accumulation") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val cohortDay = ev.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val sizes = cohortDay.values.groupBy(_ / 7).map { case (w, g) => w -> g.size.toLong }
+    val rev = ev.filter(e => e._3 == "purchase" && e._4.isDefined)
+      .groupBy(e => (cohortDay(e._1) / 7, (e._2 - cohortDay(e._1)) / 7))
+      .map { case (k, g) => (k._1, k._2, g.flatMap(_._4).sum) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    var exp = Seq.empty[(Long, Long, Long, Long, Long, Long)]
+    rev.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (cw, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, aw, r) =>
+        cum += r
+        exp = exp :+ ((cw, aw, sizes(cw), r, cum, cum / sizes(cw)))
+      }
+    }
+    val got = Analytics.cohortLtv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+    // per-capita LTV is cumulative: non-decreasing within a cohort
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val l = rows.sortBy(_._2).map(_._5).toSeq
+      assert(l == l.sorted)
+    }
+  }
 }

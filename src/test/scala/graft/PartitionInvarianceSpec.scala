@@ -75,7 +75,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_overlap_join", "q_twap", "q_hhi",
       // two-phase rank + running-token admission against a broadcast
       // budget scalar
-      "corpus_budget")
+      "corpus_budget",
+      // eval rollups: bounded-table shares/cumsums off broadcast totals
+      "text_langid_eval", "q_cohort_ltv")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -446,4 +446,25 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("langid eval matrix equals the regrouped per-doc predictions") {
+    val perDoc = TextOps.langId(spark, sfDir)
+      .select("actual_lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = perDoc.groupBy(identity).map { case ((a, p), g) => (a, p, g.length.toLong) }
+    val totals = perDoc.groupBy(_._1).map { case (a, g) => a -> g.length.toLong }
+    val exp = cells.toSeq.sortBy(x => (x._1, x._2)).map { case (a, p, n) =>
+      (a, p, n, n * 1000000 / totals(a), a == p)
+    }
+    val got = TextOps.langidEval(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == exp)
+    // rows partition the corpus and shares sum to ~1e6 per actual lang
+    assert(got.map(_._3).sum == perDoc.length)
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"$a shares sum $s out of ppm range")
+    }
+  }
 }
