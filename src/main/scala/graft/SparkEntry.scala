@@ -234,6 +234,8 @@ object SparkEntry {
     "corpus_budget" -> ((s, d) => graft.text.CorpusOps.tokenBudget(s, d)),
     "text_langid_eval" -> ((s, d) => TextOps.langidEval(s, d)),
     "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(s, d)),
+    "dedup_cross_source" -> ((s, d) => TextOps.crossSourceDup(s, d)),
+    "mm_dedup_cluster" -> ((s, d) => graft.multimodal.Multimodal.dedupCluster(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3276,5 +3278,53 @@ object SparkEntry {
         |  cum.cum_rev_c // sz.n_users AS ltv_per_user_c
         |FROM cum JOIN sz USING (cohort_wk)
         |ORDER BY cohort_wk, age_wk""".stripMargin,
+
+    "dedup_cross_source" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |j AS (SELECT a_id, b_id FROM p
+        |      WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |d AS (SELECT doc_id, source FROM documents)
+        |SELECT least(da.source, db.source) AS src_lo,
+        |  greatest(da.source, db.source) AS src_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM j JOIN d da ON j.a_id = da.doc_id JOIN d db ON j.b_id = db.doc_id
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+
+    "mm_dedup_cluster" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |   xor(xor(xor(xor(
+        |     ((doc_id // 25) * 2654435761) & ((CAST(1 AS BIGINT) << 60) - 1),
+        |     CASE WHEN doc_id % 5 >= 1 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 1) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 2 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 2) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 3 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 3) % 60 AS INT)) ELSE 0 END),
+        |     CASE WHEN doc_id % 5 >= 4 THEN (CAST(1 AS BIGINT) << CAST((doc_id * 4) % 60 AS INT)) ELSE 0 END) AS phash
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+        |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT d.doc_id,
+        |         least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+        |        FROM documents d LEFT JOIN closure c ON c.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        | doc_id = cluster_id AS is_canonical
+        |FROM lbl ORDER BY doc_id""".stripMargin,
   )
 }

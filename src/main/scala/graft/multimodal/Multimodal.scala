@@ -314,4 +314,26 @@ object Multimodal {
       .select("query", "rank", "doc_id", "score")
       .orderBy("query", "rank")
   }
+
+  /** Media near-dup clustering: connected components over the pHash
+    * chunk-LSH pair graph (`phashPairs`), every asset labeled —
+    * singletons self-label — with cluster size and canonical flag.
+    * This is the decision step a media pipeline executes after pair
+    * detection: keep one rendition per cluster, route the rest to
+    * dedup. Reuses the min-label/pointer-jumping CC loop (one
+    * neighbor-min shuffle per round over O(near-dup nodes), driver
+    * reads one convergence count per round); the recursive-CTE oracle
+    * reproduces the full closure bit-for-bit, so the banding's ≤3-bit
+    * recall guarantee extends to CLUSTER identity, not just pairs. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(spark, dir).select("a_id", "b_id")
+    val labels = graft.text.TextOps.connectedComponents(pairs)
+    val w = Window.partitionBy("cluster_id")
+    graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

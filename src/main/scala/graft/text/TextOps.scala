@@ -112,6 +112,28 @@ object TextOps {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
+  /** Cross-source duplication matrix: near-dup (Jaccard ≥ 0.5) pair
+    * counts rolled up by unordered source pair — "which crawls
+    * overlap", the audit run before mixing sources into one corpus
+    * (two feeds with a fat off-diagonal cell are re-crawls of the same
+    * site; deduplicate BEFORE weighting or the mixture double-counts).
+    * Rides the same inverted-index pair join as `dedup_ngram_jaccard`
+    * (no new shuffle shape); the doc→source map joins each side of the
+    * pair list; the matrix aggregate is bounded by |sources|²; the
+    * canonical cell is (min, max) source name, so within-source
+    * duplication lands on the diagonal. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    jaccardPairs(spark, dir).select("a_id", "b_id")
+      .join(src.toDF("a_id", "a_src"), Seq("a_id"))
+      .join(src.toDF("b_id", "b_src"), Seq("b_id"))
+      .select(least(col("a_src"), col("b_src")).as("src_lo"),
+        greatest(col("a_src"), col("b_src")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Asymmetric shingle containment C(a→b) = |A∩B| / |A| ≥ 0.6: ORDERED
     * pairs where most of a's shingles appear in b — the
     * wholesale-inclusion signal (a quoted/embedded inside b) that

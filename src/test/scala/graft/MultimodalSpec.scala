@@ -142,4 +142,32 @@ class MultimodalSpec extends SparkSpec {
       assert(scenes.min == 1L && scenes.max == g.count(_.getAs[Boolean]("is_cut")))
     }
   }
+
+  test("phash cluster labels equal a union-find over the pair list") {
+    val pairs = Multimodal.phashPairs(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = ids.map(i => i -> find(i)).toMap
+    val sizes = label.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val exp = ids.sorted.map(i =>
+      (i, label(i), sizes(label(i)), i == label(i)))
+    val got = Multimodal.dedupCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == exp.toSeq)
+    // the stub's 25-groups produce real multi-member clusters
+    assert(got.exists(_._3 > 1))
+  }
 }

@@ -77,7 +77,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       // budget scalar
       "corpus_budget",
       // eval rollups: bounded-table shares/cumsums off broadcast totals
-      "text_langid_eval", "q_cohort_ltv")
+      "text_langid_eval", "q_cohort_ltv", "dedup_cross_source",
+      "mm_dedup_cluster")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

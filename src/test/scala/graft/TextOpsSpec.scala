@@ -447,6 +447,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-source dup matrix equals the regrouped jaccard pair list") {
+    val srcs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextOps.dedupNgramJaccard(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case ((lo, hi), g) => (lo, hi, g.length.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = TextOps.crossSourceDup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    // the matrix accounts for every pair exactly once
+    assert(got.map(_._3).sum == pairs.length)
+  }
+
   test("langid eval matrix equals the regrouped per-doc predictions") {
     val perDoc = TextOps.langId(spark, sfDir)
       .select("actual_lang", "pred_lang").collect()
