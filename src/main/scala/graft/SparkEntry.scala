@@ -236,6 +236,11 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(s, d)),
     "dedup_cross_source" -> ((s, d) => TextOps.crossSourceDup(s, d)),
     "mm_dedup_cluster" -> ((s, d) => graft.multimodal.Multimodal.dedupCluster(s, d)),
+    "q_min_cost" -> ((s, d) => Analytics.minCostSupplier(s, d)),
+    "q_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
+    "q_parts_supp" -> ((s, d) => Analytics.partsSuppCount(s, d)),
+    "q_active_users" -> ((s, d) => Analytics.activeUsers(s, d)),
+    "dedup_banding_eval" -> ((s, d) => TextOps.bandingEval(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3326,5 +3331,70 @@ object SparkEntry {
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         | doc_id = cluster_id AS is_canonical
         |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    "q_min_cost" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, MIN(offer_c) AS min_cost_c
+        |         FROM offers GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name,
+        |  b.min_cost_c
+        |FROM offers o
+        |JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_c = b.min_cost_c
+        |JOIN part p ON o.l_partkey = p.p_partkey AND p.p_size <= 14
+        |JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)) AS total_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |top AS (SELECT MAX(total_cp) AS max_cp FROM rev)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_cp AS BIGINT) AS total_rev_cp
+        |FROM rev r CROSS JOIN top t
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_cp = t.max_cp
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_parts_supp" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT pr.l_partkey, pr.l_suppkey FROM pairs pr
+        |       WHERE pr.l_suppkey NOT IN
+        |         (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p.p_brand, p.p_size,
+        |  COUNT(DISTINCT o.l_suppkey) AS supplier_cnt
+        |FROM ok o JOIN part p ON o.l_partkey = p.p_partkey
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |spine AS (SELECT DISTINCT d FROM ud),
+        |wau AS (
+        |  SELECT t.d, COUNT(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT ud.user_id, unnest(generate_series(ud.d, ud.d + 6)) AS d
+        |        FROM ud) u
+        |  JOIN spine t ON u.d = t.d GROUP BY 1),
+        |mau AS (
+        |  SELECT t.d, COUNT(DISTINCT u.user_id) AS mau
+        |  FROM (SELECT ud.user_id, unnest(generate_series(ud.d, ud.d + 27)) AS d
+        |        FROM ud) u
+        |  JOIN spine t ON u.d = t.d GROUP BY 1),
+        |dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        |SELECT dau.d, dau.dau, wau.wau, mau.mau,
+        |  dau.dau * 1000000 // mau.mau AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+        |ORDER BY dau.d""".stripMargin,
   )
 }

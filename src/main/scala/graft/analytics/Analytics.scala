@@ -1967,4 +1967,113 @@ object Analytics {
       .select("cohort_wk", "age_wk", "n_users", "rev_c", "cum_rev_c", "ltv_per_user_c")
       .orderBy("cohort_wk", "age_wk")
   }
+
+  /** Cheapest-supplier-per-part (TPC-H Q2 shape): for each small part
+    * (p_size ≤ 14), the supplier(s) whose best observed line price is
+    * the part-wide minimum. The classic correlated MIN subquery
+    * (`WHERE cost = (SELECT min(cost) ... WHERE partkey = outer)`),
+    * decorrelated the way Catalyst rewrites it: ONE per-(part, supp)
+    * offer aggregate (map-side partial over the fact), ONE per-part min
+    * re-aggregate of that already-small offer table, equi-joined back
+    * on the part key — the fact table is scanned once and never joined
+    * to itself. Dimension enrichment (part filter, supplier, nation)
+    * rides explicit broadcasts; ties emit every witness so the output
+    * is deterministic without arbitrary pick-one semantics. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(cents(col("l_extendedprice"))).as("offer_c"))
+    val best = offers.groupBy("l_partkey")
+      .agg(min("offer_c").as("min_cost_c"))
+    offers.join(best, Seq("l_partkey"))
+      .filter(col("offer_c") === col("min_cost_c"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") <= 14)
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("min_cost_c"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** Top-revenue supplier (TPC-H Q15 shape): quarterly revenue per
+    * supplier, then the supplier(s) matching the GLOBAL maximum — the
+    * `view + WHERE total = (SELECT max(total) FROM view)` pattern. The
+    * revenue view is one map-side-partial aggregate in exact integral
+    * centi-percent units (cents × (100 − discount%), the valueShare
+    * formula); the scalar max is a 1-row aggregate broadcast into a
+    * crossJoin filter — the view is computed ONCE, not once per
+    * comparison, and nothing global ever sorts. Ties all surface. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev_cp").cast("decimal(38,0)")).as("total_cp"))
+    val top = rev.agg(max("total_cp").as("max_cp"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_cp") === col("max_cp"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_cp").cast("long").as("total_rev_cp"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Supplier-diversity report (TPC-H Q16 shape): distinct suppliers
+    * per (brand, size) bucket, EXCLUDING flagged suppliers (negative
+    * account balance — the "complaints" analog). The NOT IN subquery is
+    * a broadcast left-anti join applied to the deduped (part, supp)
+    * pair table — pairs dedup BEFORE any dimension join (the fact
+    * collapses to its distinct key pairs map-side), the exclusion list
+    * is dimension-bounded, and the distinct-count aggregate runs over
+    * the already-small pair table. Output is bounded by |brand×size|. */
+  def partsSuppCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_sk"))
+    pairs.join(broadcast(flagged), col("l_suppkey") === col("bad_sk"), "left_anti")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Exact rolling active users — DAU / WAU(7) / MAU(28) + stickiness
+    * (DAU/MAU) per active day. Rolling DISTINCT cannot ride a window
+    * frame (distinct counts don't sum), and the textbook
+    * spine×user-days range join is O(days·users); the scale shape used
+    * here is BOUNDED CONTRIBUTION FAN-OUT: events first collapse to
+    * distinct (user, day) — the one fact-sized shuffle — then each
+    * user-day explodes to the ≤7 / ≤28 future days it keeps the user
+    * active for, and a per-day distinct-count aggregate does the rest.
+    * Fan-out is the window length (a constant), every join is an
+    * equi-join on the day key, and no state ever exceeds
+    * |users × window|. Stickiness is integral ppm. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val spine = ud.select(col("d")).distinct()
+    def rolling(win: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + (win - 1))).as("d"))
+      .join(spine, Seq("d"), "left_semi")
+      .groupBy("d").agg(countDistinct(col("user_id")).as(name))
+    ud.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+      .join(rolling(7, "wau"), Seq("d"))
+      .join(rolling(28, "mau"), Seq("d"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+      .orderBy("d")
+  }
 }

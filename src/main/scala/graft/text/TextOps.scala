@@ -382,16 +382,75 @@ object TextOps {
     * 128-buffer aggregate, no intermediate (doc, shingle) relation),
     * then 32×4 banding via multi-arg hash() over signature slots —
     * every operator stays inside WholeStageCodegen. */
-  private[graft] def bandedMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = shingledDocs(spark, dir)
+  private[graft] def bandedMinhash(spark: SparkSession, dir: String): DataFrame =
+    bandSlots(minhashSigs(spark, dir), 32, 4)
+
+  /** (doc_id, sig[128]) minhash signature table. */
+  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    shingledDocs(spark, dir)
       .select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
+
+  /** Generalized banding: `nBands` bands of `rowsPer` consecutive
+    * signature slots, each hashed to one bucket key. Slicing is
+    * HIERARCHICAL (band i covers slots [i·r, i·r+r)), so a coarser
+    * config's band is a concatenation of finer-config bands — the
+    * subset law the banding-eval spec pins. */
+  private[graft] def bandSlots(sigs: DataFrame, nBands: Int, rowsPer: Int): DataFrame =
     sigs.select(col("doc_id"),
-        explode(array((0 until 32).map(i =>
+        explode(array((0 until nBands).map(i =>
           struct(lit(i).as("band_id"),
-            hash((i * 4 until i * 4 + 4).map(j =>
+            hash((i * rowsPer until i * rowsPer + rowsPer).map(j =>
               element_at(col("sig"), j + 1)): _*).as("band_hash"))): _*)).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+
+  /** Distinct candidate pairs for one (bands × rows) LSH config —
+    * in-bucket expansion, identical to the dedupMinhash candidate
+    * stage. */
+  private[graft] def bandedPairsConf(sigs: DataFrame, nBands: Int, rowsPer: Int): DataFrame =
+    bandSlots(sigs, nBands, rowsPer)
+      .groupBy("band_id", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+
+  /** MinHash banding S-curve report — the (bands, rows-per-band)
+    * tuning table a pipeline reads BEFORE committing a corpus to an
+    * LSH config: for each config over the SAME 128-slot signatures,
+    * candidate volume and recall/precision in exact ppm against the
+    * exact-Jaccard (≥ 0.5) pair truth. Candidate generation per config
+    * is the production bucket shuffle (never all-pairs); signatures
+    * and truth are computed ONCE and pinned (localCheckpoint) across
+    * the four configs; the report is 4 rows. More rows per band ⇒
+    * fewer, higher-precision candidates — the S-curve the
+    * b·r = 128 family traces. Rows-only (minhash is engine-specific);
+    * the spec pins the hierarchical subset law and recall monotonicity
+    * against the exact pair oracle. */
+  def bandingEval(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir).localCheckpoint(true)
+    val truth = jaccardPairs(spark, dir).select("a_id", "b_id").localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val configs = Seq((32, 4), (16, 8), (8, 16), (4, 32))
+    configs.map { case (b, r) =>
+      val cand = bandedPairsConf(sigs, b, r)
+      val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_true_pairs")))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true_pairs"))
+    }.reduce(_.unionAll(_))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall_ppm",
+        expr("n_true_pairs * 1000000 div nullif(n_truth, 0)"))
+      .withColumn("precision_ppm",
+        expr("n_true_pairs * 1000000 div nullif(n_candidates, 0)"))
+      .select("n_bands", "rows_per_band", "n_candidates", "n_true_pairs",
+        "recall_ppm", "precision_ppm")
+      .orderBy("rows_per_band")
   }
 
   /** 64-bit SimHash near-dup pairs: the fused simhash64 expression

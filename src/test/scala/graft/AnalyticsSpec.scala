@@ -519,4 +519,102 @@ class AnalyticsSpec extends SparkSpec {
       assert(l == l.sorted)
     }
   }
+
+  test("min-cost supplier equals the sequential correlated-min over offers") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val offers = li.groupBy(x => (x._1, x._2))
+      .map { case (k, g) => (k._1, k._2, g.map(_._3).min) }.toSeq
+    val best = offers.groupBy(_._1).map { case (p, g) => p -> g.map(_._3).min }
+    val parts = graft.sources.Tables.part(spark, sfDir)
+      .filter(col("p_size") <= 14).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val supp = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nations = graft.sources.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val exp = offers.filter(o => o._3 == best(o._1) && parts.contains(o._1))
+      .map { o =>
+        val (sn, nk) = supp(o._2)
+        (o._1, parts(o._1), o._2, sn, nations(nk), o._3)
+      }.sortBy(x => (x._1, x._3))
+    val got = Analytics.minCostSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("top supplier equals the sequential scalar-max over quarterly revenue") {
+    import org.apache.spark.sql.functions._
+    val lo = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli * 1000
+    val hi = java.time.Instant.parse("1997-04-01T00:00:00Z").toEpochMilli * 1000
+    val rev = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("ship_us"),
+        expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))""").as("cp"))
+      .collect()
+      .filter { r => val t = r.getLong(1); t >= lo && t < hi }
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(x => BigInt(x._2)).sum }
+    val mx = rev.values.max
+    val names = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = rev.filter(_._2 == mx).toSeq
+      .map { case (s, v) => (s, names(s), v.toLong) }.sortBy(_._1)
+    val got = Analytics.topSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("parts-supplier diversity equals the sequential anti-joined distinct count") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val bad = graft.sources.Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey").collect()
+      .map(_.getLong(0)).toSet
+    val dims = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val exp = pairs.filter(p => !bad(p._2))
+      .map(p => (dims(p._1)._1, dims(p._1)._2, p._2)).distinct
+      .groupBy(x => (x._1, x._2))
+      .map { case (k, g) => (k._1, k._2, g.length.toLong) }
+      .toSeq.sortBy(x => (-x._3, x._1, x._2))
+    val got = Analytics.partsSuppCount(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("active users: rolling distinct windows equal the sequential definition") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val exp = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(x => x._2 <= d && x._2 >= d - 6).map(_._1).distinct.length.toLong
+      val mau = ud.filter(x => x._2 <= d && x._2 >= d - 27).map(_._1).distinct.length.toLong
+      (d, dau, wau, mau, dau * 1000000L / mau)
+    }.toSeq
+    val got = Analytics.activeUsers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+    // containment: dau <= wau <= mau everywhere
+    got.foreach { x => assert(x._2 <= x._3 && x._3 <= x._4) }
+  }
 }

@@ -78,7 +78,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "corpus_budget",
       // eval rollups: bounded-table shares/cumsums off broadcast totals
       "text_langid_eval", "q_cohort_ltv", "dedup_cross_source",
-      "mm_dedup_cluster")
+      "mm_dedup_cluster", "q_min_cost", "q_top_supplier", "q_parts_supp",
+      "q_active_users", "dedup_banding_eval")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -486,4 +486,33 @@ class TextOpsSpec extends SparkSpec {
         s"$a shares sum $s out of ppm range")
     }
   }
+
+  test("banding S-curve: hierarchical subset law + report consistency") {
+    val sigs = TextOps.minhashSigs(spark, sfDir).localCheckpoint(true)
+    def pairsOf(b: Int, r: Int) = TextOps.bandedPairsConf(sigs, b, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val byConf = Map((32, 4) -> pairsOf(32, 4), (16, 8) -> pairsOf(16, 8),
+      (8, 16) -> pairsOf(8, 16), (4, 32) -> pairsOf(4, 32))
+    // aligned hierarchical slicing: a coarser (more-rows) band match
+    // implies every finer sub-band matches, so candidate sets nest
+    assert(byConf((16, 8)).subsetOf(byConf((32, 4))))
+    assert(byConf((8, 16)).subsetOf(byConf((16, 8))))
+    assert(byConf((4, 32)).subsetOf(byConf((8, 16))))
+    assert(byConf((32, 4)).nonEmpty)
+    val truth = TextOps.dedupNgramJaccard(spark, sfDir).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val report = TextOps.bandingEval(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(report.length == 4)
+    for ((b, r, nCand, nTrue, recall, _) <- report) {
+      val cand = byConf((b, r))
+      assert(nCand == cand.size.toLong, s"($b,$r) candidate count")
+      assert(nTrue == cand.intersect(truth).size.toLong, s"($b,$r) true pairs")
+      assert(recall == nTrue * 1000000L / truth.size, s"($b,$r) recall")
+    }
+    // the S-curve: recall never increases as rows-per-band grows
+    val recalls = report.sortBy(_._2).map(_._5).toSeq
+    assert(recalls == recalls.sorted.reverse)
+  }
 }
