@@ -241,6 +241,9 @@ object SparkEntry {
     "q_parts_supp" -> ((s, d) => Analytics.partsSuppCount(s, d)),
     "q_active_users" -> ((s, d) => Analytics.activeUsers(s, d)),
     "dedup_banding_eval" -> ((s, d) => TextOps.bandingEval(s, d)),
+    "q_shortest_path" -> ((s, d) => graft.ops.PageRank.shortestPath(s, d)),
+    "q_f1_sweep" -> ((s, d) => graft.analytics.MlEval.f1Sweep(s, d)),
+    "vec_drift" -> ((s, d) => graft.vector.VectorOps.vecDrift(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3396,5 +3399,95 @@ object SparkEntry {
         |  dau.dau * 1000000 // mau.mau AS stickiness_ppm
         |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
         |ORDER BY dau.d""".stripMargin,
+
+    "q_shortest_path" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst,
+        |        COUNT(DISTINCT l_orderkey) AS cnt
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       GROUP BY 1, 2),
+        |ed AS (SELECT src, dst, CAST(1 + 1000000 // cnt AS BIGINT) AS w FROM e0
+        |       UNION ALL
+        |       SELECT dst, src, CAST(1 + 1000000 // cnt AS BIGINT) FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM ed),
+        |seeds AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+        |          WHERE c_nationkey = 0),
+        |loops AS (SELECT node AS src, node AS dst, CAST(0 AS BIGINT) AS w
+        |          FROM nodes
+        |          UNION
+        |          SELECT node, node, CAST(0 AS BIGINT) FROM seeds),
+        |re AS (SELECT * FROM ed UNION ALL SELECT * FROM loops),
+        |sp(iter, node, dist) AS (
+        |  SELECT 0, node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION ALL
+        |  SELECT p.iter + 1, e.dst, CAST(MIN(p.dist + e.w) AS BIGINT)
+        |  FROM sp p JOIN re e ON e.src = p.node
+        |  WHERE p.iter < 6
+        |  GROUP BY p.iter, e.dst
+        |)
+        |SELECT node, dist FROM sp WHERE iter = 6 ORDER BY node""".stripMargin,
+
+    "q_f1_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS word FROM d),
+        |b AS (SELECT doc_id,
+        |       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+        |       FROM generate_series(0, 1023) AS g(i)),
+        |sc AS (SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS s
+        |       FROM b JOIN wt USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT sc.s, (docs.lang = 'en') AS is_pos
+        |        FROM sc JOIN documents docs USING (doc_id)),
+        |g AS (SELECT s, CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |       CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |      FROM lab GROUP BY s),
+        |r AS (SELECT *,
+        |       COALESCE(SUM(np) OVER (ORDER BY s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+        |       COALESCE(SUM(nn) OVER (ORDER BY s
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |      FROM g),
+        |tt AS (SELECT COALESCE(SUM(np), 0) AS tot_pos,
+        |        COALESCE(SUM(nn), 0) AS tot_neg FROM g),
+        |x AS (SELECT s AS thresh_milli,
+        |       CAST(tot_pos - pb AS BIGINT) AS tp,
+        |       CAST(tot_neg - nb AS BIGINT) AS fp,
+        |       CAST(pb AS BIGINT) AS fn, tot_pos
+        |      FROM r CROSS JOIN tt),
+        |y AS (SELECT thresh_milli, tp, fp, fn,
+        |       CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+        |       CAST(tp * 1000000 // nullif(tot_pos, 0) AS BIGINT) AS recall_ppm,
+        |       CAST(2 * tp * 1000000 // nullif(2 * tp + fp + fn, 0) AS BIGINT) AS f1_ppm
+        |      FROM x),
+        |mx AS (SELECT MAX(f1_ppm) AS mf FROM y)
+        |SELECT thresh_milli, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm,
+        | (f1_ppm = mf) AS is_best
+        |FROM y CROSS JOIN mx ORDER BY thresh_milli""".stripMargin,
+
+    "vec_drift" ->
+      """WITH m AS (SELECT vec_id, label, (vec_id % 2 = 0) AS is_a,
+        |       list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |e AS (SELECT label, is_a, unnest(generate_series(1, len(mv))) AS p, mv FROM m),
+        |cp AS (SELECT label, is_a, p, COUNT(*) AS n, SUM(mv[p]) AS s FROM e GROUP BY 1, 2, 3),
+        |c AS (SELECT label, is_a, p,
+        |       CAST((s + n * 10000000) // n - 10000000 AS BIGINT) AS cv FROM cp),
+        |w AS (SELECT label, p,
+        |       MAX(CASE WHEN is_a THEN cv END) AS ca,
+        |       MAX(CASE WHEN NOT is_a THEN cv END) AS cb
+        |      FROM c GROUP BY 1, 2),
+        |dr AS (SELECT label, CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS drift_d2
+        |       FROM w WHERE ca IS NOT NULL AND cb IS NOT NULL GROUP BY 1),
+        |cnt AS (SELECT label,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |       FROM embeddings GROUP BY 1)
+        |SELECT cnt.label, cnt.n_a, cnt.n_b, dr.drift_d2
+        |FROM cnt LEFT JOIN dr USING (label) ORDER BY label""".stripMargin,
   )
 }

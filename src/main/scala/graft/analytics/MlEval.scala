@@ -295,4 +295,50 @@ object MlEval {
       .select("event_type", "n_a", "n_b", "n_buckets", "tvd_ppm")
       .orderBy("event_type")
   }
+
+  /** Operating-point sweep: exact TP/FP/FN + precision/recall/F1 (ppm)
+    * at EVERY distinct classifier score as the ≥-threshold — the table
+    * a pipeline reads to pick its filter cutoff (the thresholded
+    * companion of the threshold-free q_auc / q_pr_auc curves), with the
+    * best-F1 row(s) flagged. Same shape discipline as aucScore: one
+    * combinable group-by-distinct-score aggregate (output bounded by
+    * distinct logits, never corpus-sized), cumulative
+    * below-the-threshold counts via the two-phase cell pattern (no
+    * single-task global window), totals and the F1 max as 1-row
+    * broadcast crossJoins. All-integer ppm — both engines agree
+    * bit-for-bit. */
+  def f1Sweep(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = labeledScores(spark, dir)
+      .groupBy(col("logit_milli").as("s"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("is_pos"), 1L).otherwise(0L)).as("nn"))
+    val tot = byScore.agg(coalesce(sum("np"), lit(0L)).as("tot_pos"),
+      coalesce(sum("nn"), lit(0L)).as("tot_neg"))
+    val inCell = Window.partitionBy("_c").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, -1)
+    val b = byScore.withColumn("_c", expr("s div 1000"))
+    val offsets = b.groupBy("_c")
+      .agg(sum("np").as("_np"), sum("nn").as("_nn"))
+      .withColumn("_offp", coalesce(sum("_np").over(offW), lit(0L)))
+      .withColumn("_offn", coalesce(sum("_nn").over(offW), lit(0L)))
+      .select("_c", "_offp", "_offn")
+    val swept = b
+      .withColumn("_inp", coalesce(sum("np").over(inCell), lit(0L)))
+      .withColumn("_inn", coalesce(sum("nn").over(inCell), lit(0L)))
+      .join(broadcast(offsets), Seq("_c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tp", col("tot_pos") - (col("_offp") + col("_inp")))
+      .withColumn("fp", col("tot_neg") - (col("_offn") + col("_inn")))
+      .withColumn("fn", col("_offp") + col("_inp"))
+      .withColumn("precision_ppm", expr("tp * 1000000 div nullif(tp + fp, 0)"))
+      .withColumn("recall_ppm", expr("tp * 1000000 div nullif(tot_pos, 0)"))
+      .withColumn("f1_ppm", expr("2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0)"))
+    val best = swept.agg(max("f1_ppm").as("_best"))
+    swept.crossJoin(broadcast(best))
+      .select(col("s").as("thresh_milli"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"),
+        (col("f1_ppm") === col("_best")).as("is_best"))
+      .orderBy("thresh_milli")
+  }
 }

@@ -140,4 +140,50 @@ object PageRank {
     adj.unpersist(blocking = false)
     ranks
   }
+
+  val SpRounds = 6
+
+  /** Bounded weighted shortest path (Bellman-Ford, 6 synchronous
+    * rounds) from the nation-0 customer seed set over the trade graph,
+    * edge weight = 1 + 10⁶ div (shared-order count) — frequent trading
+    * pairs are "close", so the distance is a supply-chain proximity
+    * metric, the weighted twin of `bfsHops`. After k rounds the vector
+    * is EXACTLY min path weight over ≤ k edges (the Bellman-Ford
+    * invariant), so a bounded recursive-CTE oracle (with explicit
+    * 0-weight self-loops standing in for the carry-forward min)
+    * reproduces it bit-for-bit — all-integer weights, no FP.
+    *
+    * Scale shape (the repo's iterative discipline): the weighted edge
+    * list is built once, src-partitioned and cached; each round
+    * shuffles only the frontier-sized dist vector into it
+    * (SHUFFLE_HASH — the cached side never re-sorts), relaxation is
+    * union + min-aggregate (map-side combinable), and a per-round
+    * localCheckpoint stops lineage doubling. No driver action at all. */
+  def shortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(countDistinct(col("l_orderkey")).as("cnt"))
+    val ew = e0.select(col("src"), col("dst"),
+      expr("CAST(1 + 1000000 div cnt AS BIGINT)").as("w"))
+    val edges = ew
+      .unionByName(ew.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src"))
+      .persist()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+      .distinct()
+    var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to SpRounds) {
+      dist = edges.join(dist.hint("SHUFFLE_HASH"), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(blocking = false)
+    dist.orderBy("node")
+  }
 }

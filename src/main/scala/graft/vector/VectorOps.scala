@@ -1510,4 +1510,40 @@ object VectorOps {
       .select("query_id", "rank", "neighbor_id", "rrf_score", "rank_cos", "rank_dot")
       .orderBy("query_id", "rank")
   }
+
+  /** Embedding-space drift monitor: per-label squared centroid shift
+    * between two deterministic snapshots (vec_id parity stands in for
+    * old/new ingestion batches) — the embedding twin of `q_drift`
+    * (value-histogram TVD): a label whose centroid moves between
+    * snapshots signals upstream encoder or distribution change BEFORE
+    * it corrupts ANN indexes and dedup thresholds downstream. Exact
+    * integer micro units end to end (the shifted-floor-division
+    * centroid idiom from vec_outliers, so Spark `div` and DuckDB `//`
+    * agree on negative sums); the per-(label, snapshot, pos) aggregate
+    * is map-side combinable and |labels|·2·dim-bounded — the corpus is
+    * scanned once and never shuffled. A label missing one snapshot
+    * reports NULL drift. */
+  def vecDrift(spark: SparkSession, dir: String): DataFrame = {
+    val micro = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+    val counts = micro.groupBy("label")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val cent = micro
+      .select(col("label"), col("is_a"), posexplode(col("m")).as(Seq("pos", "v")))
+      .groupBy("label", "is_a", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .withColumn("c", expr("(s + n * 10000000) div n - 10000000"))
+    val drift = cent.groupBy("label", "pos")
+      .agg(max(when(col("is_a"), col("c"))).as("ca"),
+        max(when(!col("is_a"), col("c"))).as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy("label")
+      .agg(sum(expr("(ca - cb) * (ca - cb)")).as("drift_d2"))
+    counts.join(drift, Seq("label"), "left")
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_d2"))
+      .orderBy("label")
+  }
 }

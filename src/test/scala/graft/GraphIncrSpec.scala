@@ -53,6 +53,38 @@ class GraphIncrSpec extends SparkSpec {
       assert(nbrs(n).exists(m => dist.get(m).contains(d - 1)), s"node $n orphan at $d")
   }
 
+  test("weighted shortest path equals sequential Bellman-Ford at 6 rounds") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(countDistinct("l_orderkey").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1L + 1000000L / r.getLong(2)))
+    val edges = e0 ++ e0.map(e => (e._2, e._1, e._3))
+    val seeds = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node")).collect()
+      .map(_.getLong(0)).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to PageRank.SpRounds) {
+      val next = scala.collection.mutable.Map(dist.toSeq: _*)
+      for ((u, v, w) <- edges; du <- dist.get(u)) {
+        val cand = du + w
+        if (!next.contains(v) || next(v) > cand) next(v) = cand
+      }
+      dist = next.toMap
+    }
+    val exp = dist.toSeq.sortBy(_._1)
+    val got = PageRank.shortestPath(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp)
+    assert(exp.exists(_._2 > 0), "never left the seeds")
+    // weighted distances refine hops: any reached node is BFS-reachable
+    val hops = PageRank.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(dist.keySet == hops)
+  }
+
   test("merged base+delta partials equal the one-shot aggregate exactly") {
     val merged = EventsEtl.incrementalAgg(spark, sfDir).collect().toSeq
     val oneShot = graft.sources.Tables.events(spark, sfDir)

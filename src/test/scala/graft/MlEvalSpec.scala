@@ -400,4 +400,61 @@ class MlEvalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == exp)
   }
+
+  test("q_f1_sweep equals the sequential sweep at every distinct score") {
+    val sl = scoresAndLabels()
+    val totPos = sl.count(_._2).toLong
+    val totNeg = sl.size.toLong - totPos
+    val thresholds = sl.map(_._1).distinct.sorted
+    def ppm(n: Long, d: Long): Long = if (d == 0) -1L else n * 1000000L / d
+    val base = thresholds.map { t =>
+      val tp = sl.count(x => x._2 && x._1 >= t).toLong
+      val fp = sl.count(x => !x._2 && x._1 >= t).toLong
+      val fn = totPos - tp
+      (t, tp, fp, fn, ppm(tp, tp + fp), ppm(tp, totPos),
+        ppm(2 * tp, 2 * tp + fp + fn))
+    }
+    val bestF1 = base.map(_._7).max
+    val exp = base.map(x => (x._1, x._2, x._3, x._4, x._5, x._6, x._7, x._7 == bestF1))
+    val got = MlEval.f1Sweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty && exp.exists(_._8))
+    // recall is monotone nonincreasing in the threshold
+    val recalls = got.map(_._6).toSeq
+    assert(recalls == recalls.sorted.reverse)
+    // the lowest threshold keeps everything: recall = 1
+    assert(got.head._6 == 1000000L)
+  }
+
+  test("vec_drift equals the sequential per-label parity-snapshot centroids") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+    def centroid(vs: Seq[Seq[Long]]): Seq[Long] = {
+      val n = vs.size.toLong
+      vs.transpose.map { col =>
+        val s = col.sum
+        (s + n * 10000000L) / n - 10000000L
+      }
+    }
+    val exp = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (lbl, g) =>
+      val a = g.filter(_._1 % 2 == 0).map(_._3)
+      val b = g.filter(_._1 % 2 != 0).map(_._3)
+      val drift = if (a.isEmpty || b.isEmpty) None
+        else Some(centroid(a).zip(centroid(b)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      (lbl, a.size.toLong, b.size.toLong, drift)
+    }
+    val got = graft.vector.VectorOps.vecDrift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty && exp.exists(_._4.exists(_ > 0)))
+  }
 }
