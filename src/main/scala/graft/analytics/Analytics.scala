@@ -2017,6 +2017,9 @@ object Analytics {
           (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
       .groupBy("l_suppkey")
       .agg(sum(col("rev_cp").cast("decimal(38,0)")).as("total_cp"))
+      // two consumers (scalar max + the filtered base): pin the
+      // supplier-bounded view once so the fact scan runs once
+      .localCheckpoint(true)
     val top = rev.agg(max("total_cp").as("max_cp"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_cp") === col("max_cp"))

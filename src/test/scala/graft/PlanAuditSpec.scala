@@ -394,4 +394,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"source-index table lost its broadcast:\n${plan.take(1500)}")
   }
+
+  test("min-cost decorrelation: fact scanned via aggregates, dims broadcast, no SMJ on dims") {
+    val plan = executed(Analytics.minCostSupplier(spark, sfDir))
+    // the three dimension joins (part/supplier/nation) ride broadcasts
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast dim joins, got $bhj:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("top supplier: scalar max rides a 1-row broadcast, the view computes once") {
+    val plan = executed(Analytics.topSupplier(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"scalar max lost its broadcast:\n${plan.take(1500)}")
+    // the supplier-bounded revenue view is pinned once: the final plan
+    // reads the checkpointed view, never re-scanning the fact file for
+    // the scalar-max leg
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 0 && plan.contains("ExistingRDD"),
+      s"expected the pinned view, got $scans fact scans:\n${plan.take(1200)}")
+  }
+
+  test("active users: distinct fan-out plan has no window and bounded explodes") {
+    val plan = executed(Analytics.activeUsers(spark, sfDir))
+    assert(!plan.contains("Window"), s"rolling distinct regressed to a window:\n${plan.take(1200)}")
+    val gens = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(gens == 2, s"expected 2 bounded sequence explodes, got $gens")
+  }
+
+  test("f1 sweep windows are cell-partitioned with broadcast offsets and totals") {
+    val plan = executed(graft.analytics.MlEval.f1Sweep(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar totals lost their broadcast:\n${plan.take(1500)}")
+    // the offset/total tables ride broadcast joins
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("vec drift: corpus scanned once for centroids, never joined to itself") {
+    val plan = executed(graft.vector.VectorOps.vecDrift(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"drift grew a product join:\n${plan.take(1500)}")
+    // the drift join keys on the bounded label table, not vec_id
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounded label join fell back to SMJ:\n${plan.take(1500)}")
+  }
 }
