@@ -244,6 +244,9 @@ object SparkEntry {
     "q_shortest_path" -> ((s, d) => graft.ops.PageRank.shortestPath(s, d)),
     "q_f1_sweep" -> ((s, d) => graft.analytics.MlEval.f1Sweep(s, d)),
     "vec_drift" -> ((s, d) => graft.vector.VectorOps.vecDrift(s, d)),
+    "q_order_priority" -> ((s, d) => Analytics.orderPriority(s, d)),
+    "q_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
+    "q_top_percent" -> ((s, d) => Analytics.topPercentPerGroup(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3489,5 +3492,46 @@ object SparkEntry {
         |       FROM embeddings GROUP BY 1)
         |SELECT cnt.label, cnt.n_a, cnt.n_b, dr.drift_d2
         |FROM cnt LEFT JOIN dr USING (label) ORDER BY label""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_new_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |grid AS (SELECT user_id, d, COUNT(*) AS n_ev FROM ev GROUP BY 1, 2),
+        |f AS (SELECT user_id, MIN(d) AS fd FROM grid GROUP BY 1)
+        |SELECT g.d, CAST(SUM(g.n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN g.d = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(SUM(CASE WHEN g.d <> f.fd THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM grid g JOIN f USING (user_id)
+        |GROUP BY g.d ORDER BY g.d""".stripMargin,
+
+    "q_top_percent" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER
+        |       (PARTITION BY event_type ORDER BY vc DESC, event_id) AS rnk
+        |      FROM ev),
+        |sz AS (SELECT event_type, COUNT(*) AS n_events, SUM(vc) AS sum_all_c
+        |       FROM ev GROUP BY 1)
+        |SELECT r.event_type, CAST(sz.n_events AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS k_top,
+        |  CAST(SUM(r.vc) AS BIGINT) AS sum_top_c,
+        |  CAST(SUM(r.vc) * 1000000 // nullif(CAST(sz.sum_all_c AS BIGINT), 0) AS BIGINT)
+        |    AS share_ppm
+        |FROM r JOIN sz USING (event_type)
+        |WHERE r.rnk <= (sz.n_events + 9) // 10
+        |GROUP BY r.event_type, sz.n_events, sz.sum_all_c
+        |ORDER BY r.event_type""".stripMargin,
   )
 }

@@ -2079,4 +2079,72 @@ object Analytics {
       .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
       .orderBy("d")
   }
+
+  /** Late-order priority report (TPC-H Q4 shape): orders in one
+    * quarter that had AT LEAST ONE line shipped > 60 days after the
+    * order date, counted by priority. The correlated EXISTS (its
+    * predicate references BOTH the outer order date and the inner ship
+    * date) is one left-semi equi-join on the order key with the date
+    * comparison as the residual condition — per-key work bounded by
+    * order width, the quarter filter prunes the probe side at the
+    * scan, and the rollup output is |priorities|-bounded. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        datediff(col("l_shipdate"), col("o_orderdate")) > 60, "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** New-vs-returning daily split: per active day, distinct first-time
+    * users vs returning users plus event volume — the acquisition/
+    * retention headline a DAU chart decomposes into. One per-user min
+    * aggregate (map-side combinable) equi-joined back to the deduped
+    * (user, day) grid on the user key; no windows, no fan-out; the
+    * per-day rollup is days-bounded. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val grid = ev.groupBy("user_id", "d").agg(count(lit(1)).as("n_ev"))
+    val first = grid.groupBy("user_id").agg(min("d").as("fd"))
+    grid.join(first, Seq("user_id"))
+      .groupBy("d")
+      .agg(sum("n_ev").as("n_events"),
+        sum(when(col("d") === col("fd"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") =!= col("fd"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy("d")
+  }
+
+  /** Top-k-PERCENT per group (k = ⌈10%⌉ of the group, value-ranked):
+    * the dynamic-k variant the fixed top-n operators can't express —
+    * per-type revenue concentration of the heaviest decile. Ranking
+    * rides the generalized two-phase row_number (value-range cells +
+    * broadcast per-cell offsets — no one-task-per-type window); the
+    * per-type count that fixes k is a bounded aggregate broadcast back;
+    * the report is |types|-bounded with exact cents and ppm share. */
+  def topPercentPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    val ranked = twoPhaseRowNumber(ev, Seq("event_type"), "vc", "event_id",
+      expr("vc div 1000"), asc = false, out = "rnk")
+    val sizes = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_all_c"))
+    ranked.join(broadcast(sizes), Seq("event_type"))
+      .filter(col("rnk") <= expr("(n_events + 9) div 10"))
+      .groupBy("event_type")
+      .agg(max("n_events").as("n_events"),
+        count(lit(1)).as("k_top"),
+        sum("vc").as("sum_top_c"),
+        max("sum_all_c").as("sum_all_c"))
+      .withColumn("share_ppm", expr("sum_top_c * 1000000 div nullif(sum_all_c, 0)"))
+      .select("event_type", "n_events", "k_top", "sum_top_c", "share_ppm")
+      .orderBy("event_type")
+  }
 }

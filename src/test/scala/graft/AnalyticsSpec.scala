@@ -617,4 +617,76 @@ class AnalyticsSpec extends SparkSpec {
     // containment: dau <= wau <= mau everywhere
     got.foreach { x => assert(x._2 <= x._3 && x._3 <= x._4) }
   }
+
+  test("order priority equals the sequential correlated-exists count") {
+    import org.apache.spark.sql.functions._
+    val lo = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli * 1000
+    val hi = java.time.Instant.parse("1997-04-01T00:00:00Z").toEpochMilli * 1000
+    val ords = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od_us"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(o => o._2 >= lo && o._2 < hi)
+    val shipDays = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val exp = ords.filter { o =>
+      val od = o._2 / 86400000000L
+      shipDays.getOrElse(o._1, Seq.empty[Long]).exists(_ - od > 60)
+    }.groupBy(_._3).map { case (p, g) => (p, g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Analytics.orderPriority(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("new-vs-returning split conserves daily actives and events") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val exp = ud.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, g) =>
+      val users = g.map(_._1).distinct
+      (d, g.length.toLong,
+        users.count(u => first(u) == d).toLong,
+        users.count(u => first(u) != d).toLong)
+    }
+    val got = Analytics.newVsReturning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // new-user counts across all days sum to the distinct user count
+    assert(got.map(_._3).sum == ud.map(_._1).distinct.length.toLong)
+    assert(exp.exists(_._4 > 0))
+  }
+
+  test("top-percent-per-group equals the sequential dynamic-k selection") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val n = g.length.toLong
+      val k = (n + 9) / 10
+      val top = g.sortBy(x => (-x._3, x._2)).take(k.toInt)
+      val sumTop = top.map(_._3).sum
+      val sumAll = g.map(_._3).sum
+      (t, n, k, sumTop,
+        if (sumAll == 0) -1L else sumTop * 1000000L / sumAll)
+    }
+    val got = Analytics.topPercentPerGroup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+    // the top decile of a positive-valued stream holds >= its share
+    got.foreach { x => assert(x._5 >= 100000L, s"decile share ${x._5}") }
+  }
 }
