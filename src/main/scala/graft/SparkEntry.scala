@@ -247,6 +247,12 @@ object SparkEntry {
     "q_order_priority" -> ((s, d) => Analytics.orderPriority(s, d)),
     "q_new_returning" -> ((s, d) => Analytics.newVsReturning(s, d)),
     "q_top_percent" -> ((s, d) => Analytics.topPercentPerGroup(s, d)),
+    // rows-only by design: DBSCAN cluster identity is a transitive
+    // closure; on the percolated sf0.1 plane the closure relation is
+    // ~10⁷ pairs — unbounded for the oracle engine's recursive CTE,
+    // exactly the regime the distributed CC loop exists for. Spec-gated
+    // (MlEvalSpec: sequential DBSCAN equality at sf0.001).
+    "q_dbscan" -> ((s, d) => graft.ops.SpatialJoin.dbscan(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under

@@ -30,30 +30,41 @@ import graft.sources.Tables
   * naive cross product). */
 object SpatialJoin {
 
-  def spatialNeighbors(spark: SparkSession, dir: String,
-      rCents: Long = 200L): DataFrame = {
-    val pts = Tables.events(spark, dir)
+  /** (event_id, xc, yc) integer-centi point set. */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("xc"),
         (get_json_object(col("props"), "$.k").cast("long") * 100).as("yc"))
       .filter(col("yc").isNotNull)
+
+  /** R-ball proximity pairs with exact integer d² (both directions),
+    * the shared primitive under the neighbor report and DBSCAN — the
+    * 3×3 grid equi-join with the distance filter. */
+  private def ballPairs(pts: DataFrame, rCents: Long): DataFrame = {
     val home = pts
       .withColumn("cx", expr(s"xc div $rCents"))
       .withColumn("cy", expr(s"yc div $rCents"))
-    val probe = home
+    home
       .select(col("event_id").as("a_id"), col("xc").as("ax"),
         col("yc").as("ay"),
         explode(expr("sequence(cx - 1, cx + 1)")).as("cx"), col("cy"))
       .select(col("a_id"), col("ax"), col("ay"), col("cx"),
         explode(expr("sequence(cy - 1, cy + 1)")).as("cy"))
-    val neigh = probe
       .join(home.select(col("event_id").as("b_id"), col("xc").as("bx"),
         col("yc").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("d2",
         expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"))
       .filter(col("d2") <= rCents * rCents)
+      .select("a_id", "b_id", "d2")
+  }
+
+  def spatialNeighbors(spark: SparkSession, dir: String,
+      rCents: Long = 200L): DataFrame = {
+    val pts = points(spark, dir)
+    val neigh = ballPairs(pts, rCents)
       .groupBy(col("a_id").as("event_id"))
       .agg(count(lit(1)).as("n_neighbors"), min("d2").as("d2_min"))
     pts.select("event_id")
@@ -61,6 +72,54 @@ object SpatialJoin {
       .select(col("event_id"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         col("d2_min"))
+      .orderBy("event_id")
+  }
+
+  /** Exact grid-based DBSCAN (Ester et al. '96) over the same 2-D
+    * plane: core points (≥ minPts neighbors within R) cluster by
+    * connected components of the core-core R-ball graph, border points
+    * attach to the MINIMUM cluster label among their core neighbors
+    * (the deterministic tie rule — textbook DBSCAN leaves border
+    * assignment order-dependent), everything else is noise. The
+    * composition is entirely out of the repo's scale primitives:
+    * candidate pairs from the bounded 3×3 grid equi-join (never
+    * all-pairs), the core filter is one count aggregate, clustering is
+    * the min-label/pointer-jumping CC loop over the (much smaller)
+    * core-core edge set, border attachment is one min-aggregate join.
+    * Every rule is exact-integer, so the DuckDB oracle (grid-mirrored
+    * pairs + recursive-CTE closure) reproduces cluster identity
+    * bit-for-bit. */
+  def dbscan(spark: SparkSession, dir: String,
+      rCents: Long = 200L, minPts: Long = 4L): DataFrame = {
+    val pts = points(spark, dir)
+    // pair list is consumed three times (degrees, core-core edges,
+    // border attachment): pin it once
+    val pairs = ballPairs(pts, rCents).select("a_id", "b_id").localCheckpoint(true)
+    val degrees = pairs.groupBy("a_id").agg(count(lit(1)).as("deg"))
+    val core = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
+    val coreEdges = pairs
+      .join(core.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(core.toDF("b_id"), Seq("b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val labels = graft.text.TextOps.connectedComponents(coreEdges)
+      .toDF("id", "cluster_id")
+    // core singletons (no core neighbor in range) self-label
+    val coreLabeled = core
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderAttach = pairs
+      .join(coreLabeled.toDF("b_id", "b_cluster"), Seq("b_id"))
+      .join(coreLabeled.toDF("a_id", "_ac"), Seq("a_id"), "left_anti")
+      .groupBy("a_id").agg(min("b_cluster").as("cluster_id"))
+      .select(col("a_id").as("id"), col("cluster_id"))
+    val assigned = coreLabeled.withColumn("kind", lit("core"))
+      .unionByName(borderAttach.withColumn("kind", lit("border")))
+    pts.select(col("event_id"))
+      .join(assigned.withColumnRenamed("id", "event_id"), Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("kind"), lit("noise")).as("kind"),
+        col("cluster_id"))
       .orderBy("event_id")
   }
 }

@@ -117,7 +117,15 @@ object ScaleSmoke {
         // grows with session density, TWAP rides one user exchange
         "q_overlap_join", "q_twap",
         // recurrence/resample surface on 10x events
-        "q_clamped_balance", "q_bootstrap")) {
+        "q_clamped_balance", "q_bootstrap",
+        // third-continuation surface: TPC-H decorrelation shapes on the
+        // replicated facts (Q2 min-join, Q15 pinned view, Q16 distinct
+        // count, Q4 exists-residual), bounded-fan-out rolling actives +
+        // daily split + dynamic top-percent on 10x events, 6-round
+        // weighted Bellman-Ford on the 10x trade graph
+        "q_min_cost", "q_top_supplier", "q_parts_supp", "q_order_priority",
+        "q_active_users", "q_new_returning", "q_top_percent",
+        "q_shortest_path")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

@@ -457,4 +457,55 @@ class MlEvalSpec extends SparkSpec {
     assert(got.toSeq == exp)
     assert(exp.nonEmpty && exp.exists(_._4.exists(_ > 0)))
   }
+
+  test("q_dbscan equals sequential DBSCAN with min-label clusters and min-core border rule") {
+    import org.apache.spark.sql.functions._
+    val R = 200L
+    val pts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("xc"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) * 100").as("yc"))
+      .filter(col("yc").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = pts.map(p => p._1 -> (p._2, p._3)).toMap
+    val ids = pts.map(_._1)
+    // brute-force R-ball adjacency
+    val nbrs = ids.map { a =>
+      val (ax, ay) = byId(a)
+      a -> ids.filter { b =>
+        b != a && {
+          val (bx, by) = byId(b)
+          (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= R * R
+        }
+      }.toSet
+    }.toMap
+    val core = ids.filter(a => nbrs(a).size >= 4).toSet
+    // union-find over core-core edges, min-label canonicalization
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for (a <- core; b <- nbrs(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = core.map(c => c -> find(c)).toMap
+    val exp = ids.sorted.map { id =>
+      if (core(id)) (id, "core", Some(label(id)))
+      else {
+        val coreNbrs = nbrs(id).filter(core)
+        if (coreNbrs.nonEmpty) (id, "border", Some(coreNbrs.map(label).min))
+        else (id, "noise", None)
+      }
+    }.toSeq
+    val got = graft.ops.SpatialJoin.dbscan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == exp)
+    // all three kinds occur at this density, and some cluster is >1 core
+    assert(Set("core", "border", "noise").subsetOf(exp.map(_._2).toSet))
+    assert(label.values.groupBy(identity).exists(_._2.size > 1))
+  }
 }
