@@ -253,6 +253,9 @@ object SparkEntry {
     // exactly the regime the distributed CC loop exists for. Spec-gated
     // (MlEvalSpec: sequential DBSCAN equality at sf0.001).
     "q_dbscan" -> ((s, d) => graft.ops.SpatialJoin.dbscan(s, d)),
+    "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
+    "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
+    "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3539,5 +3542,52 @@ object SparkEntry {
         |WHERE r.rnk <= (sz.n_events + 9) // 10
         |GROUP BY r.event_type, sz.n_events, sz.sum_all_c
         |ORDER BY r.event_type""".stripMargin,
+
+    "q14_promo" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp,
+        |    starts_with(p.p_brand, 'Brand#1') AS is_promo
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+        |SELECT CAST(SUM(CASE WHEN is_promo THEN rev_cp ELSE 0 END) AS BIGINT)
+        |    AS promo_rev_cp,
+        |  CAST(SUM(rev_cp) AS BIGINT) AS total_rev_cp,
+        |  CAST(SUM(CASE WHEN is_promo THEN rev_cp ELSE 0 END) * 1000000
+        |    // nullif(SUM(rev_cp), 0) AS BIGINT) AS promo_ppm
+        |FROM li""".stripMargin,
+
+    "q10_returns" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |        AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |pc AS (SELECT o.o_custkey, SUM(CAST(li.rev_cp AS HUGEINT)) AS rev
+        |       FROM li JOIN o ON li.l_orderkey = o.o_orderkey GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, n.n_name, CAST(pc.rev AS BIGINT) AS rev_cp
+        |FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY rev_cp DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS HUGEINT))
+        |    AS BIGINT) AS volume_cp
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -2101,6 +2101,85 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Promotion revenue share (TPC-H Q14 shape): the fraction of one
+    * month's discounted revenue from promo-branded parts, as a
+    * CONDITIONAL aggregate — one scan, one (tiny) broadcast dim join,
+    * two sums fused in a single aggregate, exact ppm division at the
+    * end. No second pass for the denominator. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select((cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"),
+        col("p_brand").startsWith("Brand#1").as("is_promo"))
+      .agg(sum(when(col("is_promo"), col("rev_cp")).otherwise(0L)).as("promo_rev_cp"),
+        sum(col("rev_cp")).as("total_rev_cp"))
+      .withColumn("promo_ppm",
+        expr("promo_rev_cp * 1000000 div nullif(total_rev_cp, 0)"))
+
+  /** Returned-revenue customers (TPC-H Q10 shape): top 20 customers by
+    * revenue on returned lineitems in a quarter. The fact filters
+    * (return flag + date window) prune at the scan, the per-customer
+    * aggregate is map-side partial, dimension enrichment is broadcast,
+    * and the top-20 is a TakeOrdered heap — no global sort of the
+    * customer table. */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    li.join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_cp").cast("decimal(38,0)")).as("rev"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("long").as("rev_cp"))
+      .orderBy(col("rev_cp").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Bi-nation shipping volume (TPC-H Q7 shape): yearly discounted
+    * revenue between every ordered (supplier nation → customer nation)
+    * pair, nations distinct. The fact joins its two key dimensions
+    * once each (orders by key — data-scaled, hash join; customer /
+    * supplier / nation broadcast), the year comes off the ship date,
+    * and the rollup output is bounded by |nations|²·|years|. The
+    * classic multi-join volume query: every join is an equi-join, the
+    * only data-scaled shuffle is the lineitem↔orders key join. */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    val nations = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nations.toDF("sk", "supp_nation"), col("s_nationkey") === col("sk"))
+      .join(nations.toDF("ck", "cust_nation"), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_cp").cast("decimal(38,0)")).cast("long").as("volume_cp"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** New-vs-returning daily split: per active day, distinct first-time
     * users vs returning users plus event volume — the acquisition/
     * retention headline a DAU chart decomposes into. One per-user min

@@ -689,4 +689,86 @@ class AnalyticsSpec extends SparkSpec {
     // the top decile of a positive-valued stream holds >= its share
     got.foreach { x => assert(x._5 >= 100000L, s"decile share ${x._5}") }
   }
+
+  test("promo share equals the sequential conditional aggregate") {
+    import org.apache.spark.sql.functions._
+    val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000
+    val hi = java.time.Instant.parse("1997-04-01T00:00:00Z").toEpochMilli * 1000
+    val brands = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("us"),
+        expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))""").as("cp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => x._2 >= lo && x._2 < hi)
+    val promo = li.filter(x => brands(x._1).startsWith("Brand#1")).map(_._3).sum
+    val total = li.map(_._3).sum
+    val row = Analytics.promoShare(spark, sfDir).collect().head
+    assert(row.getLong(0) == promo && row.getLong(1) == total)
+    assert(row.getLong(2) == promo * 1000000L / total)
+    assert(total > 0 && promo > 0 && promo < total)
+  }
+
+  test("returned revenue top-20 equals the sequential rollup") {
+    import org.apache.spark.sql.functions._
+    val lo = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli * 1000
+    val hi = java.time.Instant.parse("1997-04-01T00:00:00Z").toEpochMilli * 1000
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(o => o._3 >= lo && o._3 < hi)
+      .map(o => o._1 -> o._2).toMap
+    val rev = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("""CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))""").as("cp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(x => orders.get(x._1).map(c => (c, x._2)))
+      .groupBy(_._1).view.mapValues(g => g.map(x => BigInt(x._2)).sum).toMap
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nations = graft.sources.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val exp = rev.toSeq.sortBy(x => (-x._2, x._1)).take(20)
+      .map { case (c, v) =>
+        (c, cust(c)._1, nations(cust(c)._2), v.toLong)
+      }
+    val got = Analytics.returnedRevenue(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("bi-nation volume conserves lines and excludes the diagonal") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.nationVolume(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { x => assert(x._1 != x._2) }
+    // conservation: line counts across all (pairs, years) equal the
+    // cross-nation lineitem population computed independently
+    val nations = graft.sources.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val sup = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> nations(r.getInt(1))).toMap
+    val cst = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> nations(r.getInt(1))).toMap
+    val ordCust = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCross = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey").collect()
+      .count(r => sup(r.getLong(1)) != cst(ordCust(r.getLong(0))))
+    assert(got.map(_._4).sum == nCross.toLong)
+  }
 }
