@@ -256,6 +256,7 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
+    "corpus_epochs" -> ((s, d) => graft.text.CorpusOps.epochAssign(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3589,5 +3590,28 @@ object SparkEntry {
         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "corpus_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, CAST(len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_tok FROM documents),
+        |per AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        |  FROM w GROUP BY source),
+        |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM per),
+        |plan AS (
+        |  SELECT source,
+        |    (w_micro * 100000 // nullif(tot_w, 0)) * 1000
+        |      // nullif(n_tokens, 0) AS e_milli
+        |  FROM per, t),
+        |rk AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |       FROM w)
+        |SELECT rk.doc_id, rk.source, CAST(rk.r AS BIGINT) AS r,
+        |  CAST(p.e_milli * rk.r // 1000 - p.e_milli * (rk.r - 1) // 1000 AS BIGINT)
+        |    AS n_copies
+        |FROM rk JOIN plan p USING (source)
+        |ORDER BY rk.doc_id""".stripMargin,
   )
 }

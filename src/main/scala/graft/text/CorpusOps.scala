@@ -562,4 +562,45 @@ object CorpusOps {
       .select("doc_id", "logit_milli", "n_tok", "rank", "cum_tokens")
       .orderBy("rank")
   }
+
+  /** Epoch materialization — the executable step after `corpusMix`'s
+    * plan: assign every document its REPEAT COUNT for the training run
+    * so each source hits its (√-smoothed) token target. The per-source
+    * milli-epoch factor e = target·1000 div tokens spreads over docs by
+    * the exact Bresenham rule
+    *
+    *   n_copies(r) = (e·r div 1000) − (e·(r−1) div 1000)
+    *
+    * over the per-source doc_id rank r — deterministic (no RNG, no
+    * hashing), and Σ n_copies = e·n div 1000 exactly, so the realized
+    * epoch count is within one doc of the plan (spec-pinned). An
+    * upsampled source (e > 1000) repeats docs ⌊e/1000⌋..⌈e/1000⌉
+    * times; a downsampled one (e < 1000) drops the Bresenham gaps
+    * (n_copies = 0) — both from the same formula. Scale shape: the
+    * rank is the generalized two-phase row_number (no one-task-per-
+    * source window), the plan table is |sources|-bounded and broadcast,
+    * everything else is closed-form per row. All-integer ⇒ fully
+    * oracled. */
+  def epochAssign(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val dtok = docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(wordsCol).cast("long").as("n_tok"))
+    val per = dtok.groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum("w_micro").as("tot_w"))
+    val plan = per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"w_micro * $budget div nullif(tot_w, 0)"))
+      .withColumn("e_milli", expr("target_tokens * 1000 div nullif(n_tokens, 0)"))
+      .select("source", "e_milli")
+    graft.analytics.Analytics
+      .twoPhaseRowNumber(dtok, Seq("source"), "doc_id", "doc_id",
+        expr("doc_id div 64"), asc = true, out = "r")
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("n_copies",
+        expr("e_milli * r div 1000 - e_milli * (r - 1) div 1000"))
+      .select("doc_id", "source", "r", "n_copies")
+      .orderBy("doc_id")
+  }
 }

@@ -299,4 +299,37 @@ class CorpusOpsSpec extends SparkSpec {
     // the budget genuinely splits the corpus: some kept, some dropped
     assert(exp.nonEmpty && exp.length < cand.length)
   }
+
+  test("epoch assignment matches the sequential Bresenham spread and conserves the plan") {
+    val budget = 100000L
+    val dtok = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        expr("""CAST(size(filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '),
+          w -> w != '')) AS BIGINT)"""))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val per = dtok.groupBy(_._2).view.mapValues(g => g.map(_._3).sum).toMap
+    val wMicro = per.view.mapValues(t => math.floor(math.sqrt(t.toDouble) * 1e6).toLong).toMap
+    val totW = wMicro.values.sum
+    val eMilli = per.keys.map { s =>
+      val target = wMicro(s) * budget / totW
+      s -> target * 1000 / per(s)
+    }.toMap
+    val exp = dtok.groupBy(_._2).toSeq.flatMap { case (s, g) =>
+      g.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        val r = i + 1L
+        val e = eMilli(s)
+        (id, s, r, e * r / 1000 - e * (r - 1) / 1000)
+      }
+    }.sortBy(_._1)
+    val got = graft.text.CorpusOps.epochAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // conservation: per-source copies land within one doc of e·n/1000
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      val n = rows.length.toLong
+      assert(rows.map(_._4).sum == eMilli(s) * n / 1000, s"source $s drifted")
+    }
+    // both regimes occur on this corpus: some doc repeated, some dropped
+    assert(got.exists(_._4 == 0L) || got.exists(_._4 > 1L))
+  }
 }

@@ -81,7 +81,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "mm_dedup_cluster", "q_min_cost", "q_top_supplier", "q_parts_supp",
       "q_active_users", "dedup_banding_eval", "q_shortest_path",
       "q_f1_sweep", "vec_drift", "q_order_priority", "q_new_returning",
-      "q_top_percent", "q_dbscan", "q14_promo", "q10_returns", "q7_volume")
+      "q_top_percent", "q_dbscan", "q14_promo", "q10_returns", "q7_volume",
+      "corpus_epochs")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
