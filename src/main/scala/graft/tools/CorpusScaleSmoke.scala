@@ -115,7 +115,16 @@ object CorpusScaleSmoke {
         "ann_rrf", "corpus_interleave",
         // budget admission: classifier scan + bounded rank cells; the
         // admission filter rides the broadcast budget scalar
-        "corpus_budget")) {
+        "corpus_budget",
+        // third-continuation surface: the cross-source matrix and the
+        // banding S-curve ride the existing pair/signature machinery
+        // (banding re-buckets the SAME pinned signatures 4 ways); the
+        // media CC loop clusters the replicated pHash pair graph; the
+        // F1 sweep and drift monitor stay bounded (distinct scores /
+        // labels×dim); epoch assignment is two-phase ranks + a
+        // |sources| broadcast
+        "dedup_cross_source", "dedup_banding_eval", "mm_dedup_cluster",
+        "q_f1_sweep", "vec_drift", "corpus_epochs")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()
