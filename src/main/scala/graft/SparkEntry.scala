@@ -257,6 +257,8 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
     "corpus_epochs" -> ((s, d) => graft.text.CorpusOps.epochAssign(s, d)),
+    "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
+    "q_quintile_shift" -> ((s, d) => Analytics.quintileShift(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3613,5 +3615,33 @@ object SparkEntry {
         |    AS n_copies
         |FROM rk JOIN plan p USING (source)
         |ORDER BY rk.doc_id""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (SELECT DISTINCT CAST(l_quantity AS BIGINT) AS qty,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |       FROM lineitem),
+        |w AS (SELECT qty, price_c,
+        |       MIN(price_c) OVER (ORDER BY qty DESC, price_c ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        |      FROM p)
+        |SELECT qty, price_c FROM w WHERE prev_min IS NULL OR prev_min > price_c
+        |ORDER BY qty DESC, price_c""".stripMargin,
+
+    "q_quintile_shift" ->
+      """WITH uw AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+        |   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT wk, COUNT(*) AS n FROM uw GROUP BY 1),
+        |rk AS (SELECT uw.*, sz.n,
+        |        row_number() OVER (PARTITION BY uw.wk ORDER BY uw.rev, uw.user_id) AS r
+        |       FROM uw JOIN sz USING (wk)),
+        |t AS (SELECT user_id, wk, (r - 1) * 5 // n + 1 AS tile FROM rk)
+        |SELECT a.tile AS tile_from, b.tile AS tile_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM t a JOIN t b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -2101,6 +2101,71 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Pareto frontier / skyline (maximize quantity, minimize unit
+    * price): the offers no other offer beats on BOTH axes — the
+    * multi-criteria shortlist operator (supplier selection, plan
+    * pruning) the single-metric top-k family can't express. The 2-D
+    * skyline reduces to ONE running minimum: over distinct (qty,
+    * price) pairs ordered (qty DESC, price ASC), a pair survives iff
+    * every strictly-preceding pair is strictly more expensive. The
+    * running min rides the repo's two-phase cell pattern (in-cell
+    * window over qty-range cells + a broadcast prefix-min over the
+    * bounded cell table — rows in a higher cell have strictly greater
+    * qty, so cell order extends the dominance order and no single task
+    * ever sorts the distinct-pair table). Exact cents/integers. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .distinct()
+      .withColumn("_c", expr("qty div 8"))
+    val inCell = Window.partitionBy("_c")
+      .orderBy(col("qty").desc, col("price_c").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pairs.groupBy("_c").agg(min("price_c").as("_m"))
+      .withColumn("_off", min("_m").over(offW))
+      .select("_c", "_off")
+    pairs
+      .withColumn("_in", min("price_c").over(inCell))
+      .join(broadcast(offsets), Seq("_c"))
+      .withColumn("_prev", least(col("_in"), col("_off")))
+      .filter(col("_prev").isNull || col("_prev") > col("price_c"))
+      .select("qty", "price_c")
+      .orderBy(col("qty").desc, col("price_c"))
+  }
+
+  /** Revenue-quintile mobility matrix: where do week-w spenders land
+    * in week w+1? Users rank into spend quintiles per week (the
+    * closed-form cut `(r−1)·5 div n + 1` over the two-phase rank — the
+    * calibration decile discipline, never window-ntile), consecutive
+    * weeks join on the user key, and the 5×5 transition rollup is the
+    * churn/upsell mobility report a retention curve can't show. The
+    * per-week size table is bounded and broadcast; only (user, week)
+    * aggregates ever shuffle. */
+  def quintileShift(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"),
+        cents(col("value")).as("vc"))
+      .groupBy("user_id", "wk").agg(sum("vc").as("rev"))
+    val sizes = uw.groupBy("wk").agg(count(lit(1)).as("n"))
+    val tiles = twoPhaseRowNumber(uw, Seq("wk"), "rev", "user_id",
+        expr("rev div 1000"), asc = true, out = "r")
+      .join(broadcast(sizes), Seq("wk"))
+      .withColumn("tile", expr("(r - 1) * 5 div n + 1"))
+      .select("user_id", "wk", "tile")
+    tiles.toDF("user_id", "wk", "tile_from")
+      .join(tiles.select(col("user_id"), (col("wk") - 1).as("wk"),
+        col("tile").as("tile_to")), Seq("user_id", "wk"))
+      .groupBy("tile_from", "tile_to")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("tile_from", "tile_to")
+  }
+
   /** Promotion revenue share (TPC-H Q14 shape): the fraction of one
     * month's discounted revenue from promo-branded parts, as a
     * CONDITIONAL aggregate — one scan, one (tiny) broadcast dim join,

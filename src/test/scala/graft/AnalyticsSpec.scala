@@ -690,6 +690,56 @@ class AnalyticsSpec extends SparkSpec {
     got.foreach { x => assert(x._5 >= 100000L, s"decile share ${x._5}") }
   }
 
+  test("skyline equals the brute-force non-dominated set") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    // brute force: dominated if some other point has qty >= and
+    // price <= with at least one strict
+    val exp = pts.filter { case (q, p) =>
+      !pts.exists { case (q2, p2) =>
+        q2 >= q && p2 <= p && (q2 > q || p2 < p)
+      }
+    }.sortBy(x => (-x._1, x._2)).toSeq
+    val got = Analytics.skyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == exp)
+    // non-trivial frontier, and the frontier law: walking qty DOWN,
+    // every surviving price is strictly cheaper than all before it
+    assert(exp.length > 1)
+    val prices = exp.map(_._2)
+    assert(prices == prices.sorted.reverse && prices.distinct == prices)
+  }
+
+  test("quintile mobility matrix equals the sequential rank-cut-join") {
+    import org.apache.spark.sql.functions._
+    val uw = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toMap
+    val tiles = uw.keys.groupBy(_._2).flatMap { case (wk, ks) =>
+      val n = ks.size.toLong
+      ks.toSeq.sortBy(k => (uw(k), k._1)).zipWithIndex.map { case (k, i) =>
+        k -> ((i.toLong * 5) / n + 1)
+      }
+    }
+    val exp = tiles.toSeq.flatMap { case ((u, wk), tf) =>
+      tiles.get((u, wk + 1)).map(tt => (tf, tt))
+    }.groupBy(identity).map { case ((tf, tt), g) => (tf, tt, g.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = Analytics.quintileShift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+    // totals: every counted transition pairs two consecutive weeks
+    assert(got.map(_._3).sum == exp.map(_._3).sum)
+  }
+
   test("promo share equals the sequential conditional aggregate") {
     import org.apache.spark.sql.functions._
     val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000
