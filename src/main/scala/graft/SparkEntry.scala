@@ -259,6 +259,7 @@ object SparkEntry {
     "corpus_epochs" -> ((s, d) => graft.text.CorpusOps.epochAssign(s, d)),
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_quintile_shift" -> ((s, d) => Analytics.quintileShift(s, d)),
+    "q_allocation" -> ((s, d) => Analytics.allocation(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3643,5 +3644,22 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM t a JOIN t b ON a.user_id = b.user_id AND b.wk = a.wk + 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_allocation" ->
+      """WITH per AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM per),
+        |b AS (SELECT per.event_type, CAST(per.n AS BIGINT) AS n,
+        |       CAST(per.n * 1000 // t.tot AS BIGINT) AS base,
+        |       CAST(per.n * 1000 % t.tot AS BIGINT) AS rem
+        |      FROM per, t),
+        |l AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+        |      FROM b)
+        |SELECT event_type, n, base, rem,
+        |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS granted
+        |FROM r, l ORDER BY event_type""".stripMargin,
   )
 }

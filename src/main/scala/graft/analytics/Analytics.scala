@@ -2136,6 +2136,33 @@ object Analytics {
       .orderBy(col("qty").desc, col("price_c"))
   }
 
+  /** Largest-remainder (Hare-quota) proportional allocation: split a
+    * fixed budget of K = 1000 slots across event types by event count,
+    * exactly — floor shares first, then the leftover slots go to the
+    * largest remainders (ties → lexicographic type). The
+    * rounding-that-sums-correctly primitive (budget splits, quota
+    * assignment, sampling-plan seats) where independent rounding
+    * drifts; Σ granted == K is an invariant, not a hope. The group
+    * table is |types|-bounded, so the remainder rank is a window over
+    * a handful of rows riding one 1-row total broadcast. */
+  def allocation(spark: SparkSession, dir: String, slots: Long = 1000L): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("tot"), count(lit(1)).as("n_types"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n * $slots div tot"))
+      .withColumn("rem", expr(s"n * $slots % tot"))
+    val leftW = Window.orderBy(col("rem").desc, col("event_type"))
+    based
+      .withColumn("rk", row_number().over(leftW).cast("long"))
+      .crossJoin(broadcast(based.agg((lit(slots) - sum("base")).as("left"))))
+      .withColumn("granted",
+        col("base") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+      .select("event_type", "n", "base", "rem", "granted")
+      .orderBy("event_type")
+  }
+
   /** Revenue-quintile mobility matrix: where do week-w spenders land
     * in week w+1? Users rank into spend quintiles per week (the
     * closed-form cut `(r−1)·5 div n + 1` over the two-phase rank — the

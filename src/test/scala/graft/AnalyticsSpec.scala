@@ -740,6 +740,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._3).sum == exp.map(_._3).sum)
   }
 
+  test("largest-remainder allocation conserves the budget exactly") {
+    import org.apache.spark.sql.functions._
+    val per = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tot = per.map(_._2).sum
+    val based = per.map { case (t, n) => (t, n, n * 1000 / tot, n * 1000 % tot) }
+    val left = 1000 - based.map(_._3).sum
+    val granted = based.sortBy(x => (-x._4, x._1)).zipWithIndex.map {
+      case ((t, n, b, r), i) => (t, n, b, r, b + (if (i < left) 1L else 0L))
+    }
+    val exp = granted.sortBy(_._1).toSeq
+    val got = Analytics.allocation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // the invariant the method exists for: granted sums to the budget
+    assert(got.map(_._5).sum == 1000L)
+    // and allocation is within one slot of the exact proportion
+    got.foreach { x => assert(x._5 - x._3 <= 1 && x._5 >= x._3) }
+  }
+
   test("promo share equals the sequential conditional aggregate") {
     import org.apache.spark.sql.functions._
     val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000
