@@ -431,6 +431,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("skyline running min is cell-partitioned — no one-task global window") {
+    val plan = executed(Analytics.skyline(spark, sfDir))
+    // the only unpartitioned window runs over the bounded CELL table
+    // (one row per qty-range cell), never the distinct-pair table;
+    // the offsets join rides a broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"cell offsets lost their broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quintile shift: per-week rank rides cells, sizes broadcast, 5x5 rollup") {
+    val plan = executed(Analytics.quintileShift(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"week-size table lost its broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("epoch assignment: plan table broadcast, rank cells spread the corpus") {
+    val plan = executed(graft.text.CorpusOps.epochAssign(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"plan table lost its broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("vec drift: corpus scanned once for centroids, never joined to itself") {
     val plan = executed(graft.vector.VectorOps.vecDrift(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
