@@ -140,6 +140,10 @@ object Triangles {
       }
       rounds += 1
     }
+    // an under-peeled edge set is silently WRONG (nodes below k keep
+    // their neighbors' degrees inflated) — fail loudly like the CC loop
+    if (!converged)
+      throw new IllegalStateException(s"kCore did not converge in $rounds rounds")
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
       .orderBy("node")
