@@ -113,6 +113,27 @@ object StreamingEtl {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Live rolling actives — the streaming twin of q_active_users'
+    * WAU: exact distinct users per 7-day window sliding daily, as a
+    * CHAINED pair of windowed stateful aggregations (Spark 4 supports
+    * stateful-after-stateful on aligned event-time windows): stage 1
+    * groups (window × user) — the distinct-dedup stage, since
+    * streaming forbids countDistinct directly — and stage 2 counts
+    * the surviving (window, user) rows per window. Watermark bounds
+    * BOTH states; per-window state is the distinct-user set exactly
+    * like the batch op's fan-out contribution table. */
+  def rollingActives(df: DataFrame): DataFrame = {
+    val perUser = df
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    perUser
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("actives"), sum("n_ev").as("n_events"))
+      .select(col("w.start").as("win_start"), col("actives"), col("n_events"))
+  }
+
   /** Streaming keep-first dedup (the trip-dimension build of the
     * reference, streaming mode): watermark bounds the dedup state so
     * it runs indefinitely; within the watermark a key's first arrival

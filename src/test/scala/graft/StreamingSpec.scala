@@ -38,6 +38,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rolling actives: chained window aggs equal the batch twin once closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86_400_000L
+    // three users across four days: u1 every day, u2 days 0+2, u3 day 3
+    val events = Seq(
+      row(1, base, 1, "click", 1.0),
+      row(2, base + day, 1, "click", 1.0),
+      row(3, base + 2 * day, 1, "click", 1.0),
+      row(4, base + 3 * day, 1, "click", 1.0),
+      row(5, base, 2, "view", 1.0),
+      row(6, base + 2 * day, 2, "view", 1.0),
+      row(7, base + 3 * day, 3, "view", 1.0))
+    // sentinel far past every real window: pushes the watermark so all
+    // real windows CLOSE and emit in append mode
+    val sentinel = row(99, base + 40 * day, 9, "click", 1.0)
+    val stream = MemoryStream[EventRow]
+    val q = StreamingEtl.rollingActives(stream.toDF())
+      .writeStream.format("memory").queryName("actives")
+      .outputMode("append").start()
+    stream.addData(events)
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("actives").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+    val want = events.toDF()
+      .groupBy(window($"ts", "7 days", "1 day").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("actives"), sum("n_ev").as("n_events"))
+      .select($"w.start", $"actives", $"n_events")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // peak window covers all four active days: all three users counted
+    assert(got.map(_._2).max == 3L)
+  }
+
   test("stateful speed derivation carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
