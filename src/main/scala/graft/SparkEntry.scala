@@ -265,6 +265,7 @@ object SparkEntry {
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_quintile_shift" -> ((s, d) => Analytics.quintileShift(s, d)),
     "q_allocation" -> ((s, d) => Analytics.allocation(s, d)),
+    "q_sql_topk" -> ((s, d) => Analytics.sqlTopK(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3666,5 +3667,19 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS granted
         |FROM r, l ORDER BY event_type""".stripMargin,
+
+    "q_sql_topk" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT yr, o_custkey, rev_c,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY rev_c DESC, o_custkey) AS rn
+        |  FROM rev)
+        |SELECT yr, o_custkey, rev_c FROM rk WHERE rn <= 5
+        |ORDER BY yr, rev_c DESC, o_custkey""".stripMargin,
   )
 }

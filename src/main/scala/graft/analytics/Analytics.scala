@@ -2136,6 +2136,33 @@ object Analytics {
       .orderBy(col("qty").desc, col("price_c"))
   }
 
+  /** The SQL entry path, exercised end-to-end: temp views + one
+    * ANSI-SQL report through `spark.sql` — top-5 customers per order
+    * year by revenue. The TEXT interface matters for parity (a
+    * reference user writes SQL, not Scala), and the row_number-top-k
+    * idiom inside it is exactly what the TopKRewrite optimizer rule
+    * targets: in a GraftExtensions session this plain SQL query plans
+    * onto the heap operator with no code change — the
+    * SparkSessionExtensions story demonstrated from the SQL side. */
+  def sqlTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem_v l JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT yr, o_custkey, rev_c,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY rev_c DESC, o_custkey) AS rn
+        |  FROM rev)
+        |SELECT yr, o_custkey, rev_c FROM rk WHERE rn <= 5
+        |ORDER BY yr, rev_c DESC, o_custkey""".stripMargin)
+  }
+
   /** Largest-remainder (Hare-quota) proportional allocation: split a
     * fixed budget of K = 1000 slots across event types by event count,
     * exactly — floor shares first, then the leftover slots go to the

@@ -109,4 +109,19 @@ class TopKRewriteSpec extends SparkSpec {
       assert(!plan.contains("TopKPerKey"))
     } finally TopK.disableAutoRewrite(spark)
   }
+
+  test("the SQL-text top-k report rides the heap operator under the rewrite") {
+    val base = graft.analytics.Analytics.sqlTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    TopK.enableAutoRewrite(spark)
+    try {
+      val df = graft.analytics.Analytics.sqlTopK(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"SQL top-k did not rewrite:\n${plan.take(1500)}")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == base)
+      assert(base.nonEmpty)
+    } finally TopK.disableAutoRewrite(spark)
+  }
 }
