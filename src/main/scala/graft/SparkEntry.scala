@@ -266,6 +266,9 @@ object SparkEntry {
     "q_quintile_shift" -> ((s, d) => Analytics.quintileShift(s, d)),
     "q_allocation" -> ((s, d) => Analytics.allocation(s, d)),
     "q_sql_topk" -> ((s, d) => Analytics.sqlTopK(s, d)),
+    "q_lead_time" -> ((s, d) => Analytics.leadTime(s, d)),
+    "text_heaps" -> ((s, d) => graft.text.CorpusOps.heapsCurve(s, d)),
+    "dedup_length_profile" -> ((s, d) => TextOps.dedupLengthProfile(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3681,5 +3684,69 @@ object SparkEntry {
         |  FROM rev)
         |SELECT yr, o_custkey, rev_c FROM rk WHERE rn <= 5
         |ORDER BY yr, rev_c DESC, o_custkey""".stripMargin,
+
+    "q_lead_time" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(MIN(date_diff('day', o.o_orderdate, p.last_ship)) AS BIGINT)
+        |    AS min_days,
+        |  CAST(MAX(date_diff('day', o.o_orderdate, p.last_ship)) AS BIGINT)
+        |    AS max_days,
+        |  CAST(SUM(CAST(date_diff('day', o.o_orderdate, p.last_ship) AS BIGINT))
+        |    // COUNT(*) AS BIGINT) AS avg_days
+        |FROM per p JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_heaps" ->
+      """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '')) AS word FROM documents),
+        |fo AS (SELECT word, MIN(doc_id) AS fd FROM w GROUP BY 1),
+        |nw AS (SELECT fd * 10 // n.n AS bucket, CAST(COUNT(*) AS BIGINT) AS new_words
+        |       FROM fo, n GROUP BY 1),
+        |dp AS (SELECT doc_id * 10 // n.n AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |       FROM documents, n GROUP BY 1)
+        |SELECT dp.bucket, dp.n_docs,
+        |  COALESCE(nw.new_words, 0) AS new_words,
+        |  CAST(SUM(dp.n_docs) OVER (ORDER BY dp.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY dp.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM dp LEFT JOIN nw ON dp.bucket = nw.bucket
+        |ORDER BY dp.bucket""".stripMargin,
+
+    "dedup_length_profile" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        |j AS (SELECT a_id, b_id FROM p
+        |      WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |dup AS (SELECT DISTINCT doc_id FROM
+        |        (SELECT a_id AS doc_id FROM j UNION ALL SELECT b_id FROM j)),
+        |rk AS (SELECT d.doc_id, d.n_chars,
+        |        row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS r,
+        |        COUNT(*) OVER () AS n
+        |       FROM documents d)
+        |SELECT (r - 1) * 10 // n + 1 AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(MIN(rk.n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(rk.n_chars) AS BIGINT) AS max_chars,
+        |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    // nullif(COUNT(*), 0) AS BIGINT) AS dup_ppm
+        |FROM rk LEFT JOIN dup ON rk.doc_id = dup.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2136,6 +2136,28 @@ object Analytics {
       .orderBy(col("qty").desc, col("price_c"))
   }
 
+  /** Order-to-ship lead time by priority: per-order fulfilment span
+    * (order date → LAST line shipped) rolled up per priority class in
+    * exact integer days — the supply-chain latency report. One
+    * map-side-partial per-order max, one key join, one
+    * \|priorities\|-bounded rollup; the average is integral
+    * (Σ div n). */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+    per.join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("last_ship"), col("o_orderdate")).cast("long").as("lead_d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min("lead_d").as("min_days"),
+        max("lead_d").as("max_days"),
+        expr("sum(lead_d) div count(1)").as("avg_days"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The SQL entry path, exercised end-to-end: temp views + one
     * ANSI-SQL report through `spark.sql` — top-5 customers per order
     * year by revenue. The TEXT interface matters for parity (a

@@ -563,6 +563,37 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  /** Heaps'-law vocabulary growth curve: cumulative distinct-word
+    * count after each tenth of the corpus (doc_id order) — the
+    * diminishing-returns report behind "how much NEW vocabulary does
+    * more data buy". The exact cumulative distinct needs no running
+    * set: a word contributes exactly once, AT its globally FIRST
+    * document (one min-aggregate over the token stream), so the curve
+    * is a 10-row cumulative sum over first-occurrence counts. One
+    * vocabulary-bounded aggregate + bounded windows; the corpus-size
+    * scalar rides a 1-row broadcast. */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.documents(spark, dir)
+      .agg((max("doc_id") + 1).as("n"))
+    val newW = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(expr("fd * 10 div n").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val run = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir).crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 div n").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .join(newW, Seq("bucket"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      // bounded 10-row table: the unpartitioned windows are by design
+      .withColumn("cum_docs", sum("n_docs").over(run))
+      .withColumn("cum_vocab", sum("new_words").over(run))
+      .orderBy("bucket")
+  }
+
   /** Epoch materialization — the executable step after `corpusMix`'s
     * plan: assign every document its REPEAT COUNT for the training run
     * so each source hits its (√-smoothed) token target. The per-source

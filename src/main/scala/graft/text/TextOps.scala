@@ -134,6 +134,35 @@ object TextOps {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Duplication rate by LENGTH decile: are long documents more
+    * duplicated? Each doc's near-dup verdict (appears in ≥1 Jaccard ≥
+    * 0.5 pair) crossed with its n_chars decile — the bias audit run
+    * before trusting a dedup pass (a length-skewed dup rate means the
+    * filter and the dedup interact). Deciles via the generalized
+    * two-phase rank + closed-form cut (the calibration discipline, no
+    * window-ntile, no one-task sort); the dup flag is two semi-join
+    * probes of the pair list; output is 10 rows. */
+  def dedupLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+    val dupIds = pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    graft.analytics.Analytics
+      .twoPhaseRowNumber(docs, Seq.empty, "n_chars", "doc_id",
+        expr("n_chars div 100"), asc = true, out = "r")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(r - 1) * 10 div n + 1"))
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div nullif(n_docs, 0)"))
+      .orderBy("decile")
+  }
+
   /** Asymmetric shingle containment C(a→b) = |A∩B| / |A| ≥ 0.6: ORDERED
     * pairs where most of a's shingles appear in b — the
     * wholesale-inclusion signal (a quoted/embedded inside b) that

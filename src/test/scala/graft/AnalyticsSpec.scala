@@ -762,6 +762,29 @@ class AnalyticsSpec extends SparkSpec {
     got.foreach { x => assert(x._5 - x._3 <= 1 && x._5 >= x._3) }
   }
 
+  test("lead time per priority equals the sequential per-order max-ship walk") {
+    import org.apache.spark.sql.functions._
+    val lastShip = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val exp = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("od"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .flatMap(o => lastShip.get(o._1).map(ls => (o._3, ls - o._2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (p, g) =>
+        val ds = g.map(_._2)
+        (p, ds.length.toLong, ds.min, ds.max, ds.sum / ds.length)
+      }
+    val got = Analytics.leadTime(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty && exp.exists(_._4 > 0))
+  }
+
   test("promo share equals the sequential conditional aggregate") {
     import org.apache.spark.sql.functions._
     val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000

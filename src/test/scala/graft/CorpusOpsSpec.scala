@@ -300,6 +300,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exp.nonEmpty && exp.length < cand.length)
   }
 
+  test("heaps curve: cumulative vocabulary equals the sequential first-occurrence walk") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), w -> w != '')"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val n = docs.map(_._1).max + 1
+    val firstOcc = scala.collection.mutable.Map[String, Long]()
+    for ((id, ws) <- docs.sortBy(_._1); w <- ws)
+      if (!firstOcc.contains(w)) firstOcc(w) = id
+    val newPerBucket = firstOcc.values.groupBy(_ * 10 / n)
+      .view.mapValues(_.size.toLong).toMap
+    val docsPerBucket = docs.map(_._1).groupBy(_ * 10 / n)
+      .view.mapValues(_.length.toLong).toMap
+    var (cd, cv) = (0L, 0L)
+    val exp = docsPerBucket.keys.toSeq.sorted.map { b =>
+      cd += docsPerBucket(b); cv += newPerBucket.getOrElse(b, 0L)
+      (b, docsPerBucket(b), newPerBucket.getOrElse(b, 0L), cd, cv)
+    }
+    val got = graft.text.CorpusOps.heapsCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // Heaps' law sanity: the curve is concave-ish — the FIRST tenth
+    // contributes the largest single new-vocabulary increment
+    assert(got.head._3 == got.map(_._3).max)
+    assert(got.last._5 == firstOcc.size.toLong)
+  }
+
   test("epoch assignment matches the sequential Bresenham spread and conserves the plan") {
     val budget = 100000L
     val dtok = graft.sources.Tables.documents(spark, sfDir)

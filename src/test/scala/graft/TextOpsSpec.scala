@@ -487,6 +487,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("length-decile dup profile conserves docs and matches the pair list") {
+    val pairs = TextOps.dedupNgramJaccard(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dup = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val exp = docs.sortBy(x => (x._2, x._1)).zipWithIndex.map { case ((id, ch), i) =>
+      (i.toLong * 10 / n + 1, id, ch)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (dec, g) =>
+      val nd = g.count(x => dup(x._2)).toLong
+      (dec, g.length.toLong, nd, g.map(_._3).min, g.map(_._3).max,
+        nd * 1000000L / g.length)
+    }
+    val got = TextOps.dedupLengthProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    assert(got.map(_._2).sum == n)
+    assert(got.map(_._3).sum == dup.size.toLong)
+  }
+
   test("banding S-curve: hierarchical subset law + report consistency") {
     val sigs = TextOps.minhashSigs(spark, sfDir).localCheckpoint(true)
     def pairsOf(b: Int, r: Int) = TextOps.bandedPairsConf(sigs, b, r)
