@@ -269,6 +269,9 @@ object SparkEntry {
     "q_lead_time" -> ((s, d) => Analytics.leadTime(s, d)),
     "text_heaps" -> ((s, d) => graft.text.CorpusOps.heapsCurve(s, d)),
     "dedup_length_profile" -> ((s, d) => TextOps.dedupLengthProfile(s, d)),
+    "q_week_profile" -> ((s, d) => Analytics.weekProfile(s, d)),
+    "q_pareto" -> ((s, d) => Analytics.pareto8020(s, d)),
+    "linkage_cluster" -> ((s, d) => graft.ops.RecordLinkage.linkageCluster(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3748,5 +3751,54 @@ object SparkEntry {
         |    // nullif(COUNT(*), 0) AS BIGINT) AS dup_ppm
         |FROM rk LEFT JOIN dup ON rk.doc_id = dup.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_week_profile" ->
+      """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pareto" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_users,
+        |       CAST(COALESCE(SUM(rev_c), 0) AS BIGINT) AS tot_rev_c FROM pu),
+        |r AS (SELECT *,
+        |       row_number() OVER (ORDER BY rev_c DESC, user_id) AS rnk,
+        |       SUM(rev_c) OVER (ORDER BY rev_c DESC, user_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |      FROM pu)
+        |SELECT t.tot_users, t.tot_rev_c,
+        |  CAST(MIN(r.rnk) AS BIGINT) AS k_users,
+        |  CAST(MIN(r.rnk) * 1000000 // nullif(t.tot_users, 0) AS BIGINT) AS k_share_ppm
+        |FROM r, t WHERE r.cum_c * 5 >= t.tot_rev_c * 4
+        |GROUP BY t.tot_users, t.tot_rev_c""".stripMargin,
+
+    "linkage_cluster" ->
+      """WITH RECURSIVE
+        |p AS (SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        |      FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
+        |      WHERE levenshtein(s1.s_name, s2.s_name) <= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM p
+        |          UNION ALL SELECT b AS src, a AS dst FROM p),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
+        |lbl AS (SELECT s.s_suppkey,
+        |         least(s.s_suppkey, COALESCE(MIN(c.b), s.s_suppkey)) AS cluster_id
+        |        FROM supplier s LEFT JOIN closure c ON c.a = s.s_suppkey
+        |        GROUP BY s.s_suppkey)
+        |SELECT s.s_suppkey, s.s_name, l.cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+        |  s.s_suppkey = l.cluster_id AS is_canonical
+        |FROM supplier s JOIN lbl l USING (s_suppkey)
+        |ORDER BY s.s_suppkey""".stripMargin,
   )
 }

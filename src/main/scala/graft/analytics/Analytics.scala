@@ -2136,6 +2136,62 @@ object Analytics {
       .orderBy(col("qty").desc, col("price_c"))
   }
 
+  /** Weekly load-shape profile: event volume, distinct actives, and
+    * value mass per (weekday × hour-of-day) cell — the 168-row
+    * capacity/engagement heatmap behind scheduling and anomaly
+    * baselines. One combinable aggregate over the scan; output bounded
+    * by the calendar, not the data. Weekday is ISO (0 = Monday) so
+    * both engines compute the identical key. */
+  def weekProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(expr("CAST(weekday(ts) AS BIGINT)").as("dow"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hod"),
+        col("user_id"), cents(col("value")).as("vc"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("vc").as("sum_cents"))
+      .orderBy("dow", "hod")
+
+  /** Pareto concentration cut (the "80/20" answer as one exact row):
+    * the SMALLEST number of top-revenue users covering ≥ 80% of
+    * purchase revenue, with their population share in ppm — the
+    * concentration headline `q_gini`'s coefficient can't answer
+    * directly. Per-user revenue ranks descending through the two-phase
+    * cell pattern; the cumulative sum rides in-cell windows + a
+    * broadcast offset table (never a one-task global window); the
+    * 80%-crossing test is cross-multiplied integer arithmetic and the
+    * final answer is ONE min-aggregate. */
+  def pareto8020(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(cents(col("value"))).as("rev_c"))
+    val tot = perUser.agg(count(lit(1)).as("tot_users"),
+      coalesce(sum("rev_c"), lit(0L)).as("tot_rev_c"))
+    val ranked = twoPhaseRowNumber(perUser, Seq.empty, "rev_c", "user_id",
+      expr("rev_c div 1000"), asc = false, out = "rnk")
+    val inCell = Window.partitionBy("_ck").orderBy(col("rev_c").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("_ck").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = ranked.withColumn("_ck", expr("rev_c div 1000"))
+    val offsets = b.groupBy("_ck").agg(sum("rev_c").as("_s"))
+      .withColumn("_off", coalesce(sum("_s").over(offW), lit(0L)))
+      .select("_ck", "_off")
+    b.withColumn("_in", sum("rev_c").over(inCell))
+      .join(broadcast(offsets), Seq("_ck"))
+      .withColumn("cum_c", col("_off") + col("_in"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum_c") * 5 >= col("tot_rev_c") * 4)
+      .agg(min("rnk").as("k_users"),
+        max("tot_users").as("tot_users"),
+        max("tot_rev_c").as("tot_rev_c"))
+      .withColumn("k_share_ppm", expr("k_users * 1000000 div nullif(tot_users, 0)"))
+      .select("tot_users", "tot_rev_c", "k_users", "k_share_ppm")
+  }
+
   /** Order-to-ship lead time by priority: per-order fulfilment span
     * (order date → LAST line shipped) rolled up per priority class in
     * exact integer days — the supply-chain latency report. One

@@ -121,4 +121,28 @@ object RecordLinkage {
       .filter(col("dist") <= maxDist)
       .select("a_key", "b_key", "dist")
   }
+
+  /** Entity RESOLUTION on top of the linkage pairs: connected
+    * components over the levenshtein ≤ 2 pair graph label every
+    * supplier with its entity cluster (min member key = the canonical
+    * record), cluster size, and canonical flag — the merge-decision
+    * step after pair detection, the record-linkage twin of
+    * `mm_dedup_cluster`. Reuses the min-label CC loop over the (small)
+    * linked subgraph; singletons self-label without entering a round;
+    * the recursive-closure oracle extends the blocking recall
+    * guarantee to ENTITY identity. */
+  def linkageCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = editDistancePairs(spark, dir)
+      .select(col("a_key").as("a_id"), col("b_key").as("b_id"))
+    val labels = graft.text.TextOps.connectedComponents(pairs)
+      .toDF("s_suppkey", "cluster_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+      .join(labels, Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+        coalesce(col("cluster_id"), col("s_suppkey")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("s_suppkey") === col("cluster_id"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -785,6 +785,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(exp.nonEmpty && exp.exists(_._4 > 0))
   }
 
+  test("week profile conserves events and pins ISO weekday semantics") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("ed"),
+        expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hod"),
+        col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // epoch day 0 = 1970-01-01 = a THURSDAY = ISO weekday 3
+    val exp = ev.groupBy(e => (((e._1 + 3) % 7 + 7) % 7, e._2)).toSeq
+      .sortBy(x => (x._1._1, x._1._2))
+      .map { case ((dow, hod), g) =>
+        (dow, hod, g.length.toLong, g.map(_._3).distinct.length.toLong,
+          g.flatMap(_._4).sum)
+      }
+    val got = Analytics.weekProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    assert(got.map(_._3).sum == ev.length.toLong)
+  }
+
+  test("pareto cut equals the sequential smallest-k cumulative crossing") {
+    import org.apache.spark.sql.functions._
+    val pu = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val tot = pu.map(_._2).sum
+    val ordered = pu.sortBy(x => (-x._2, x._1))
+    var cum = 0L; var k = 0L; var found = 0L
+    for ((_, v) <- ordered if found == 0) {
+      cum += v; k += 1
+      if (cum * 5 >= tot * 4) found = k
+    }
+    val row = Analytics.pareto8020(spark, sfDir).collect().head
+    assert(row.getLong(0) == pu.length.toLong)
+    assert(row.getLong(1) == tot)
+    assert(row.getLong(2) == found)
+    assert(row.getLong(3) == found * 1000000L / pu.length)
+    // concentration exists: fewer than 80% of users cover 80% of revenue
+    assert(found * 5 < pu.length.toLong * 4)
+  }
+
   test("promo share equals the sequential conditional aggregate") {
     import org.apache.spark.sql.functions._
     val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000

@@ -229,4 +229,34 @@ class LinkageInterpSpec extends SparkSpec {
     assert(got.getAs[Long]("n_union") ==
       got.getAs[Long]("n_nation") + got.getAs[Long]("n_bucket") - got.getAs[Long]("n_both"))
   }
+
+  test("entity clusters equal a union-find over the linkage pair list") {
+    val pairs = RecordLinkage.editDistancePairs(spark, sfDir)
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keys = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val parent = scala.collection.mutable.Map(keys.map(k => k._1 -> k._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = keys.map(k => k._1 -> find(k._1)).toMap
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = keys.sortBy(_._1).map { case (k, nm) =>
+      (k, nm, label(k), sizes(label(k)), k == label(k))
+    }.toSeq
+    val got = RecordLinkage.linkageCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == exp)
+    // linkage produced a real multi-record entity on this data
+    assert(got.exists(_._4 > 1))
+  }
 }

@@ -83,7 +83,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_f1_sweep", "vec_drift", "q_order_priority", "q_new_returning",
       "q_top_percent", "q_dbscan", "q14_promo", "q10_returns", "q7_volume",
       "corpus_epochs", "q_skyline", "q_quintile_shift", "q_allocation",
-      "q_sql_topk", "q_lead_time", "text_heaps", "dedup_length_profile")
+      "q_sql_topk", "q_lead_time", "text_heaps", "dedup_length_profile",
+      "q_week_profile", "q_pareto", "linkage_cluster")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
