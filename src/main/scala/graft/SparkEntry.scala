@@ -272,6 +272,7 @@ object SparkEntry {
     "q_week_profile" -> ((s, d) => Analytics.weekProfile(s, d)),
     "q_pareto" -> ((s, d) => Analytics.pareto8020(s, d)),
     "linkage_cluster" -> ((s, d) => graft.ops.RecordLinkage.linkageCluster(s, d)),
+    "q_user_features" -> ((s, d) => Analytics.userFeatures(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered under
@@ -3800,5 +3801,24 @@ object SparkEntry {
         |  s.s_suppkey = l.cluster_id AS is_canonical
         |FROM supplier s JOIN lbl l USING (s_suppkey)
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_user_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |   event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(MIN(d) AS BIGINT) AS first_day,
+        |  CAST(MAX(d) AS BIGINT) AS last_day,
+        |  CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS tenure_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS BIGINT)
+        |    AS rev_c,
+        |  CAST(COUNT(DISTINCT d) AS BIGINT) AS days_active,
+        |  CAST(COUNT(*) * 1000 // nullif(COUNT(DISTINCT d), 0) AS BIGINT)
+        |    AS events_per_day_milli
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -2136,6 +2136,33 @@ object Analytics {
       .orderBy(col("qty").desc, col("price_c"))
   }
 
+  /** Per-user ML feature matrix — the feature-engineering aggregate a
+    * churn/LTV model trains on, assembled in ONE combinable pass over
+    * the stream (no windows, no self-joins): tenure and recency in
+    * exact epoch days, volume counts, purchase monetary cents, active
+    * days (distinct), and events-per-active-day in milli units. Wide
+    * aggregates like this are the bread-and-butter of training-data
+    * prep; every column is integral so the matrix is
+    * engine-reproducible. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), cents(col("value")).as("vc"))
+      .groupBy("user_id")
+      .agg(min("d").as("first_day"),
+        max("d").as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L)).as("rev_c"),
+        countDistinct(col("d")).as("days_active"))
+      .withColumn("tenure_days", col("last_day") - col("first_day") + 1)
+      .withColumn("events_per_day_milli",
+        expr("n_events * 1000 div nullif(days_active, 0)"))
+      .select("user_id", "first_day", "last_day", "tenure_days", "n_events",
+        "n_purchases", "rev_c", "days_active", "events_per_day_milli")
+      .orderBy("user_id")
+
   /** Weekly load-shape profile: event volume, distinct actives, and
     * value mass per (weekday × hour-of-day) cell — the 168-row
     * capacity/engagement heatmap behind scheduling and anomaly

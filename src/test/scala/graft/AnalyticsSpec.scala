@@ -833,6 +833,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(found * 5 < pu.length.toLong * 4)
   }
 
+  test("user feature matrix equals the sequential per-user aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
+      val days = g.map(_._2)
+      val nAct = days.distinct.length.toLong
+      (u, days.min, days.max, days.max - days.min + 1, g.length.toLong,
+        g.count(_._3 == "purchase").toLong,
+        g.filter(_._3 == "purchase").flatMap(_._4).sum,
+        nAct, g.length.toLong * 1000 / nAct)
+    }
+    val got = Analytics.userFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == exp)
+    assert(exp.nonEmpty)
+    // feature sanity: active days never exceed tenure
+    got.foreach { x => assert(x._8 <= x._4) }
+  }
+
   test("promo share equals the sequential conditional aggregate") {
     import org.apache.spark.sql.functions._
     val lo = java.time.Instant.parse("1997-03-01T00:00:00Z").toEpochMilli * 1000

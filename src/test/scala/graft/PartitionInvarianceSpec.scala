@@ -84,7 +84,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_top_percent", "q_dbscan", "q14_promo", "q10_returns", "q7_volume",
       "corpus_epochs", "q_skyline", "q_quintile_shift", "q_allocation",
       "q_sql_topk", "q_lead_time", "text_heaps", "dedup_length_profile",
-      "q_week_profile", "q_pareto", "linkage_cluster")
+      "q_week_profile", "q_pareto", "linkage_cluster", "q_user_features")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
