@@ -261,6 +261,11 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
+    "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(s, d)),
+    "q8_mktshare" -> ((s, d) => Analytics.marketShare(s, d)),
+    "q9_profit" -> ((s, d) => Analytics.productProfit(s, d)),
+    "q12_latesplit" -> ((s, d) => Analytics.lateShipmentSplit(s, d)),
+    "q19_brand_ranges" -> ((s, d) => Analytics.brandRangeRevenue(s, d)),
     "corpus_epochs" -> ((s, d) => graft.text.CorpusOps.epochAssign(s, d)),
     "q_skyline" -> ((s, d) => Analytics.skyline(s, d)),
     "q_quintile_shift" -> ((s, d) => Analytics.quintileShift(s, d)),
@@ -3606,6 +3611,86 @@ object SparkEntry {
         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT)) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_mktshare" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, sn.n_name AS supp_nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_cp
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        |agg AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    SUM(CAST(CASE WHEN li.supp_nation = 'NATION_7' THEN li.vol_cp
+        |      ELSE 0 END AS HUGEINT)) AS nv,
+        |    SUM(CAST(li.vol_cp AS HUGEINT)) AS tv
+        |  FROM li
+        |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT o_year, CAST(nv AS BIGINT) AS nation_vol_cp,
+        |  CAST(tv AS BIGINT) AS total_vol_cp,
+        |  CAST(nv * 1000000 // nullif(tv, 0) AS BIGINT) AS mkt_share_ppm
+        |FROM agg ORDER BY o_year""".stripMargin,
+
+    "q9_profit" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, n.n_name AS nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |      - CAST(l.l_quantity AS BIGINT)
+        |        * CAST(round(p.p_retailprice * 10) AS BIGINT) * 100 AS amount_cp
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT li.nation, year(o.o_orderdate) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(li.amount_cp AS HUGEINT)) AS BIGINT) AS profit_cp
+        |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_latesplit" ->
+      """SELECT l.l_returnflag,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) > 90
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_brand_ranges" ->
+      """WITH j AS (
+        |  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_cp
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |      AND l.l_quantity BETWEEN 1 AND 11)
+        |    OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 20
+        |      AND l.l_quantity BETWEEN 10 AND 20)
+        |    OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+        |      AND l.l_quantity BETWEEN 20 AND 30))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(rev_cp AS HUGEINT)) AS BIGINT) AS revenue_cp
+        |FROM j""".stripMargin,
 
     "corpus_epochs" ->
       """WITH w AS (

@@ -2212,9 +2212,11 @@ object Analytics {
       .withColumn("cum_c", col("_off") + col("_in"))
       .crossJoin(broadcast(tot))
       .filter(col("cum_c") * 5 >= col("tot_rev_c") * 4)
-      .agg(min("rnk").as("k_users"),
-        max("tot_users").as("tot_users"),
-        max("tot_rev_c").as("tot_rev_c"))
+      // grouped (mirroring the oracle's GROUP BY tot_users, tot_rev_c),
+      // not an ungrouped agg: a corpus with zero purchase events must
+      // yield ZERO rows, not one all-null row
+      .groupBy("tot_users", "tot_rev_c")
+      .agg(min("rnk").as("k_users"))
       .withColumn("k_share_ppm", expr("k_users * 1000000 div nullif(tot_users, 0)"))
       .select("tot_users", "tot_rev_c", "k_users", "k_share_ppm")
   }
@@ -2449,5 +2451,150 @@ object Analytics {
       .withColumn("share_ppm", expr("sum_top_c * 1000000 div nullif(sum_all_c, 0)"))
       .select("event_type", "n_events", "k_top", "sum_top_c", "share_ppm")
       .orderBy("event_type")
+  }
+
+  /** Forecast revenue change (TPC-H Q6 shape): the pure scan-aggregate
+    * — every predicate (date window, discount band, quantity cap)
+    * pushes to the parquet reader, nothing joins, nothing shuffles but
+    * one 1-row partial-aggregate merge. The query whose entire cost at
+    * 100 TB IS the pruned scan: with date-partitioned layout it reads
+    * one year of row groups, and min/max page stats skip most of those.
+    * Revenue in exact centi-percent units (cents × discount points). */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice")) *
+          round(col("l_discount") * 100).cast("long")).as("revenue_cp"))
+
+  /** National market share (TPC-H Q8 shape): of all PROMO-type parts
+    * sold to ASIA-region customers, what yearly revenue fraction came
+    * from NATION_7 suppliers? The two data-scaled relations meet in ONE
+    * key shuffle (lineitem↔orders); part (type-filtered), customer,
+    * supplier, nation, region are all broadcast; numerator and
+    * denominator ride one conditional aggregate over the
+    * |years|-bounded rollup — never two passes. Exact ppm share. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(Tables.nation(spark, dir))
+    val asiaCust = broadcast(
+      Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+        .join(nations.select("n_nationkey", "n_regionkey"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_nationkey")
+          .join(nations.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("supp_nation"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol_cp"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_7", col("vol_cp"))
+          .otherwise(0L).cast("decimal(38,0)")).cast("long").as("nation_vol_cp"),
+        sum(col("vol_cp").cast("decimal(38,0)")).cast("long").as("total_vol_cp"))
+      // ppm through DECIMAL(38,0): vol_cp × 10⁶ clears BIGINT range
+      // once a year's volume passes ~9·10¹² cp — true well before
+      // 100 TB — and Spark would wrap silently where DuckDB throws
+      .withColumn("mkt_share_ppm",
+        expr("CAST((CAST(nation_vol_cp AS DECIMAL(38,0)) * 1000000)" +
+          " div nullif(total_vol_cp, 0) AS BIGINT)"))
+      .orderBy("o_year")
+  }
+
+  /** Product-line profit by nation and year (TPC-H Q9 shape). The
+    * schema has no partsupp, so unit supply cost is the fixed 10%-of-
+    * retail proxy — round(p_retailprice·10) exact cents — which keeps
+    * the arithmetic shape (revenue − qty·unit_cost) and the join
+    * graph (part-name LIKE filter, supplier→nation rollup) intact.
+    * Profit accumulates in exact centi-percent units; one data-scaled
+    * shuffle (lineitem↔orders for the order year); part and supplier
+    * dims broadcast; output |nations|×|years|-bounded. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 10).cast("long").as("unit_cost_c"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "nation")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("nation"),
+        (cents(col("l_extendedprice")) *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          col("l_quantity").cast("long") * col("unit_cost_c") * 100L).as("amount_cp"))
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("amount_cp").cast("decimal(38,0)")).cast("long").as("profit_cp"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Late-shipment priority split (TPC-H Q12 shape): among 1997-shipped
+    * lines that left more than 90 days after their order date, how many
+    * belong to critical-priority orders vs the rest, per return-flag
+    * class? One key join (lineitem↔orders — the only data-scaled
+    * shuffle), the late test is a residual date comparison reading both
+    * sides, and the two counts are ONE conditional aggregate over the
+    * |flags|-bounded rollup — the canonical "counts by predicate class
+    * after a join" shape. */
+  def lateShipmentSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** Disjunctive brand/size/quantity revenue (TPC-H Q19 shape): an OR
+    * of three conjunctive range clauses, each tying part attributes to
+    * lineitem quantity. Unlike `q_disjunctive` (inclusion-exclusion on
+    * pre-aggregated key histograms), this keeps the textbook plan: ONE
+    * broadcast hash join on partkey with the disjunction as a residual
+    * filter — the join key is shared by all three clauses so the OR
+    * never forces a nested-loop, and the brand/size prefilter shrinks
+    * the broadcast to the union of clause-eligible parts. */
+  def brandRangeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter((col("p_brand") === "Brand#3" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(1, 25)))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#3" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#15" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#21" && col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_cp").cast("decimal(38,0)")).cast("long").as("revenue_cp"))
   }
 }

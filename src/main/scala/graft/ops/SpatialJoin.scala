@@ -114,13 +114,23 @@ object SpatialJoin {
     // each rebuild would re-run the degree aggregate: pin once
     val toSuper = cellOf.join(superOf, Seq("cell")).select("id", "sup")
       .localCheckpoint(true)
-    val superEdges = pairs
+    // superEdges is consumed ENTIRELY inside this function (count +
+    // collect, or the eager CC loop) — pin it at the RDD level so its
+    // blocks can be released before returning, instead of lingering
+    // like a Dataset.localCheckpoint would. pairs/toSuper, by contrast,
+    // back the returned lazy frame and must stay pinned until the
+    // caller materializes (Bench sweeps persistent RDDs per query).
+    val superEdgesRdd = pairs
       .join(toSuper.toDF("a_id", "a_sup"), Seq("a_id"))
       .join(toSuper.toDF("b_id", "b_sup"), Seq("b_id"))
       .filter(col("a_sup") < col("b_sup"))
       .select(col("a_sup").as("a_id"), col("b_sup").as("b_id"))
       .distinct()
-      .localCheckpoint(true)
+      .rdd.localCheckpoint()
+    val superEdges = spark.createDataFrame(superEdgesRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b_id", org.apache.spark.sql.types.LongType))))
     // The super-cell graph is RESOLUTION-bounded, not data-bounded:
     // ≤ (extent/s)² occupied cells whatever the row count, with ≤ 9
     // neighbor edges each — so (like IVF's bounded driver sample) a
@@ -153,6 +163,8 @@ object SpatialJoin {
             org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
       } else graft.text.TextOps.connectedComponents(superEdges)
         .toDF("sup", "cluster_id")
+    // both branches have fully consumed the super-edge list by now
+    superEdgesRdd.unpersist(blocking = false)
     // cells with no cross-cell edge self-label; members inherit
     val coreLabeled = toSuper
       .join(superLabels, Seq("sup"), "left")

@@ -299,15 +299,6 @@ object TextOps {
         labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
           .select(labels("doc_id"), col("label").as("old"),
             least(col("label"), coalesce(col("nb_min"), col("label"))).as("label")))
-      // pointer jumping (path compression), composed FOUR deep inside
-      // one plan: each jump is L ← L∘L, so a round compresses pointer
-      // chains 2⁴× while the edge step advances one hop — empirically
-      // ~3× fewer rounds than single-jump on chain graphs. The nested
-      // self-joins re-scan the PINNED `stepped` a bounded 2⁴ times
-      // inside one job (cached rows, no extra scheduling), and every
-      // join side carries the constant default stats — no estimate
-      // blow-up. Every label is a graph node's id, so the lookup
-      // always resolves.
       // pointer jumping (path compression): L ← L∘L against the
       // PINNED previous step. Each jump must read a MATERIALIZED
       // input — composing jumps inside one plan does not compound
@@ -332,6 +323,11 @@ object TextOps {
         println(s"[cc] round $rounds changed=$changed")
     }
     edges.unpersist(blocking = false)
+    // release the final round's intermediate pinned RDDs (stepped,
+    // jumped) — only the LAST element of `prior` backs the returned
+    // labels frame; the others would otherwise linger across a long
+    // multi-query session until GC noticed
+    prior.dropRight(1).foreach(_.unpersist(blocking = false))
     // an unconverged label table is silently WRONG (components split);
     // fail loudly instead of returning it
     if (!converged)
