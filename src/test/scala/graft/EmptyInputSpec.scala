@@ -30,4 +30,10 @@ class EmptyInputSpec extends SparkSpec {
     }
     assert(failures.isEmpty, s"queries failing on empty input:\n${failures.mkString("\n")}")
   }
+
+  test("pareto cut yields ZERO rows (not one all-null row) with no purchases") {
+    // mirrors the oracle's GROUP BY semantics: an ungrouped agg here
+    // would emit a single null row and hash-mismatch on empty corpora
+    assert(graft.analytics.Analytics.pareto8020(spark, emptyDir).count() === 0L)
+  }
 }

@@ -463,4 +463,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"bounded label join fell back to SMJ:\n${plan.take(1500)}")
   }
+
+  test("q6_forecast: all predicates push to the lineitem scan, no join, no window") {
+    val plan = executed(Analytics.forecastRevenue(spark, sfDir))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"date predicate did not reach the scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"pure scan-aggregate grew a join/window:\n${plan.take(1500)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("q8_mktshare: dims broadcast; share stays in [0, 1e6]") {
+    val plan = executed(Analytics.marketShare(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension broadcast lost:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = Analytics.marketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("mkt_share_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L, s"share out of range: $ppm")
+    }
+  }
+
+  test("q9_profit: name-filtered part dim broadcast, no product join") {
+    val plan = executed(Analytics.productProfit(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part/supplier broadcast lost:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q12_latesplit: date window pushes to the scan; counts partition the late set") {
+    val plan = executed(Analytics.lateShipmentSplit(spark, sfDir))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"ship-date window did not reach the scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"))
+    // high + low must tile the late-line population exactly
+    val rows = Analytics.lateShipmentSplit(spark, sfDir).collect()
+    val split = rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    import org.apache.spark.sql.functions._
+    val direct = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(graft.sources.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .count()
+    assert(split == direct, s"split $split != direct late count $direct")
+  }
+
+  test("q19_brand_ranges: disjunction stays residual on ONE equi-join — no BNLJ") {
+    val plan = executed(Analytics.brandRangeRevenue(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-predicate forced a product join:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"clause-eligible part prefilter lost its broadcast:\n${plan.take(1500)}")
+  }
 }
