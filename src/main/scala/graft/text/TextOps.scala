@@ -71,12 +71,36 @@ object TextOps {
     * inverted index already joins on the same xxhash64 space, so the
     * (negligible) collision exposure is identical. */
   private def hashedShingleDocs(spark: SparkSession, dir: String): DataFrame =
-    shingledDocs(spark, dir)
+    hashedFrom(shingledDocs(spark, dir))
+
+  /** (doc_id, hs) from a pre-shingled frame — parameterized so
+    * `dedupEval` can derive it from ONE persisted shingle table instead
+    * of re-scanning/re-shingling per method. */
+  private def hashedFrom(shingled: DataFrame): DataFrame =
+    shingled
       .select(col("doc_id"),
         // sorted ONCE per doc so every downstream verify-join can use
         // the allocation-free sorted_intersect_count two-pointer merge
         // instead of array_intersect's per-pair hash set + result array
         expr("sort_array(transform(shingles, s -> xxhash64(s)))").as("hs"))
+
+  /** Shared exact-verify stage: candidate (a_id, b_id) pairs re-joined
+    * to the full hashed shingle arrays, exact Jaccard computed with the
+    * two-pointer intersect, thresholded at 0.5. Every approximate
+    * candidate generator (minhash banding, df-capped index) funnels
+    * through this so reported jaccards are exact regardless of how the
+    * candidates were found. No broadcast hint: the shingled corpus
+    * scales with the data — the planner broadcasts while it fits,
+    * shuffle-joins beyond that. */
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame =
+    cand
+      .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
 
   /** Unsorted Jaccard ≥ 0.5 pairs — shared by the pair report and the
     * clustering operator. */
@@ -86,13 +110,21 @@ object TextOps {
   /** Jaccard ≥ 0.5 pairs over an arbitrary pre-shingled doc set (see
     * `shingledFrom`); the dir-based `jaccardPairs` is the whole-corpus
     * instantiation. */
-  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: the self-join
-    // shuffles longs instead of ~20-byte shingles (the hash is computed
-    // codegen'd on the exploded column, outside any interpreted lambda)
-    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame =
+    jaccardPairsFromIndex(invertedIndex(docs))
+
+  /** (doc_id, n_sh, sh): the exploded hashed-shingle inverted index —
+    * join on the 64-bit shingle hash, not the string: the self-join
+    * shuffles longs instead of ~20-byte shingles (the hash is computed
+    * codegen'd on the exploded column, outside any interpreted lambda).
+    * Factored so `dedupEval` can persist ONE index across the truth
+    * and df-capped pipelines. */
+  private def invertedIndex(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh_str"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+
+  private def jaccardPairsFromIndex(ex: DataFrame): DataFrame = {
     val a = ex.toDF("a_id", "a_n", "sh")
     val b = ex.toDF("b_id", "b_n", "sh")
     // shuffled-hash, not sort-merge: the exploded index is large and
@@ -198,29 +230,30 @@ object TextOps {
     * jaccard values stay exact. */
   def jaccardPairsCapped(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
     val docs = shingledDocs(spark, dir)
-    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("sh_str"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
-    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("sh")
+    verifyJaccard(cappedCandidates(docs, dfCap), hashedFrom(docs))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Candidate (a_id, b_id) pairs from the df-capped inverted index —
+    * the pruned self-join only; intersection over pruned shingles only
+    * lower-bounds the true count, so callers re-verify exact jaccard
+    * through the full shingle arrays (`verifyJaccard`). */
+  private def cappedCandidates(shingled: DataFrame, dfCap: Long): DataFrame = {
+    val ex = invertedIndex(shingled)
+    cappedCandidatesFromIndex(ex, ex.groupBy("sh").agg(count(lit(1)).as("df")), dfCap)
+  }
+
+  /** Capped candidates over a prebuilt index + document-frequency
+    * table — `dedupEval` computes both ONCE and probes them at two cap
+    * levels. */
+  private def cappedCandidatesFromIndex(ex: DataFrame, dfTab: DataFrame,
+      dfCap: Long): DataFrame = {
+    val rare = dfTab.filter(col("df") <= dfCap).select("sh")
     val pruned = ex.join(rare, Seq("sh"))
     val a = pruned.toDF("sh", "a_id", "a_n")
     val b = pruned.toDF("sh", "b_id", "b_n")
-    // candidate pairs from the pruned index; intersection over pruned
-    // shingles only lower-bounds the true count, so re-verify exact
-    // jaccard through the full shingle arrays (broadcast re-join)
-    val cand = a.join(b.hint("shuffle_hash"), Seq("sh")).filter(col("a_id") < col("b_id"))
+    a.join(b.hint("shuffle_hash"), Seq("sh")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val hashed = hashedShingleDocs(spark, dir)
-    cand
-      .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
-      .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   /** Near-duplicate clustering: connected components over the exact
@@ -394,17 +427,7 @@ object TextOps {
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
-    // no broadcast hint: the shingled corpus scales with the data — the
-    // planner broadcasts while it fits, shuffle-joins beyond that
-    val hashed = hashedShingleDocs(spark, dir)
-    cand
-      .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
-      .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
+    verifyJaccard(cand, hashedShingleDocs(spark, dir))
       .orderBy("a_id", "b_id")
   }
 
@@ -426,15 +449,7 @@ object TextOps {
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
-    val hashed = hashedShingleDocs(spark, dir)
-    cand
-      .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
-      .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
-      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("int"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "jaccard")
+    verifyJaccard(cand, hashedShingleDocs(spark, dir))
       .orderBy("a_id", "b_id")
   }
 
@@ -448,8 +463,10 @@ object TextOps {
 
   /** (doc_id, sig[128]) minhash signature table. */
   private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    shingledDocs(spark, dir)
-      .select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
+    minhashSigsFrom(shingledDocs(spark, dir))
+
+  private def minhashSigsFrom(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), expr("minhash128(shingles)").as("sig"))
 
   /** Generalized banding: `nBands` bands of `rowsPer` consecutive
     * signature slots, each hashed to one bucket key. Slicing is
@@ -527,11 +544,14 @@ object TextOps {
     * to cluster, which is not a contract). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sigs = docsRepartitioned(spark, dir)
-      .select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
-    simhashPairsFromSigs(sigs)
+    simhashPairsFromSigs(simhashSigsFrom(docsRepartitioned(spark, dir)))
       .orderBy("a_id", "b_id")
   }
+
+  /** (doc_id, simhash) signatures from a (doc_id, text) frame. Caller
+    * must have registered GraftFunctions on the session. */
+  private def simhashSigsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("simhash64(word_tokens(text))").as("simhash"))
 
   /** Chunk-LSH + exact-hamming pair generation over precomputed
     * (doc_id, simhash) signatures — factored out so specs can pin the
@@ -611,7 +631,25 @@ object TextOps {
     * computed once and joined against each method. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = jaccardPairs(spark, dir).select("a_id", "b_id")
+    graft.functions.GraftFunctions.register(spark)
+    // ONE shared substrate for all five methods: the original
+    // formulation called the five production entry points, so the
+    // corpus was re-scanned and re-shingled/re-hashed per method (6
+    // scans, 4 shingle passes) — measured 11 s serial / 7–34 s under
+    // its own 5-way concurrency at sf0.1. Persisting docs → shingles →
+    // sorted-hash arrays once cuts that to one pass each; every method
+    // below is the SAME pair pipeline as its production twin
+    // (candidate generator + shared verifyJaccard), so the report
+    // values are unchanged.
+    val docs = docsRepartitioned(spark, dir).persist()
+    val shingled = shingledFrom(docs).persist()
+    val hashed = hashedFrom(shingled).persist()
+    val ex = invertedIndex(shingled).persist()
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df")).persist()
+    // force the chain bottom-up BEFORE the concurrent scores so two
+    // futures don't race to compute the same cached partitions
+    hashed.count(); dfTab.count()
+    val truth = jaccardPairsFromIndex(ex).select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
     // one action per method: the truth side is a distinct pair set
@@ -629,22 +667,32 @@ object TextOps {
     // interleave on the scheduler: the serial formulation left most
     // cores idle during each pipeline's small shuffle/driver phases,
     // which dominated the 14 s wall. Same jobs, overlapped.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    // pool of 2, not one-thread-per-method: five concurrent shuffle
+    // pipelines over one 32-core local JVM contend on execution memory
+    // — with the shared substrate each pipeline is small, and two in
+    // flight still overlaps each one's small-stage/driver phases (the
+    // original win over serial) without the contention cliff that made
+    // pool=5 swing 7–34 s run-to-run.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
       val fs = Seq(
-        "minhash_lsh_32x4" -> (() => dedupMinhash(spark, dir)),
-        "jaccard_dfcap_64" -> (() => jaccardPairsCapped(spark, dir, 64L)),
-        "jaccard_dfcap_8" -> (() => jaccardPairsCapped(spark, dir, 8L)),
-        "simhash64_h3" -> (() => dedupSimhash(spark, dir)),
-        "winnow_k3w4" -> (() => dedupWinnow(spark, dir)))
+        "minhash_lsh_32x4" -> (() =>
+          verifyJaccard(bandedPairsConf(minhashSigsFrom(shingled), 32, 4), hashed)),
+        "jaccard_dfcap_64" -> (() =>
+          verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 64L), hashed)),
+        "jaccard_dfcap_8" -> (() =>
+          verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 8L), hashed)),
+        "simhash64_h3" -> (() => simhashPairsFromSigs(simhashSigsFrom(docs))),
+        "winnow_k3w4" -> (() => winnowPairsFromFps(winnowFpsFrom(docs))))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration(20, "min"))
     } finally pool.shutdown()
-    truth.unpersist(blocking = false)
+    Seq(truth, dfTab, ex, hashed, shingled, docs)
+      .foreach(_.unpersist(blocking = false))
     rows.map { case (m, nPairs, nHit) =>
       (m, nPairs, nTruth, nHit,
         if (nPairs == 0) 0L else nHit * 1000000L / nPairs,
@@ -1192,14 +1240,17 @@ object TextOps {
     * element (measured: minutes on a 50-doc partition). */
   private def winnowFps(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    docsRepartitioned(spark, dir)
+    winnowFpsFrom(docsRepartitioned(spark, dir))
+  }
+
+  private def winnowFpsFrom(docs: DataFrame): DataFrame =
+    docs
       // ≥ 6 words = at least one full window (m k-grams, m-3 windows)
       .select(col("doc_id"),
         (size(expr("word_tokens(text)")) - 2).cast("long").as("m"),
         expr("winnow_fps(text)").as("fps"))
       .filter(size(col("fps")) > 0)
       .select("doc_id", "m", "fps")
-  }
 
   /** Winnowing-based near-dup detection — the MOSS matching step:
     * documents sharing ≥ 2 selected fingerprint HASHES (positions
@@ -1212,8 +1263,14 @@ object TextOps {
     * the md5-string fingerprints are engine-portable, so unlike the
     * minhash/simhash candidate generators this near-dup pair set is
     * hash-checked against DuckDB, not rows-only. */
-  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFps(spark, dir)
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFromFps(winnowFps(spark, dir))
+      .orderBy("a_id", "b_id")
+
+  /** MOSS matching over precomputed (doc_id, m, fps) winnow tables —
+    * factored so `dedupEval` can feed it from the shared substrate. */
+  private def winnowPairsFromFps(fpsTable: DataFrame): DataFrame = {
+    val fps = fpsTable
       .select(col("doc_id"), explode(col("fps")).as("fpk"))
       .select(col("doc_id"), substring_index(col("fpk"), "#", 1).as("h"))
       .distinct()
@@ -1225,7 +1282,6 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-      .orderBy("a_id", "b_id")
   }
 
   /** Dedup threshold-sensitivity sweep: pair counts at every Jaccard
