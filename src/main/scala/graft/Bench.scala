@@ -36,8 +36,25 @@ object Bench {
       // in-bench vs 0.7 s steady-state). Warm-then-time per query keeps
       // the cache hot exactly when it matters. Steady-state is also the
       // honest 100 TB quantity: production queries run hot.
+      val w0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // heavyweight multi-job ops (iterative clustering, the eval
+      // reports) don't reach JIT/codegen steady state in one pass —
+      // measured: dedup_eval run1 21-43 s, run2 13-18 s, run3 ~10 s in
+      // one JVM. One extra warmup for anything whose first pass was
+      // slow keeps the timed run at the steady state the per-query
+      // warmup is meant to buy (and that a production run would see),
+      // at the cost of one repeat of only the slow tail.
+      if ((System.nanoTime() - w0) / 1e9 > 2.5) {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      // settle the heap between queries: lingering shuffle/broadcast
+      // blocks from the previous query otherwise surface as GC time
+      // inside THIS query's measurement (multi-second swings on the
+      // alphabetically-late queries)
+      System.gc()
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch {
         case e: Throwable =>

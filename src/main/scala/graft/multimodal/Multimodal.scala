@@ -327,7 +327,7 @@ object Multimodal {
     * recall guarantee extends to CLUSTER identity, not just pairs. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = phashPairs(spark, dir).select("a_id", "b_id")
-    val labels = graft.text.TextOps.connectedComponents(pairs)
+    val labels = graft.text.TextOps.guardedComponents(pairs)
     val w = Window.partitionBy("cluster_id")
     graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

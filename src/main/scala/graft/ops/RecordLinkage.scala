@@ -134,7 +134,7 @@ object RecordLinkage {
   def linkageCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = editDistancePairs(spark, dir)
       .select(col("a_key").as("a_id"), col("b_key").as("b_id"))
-    val labels = graft.text.TextOps.connectedComponents(pairs)
+    val labels = graft.text.TextOps.guardedComponents(pairs)
       .toDF("s_suppkey", "cluster_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))

@@ -98,7 +98,7 @@ object Curation {
         TextOps.shingledFrom(canon.select(col("doc_id"), col("text"))))
       .select("a_id", "b_id")
     val clustered = canon.join(
-        TextOps.connectedComponents(pairs), Seq("doc_id"), "left")
+        TextOps.guardedComponents(pairs), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
     val best = clustered.withColumn("best_id",
       first("doc_id").over(Window.partitionBy("cluster_id")

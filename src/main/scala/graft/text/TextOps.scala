@@ -281,7 +281,7 @@ object TextOps {
     * selection, leakage-safe splitting). */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
-    val labels = connectedComponents(pairs)
+    val labels = guardedComponents(pairs)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -367,6 +367,63 @@ object TextOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $MaxRounds rounds")
     labels
+  }
+
+  /** Components with the bounded-driver fast path (the q_dbscan
+    * discipline generalized): near-dup / linkage pair graphs are tiny
+    * relative to the corpus — the expensive part of those operators is
+    * building the pairs, not resolving them — so when the DISTINCT
+    * edge list fits a fixed driver budget, collect it and union-find
+    * with min-label canonicalization (root = component min, exactly
+    * the distributed loop's labels) instead of paying 3-6 rounds of
+    * synchronous join barriers. The distributed loop stays as the
+    * fallback for a pair graph wide enough to overflow the cap, so
+    * nothing driver-side ever scales with the data; the label
+    * contract is identical either way, making the choice invisible to
+    * callers and oracles. */
+  private[graft] def guardedComponents(pairs: DataFrame,
+      edgeCap: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    // one pinned materialization decides the path AND feeds whichever
+    // branch runs — the pair plan (often several joins deep) is never
+    // executed twice
+    val edgesRdd = pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .distinct()
+      .rdd.localCheckpoint()
+    val n = edgesRdd.count()
+    val out =
+      if (n <= edgeCap) {
+        val es = edgesRdd.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElse(x, x)
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            nodes.map(nd => org.apache.spark.sql.Row(nd, find(nd))).toSeq, 4),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("label", LongType))))
+      } else {
+        val df = spark.createDataFrame(edgesRdd,
+          StructType(Seq(StructField("a_id", LongType),
+            StructField("b_id", LongType))))
+        connectedComponents(df)
+      }
+    // both branches have fully consumed (or independently pinned) the
+    // edge list by now
+    edgesRdd.unpersist(blocking = false)
+    out
   }
 
   /** Incremental near-dup admission — the shape a production ingest
