@@ -177,6 +177,29 @@ class NewOpsSpec extends SparkSpec {
       "chain not fully collapsed to the component minimum")
   }
 
+  test("guardedComponents: driver union-find and distributed loop emit identical labels") {
+    import spark.implicits._
+    // multi-component graph with a chain (pointer-jumping territory), a
+    // star, duplicate edges (distinct-guard), and reversed-order edges
+    val edges = ((0L until 50L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (103L, 100L),
+        (200L, 201L), (201L, 200L), (300L, 250L))).toDF("a_id", "b_id")
+    val fast = graft.text.TextOps.guardedComponents(edges)
+      .toDF("node", "fast_label")
+    // edgeCap = 0 forces the distributed min-label fallback
+    val slow = graft.text.TextOps.guardedComponents(edges, edgeCap = 0L)
+      .toDF("node", "slow_label")
+    assert(fast.count() == slow.count())
+    val diff = fast.join(slow, "node")
+      .filter(col("fast_label") =!= col("slow_label"))
+    assert(diff.count() == 0,
+      "bounded union-find labels diverge from the distributed loop")
+    // both must be component-min: the chain collapses to 0, the star to
+    // 100, the reversed pair to 200, the out-of-order edge to 250
+    assert(fast.filter(col("node") === 50L).head().getLong(1) == 0L)
+    assert(fast.filter(col("node") === 300L).head().getLong(1) == 250L)
+  }
+
   test("near-dup clustering labels both ends of every pair identically") {
     val clusters = TextOps.dedupCluster(spark, sfDir).cache()
     val labels = clusters.select("doc_id", "cluster_id")
