@@ -112,6 +112,7 @@ object SparkEntry {
     // LLM-data-pipeline: dedup / text analysis (graft.text)
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_prefix_join" -> ((s, d) => TextOps.jaccardPairsPrefix(s, d)),
     "dedup_cluster" -> ((s, d) => TextOps.dedupCluster(s, d)),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinhash(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
@@ -1787,6 +1788,25 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
+        |       COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+        |SELECT a_id, b_id, round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard
+        |FROM p WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // prefix filtering is EXACT by the prefix-filter lemma, so its
+    // oracle is the same ground-truth pair set as the full inverted
+    // index — the strongest possible check of the pruning's recall
+    "dedup_prefix_join" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
         |    x -> x <> '') AS words FROM documents),

@@ -256,6 +256,47 @@ object TextOps {
       .select("a_id", "b_id").distinct()
   }
 
+  /** EXACT Jaccard ≥ 0.5 pairs via PREFIX FILTERING (the
+    * SSJoin/PPJoin principle; Chaudhuri et al. 2006, Xiao et al.
+    * 2008) — the third candidate-generation strategy beside the full
+    * inverted index and the df-cap, and the only scale-safe one that
+    * keeps EXACTNESS: order every document's shingles by a global
+    * rarity total order (document frequency asc, hash asc), index
+    * only each document's first |x| − ⌈t·|x|⌉ + 1 = ⌊|x|/2⌋ + 1
+    * rarest shingles, and self-join prefixes. The prefix-filter
+    * lemma guarantees any pair with overlap ≥ ⌈t·max(|x|,|y|)⌉ —
+    * which J ≥ t implies — shares a prefix token, so recall is total
+    * BY CONSTRUCTION (spec-pinned equal to the uncapped join),
+    * while the join's fan-out concentrates on the RAREST tokens:
+    * per-token candidate lists shrink exactly where the full index
+    * blows up (boilerplate shingles sit in every suffix, never in a
+    * prefix). This is how production set-similarity joins stay exact
+    * at 100 TB where `jaccardPairsCapped` would trade recall; the
+    * extra cost is one df aggregate + one per-doc rank window over
+    * the index, both combinable/keyed shuffles. Candidates re-verify
+    * through the full arrays (`verifyJaccard`), so emitted jaccards
+    * are exact either way. */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = invertedIndex(docs)
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc rarity rank under the GLOBAL (df, sh) total order — both
+    // sides of the join must use the same order for the lemma to hold
+    val ranked = ex.join(dfTab, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    // t = 0.5 ⇒ prefix length |x| − ⌈|x|/2⌉ + 1 = ⌊|x|/2⌋ + 1
+    val prefix = ranked.filter(col("rk") <= expr("n_sh div 2 + 1"))
+      .select("doc_id", "sh")
+    val a = prefix.toDF("a_id", "sh")
+    val b = prefix.toDF("b_id", "sh")
+    val cand = a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(cand, hashedFrom(docs))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Near-duplicate clustering: connected components over the exact
     * Jaccard ≥ 0.5 pair graph — min-label propagation to a fixpoint,
     * then cluster sizes and the canonical (min-id) flag. This is the

@@ -15,6 +15,19 @@ class TextOpsSpec extends SparkSpec {
     assert(mh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("prefix-filter join equals the full inverted-index join exactly") {
+    // the prefix-filter lemma promises TOTAL recall at t=0.5 (any pair
+    // with J >= 0.5 shares a token among each side's floor(n/2)+1
+    // rarest) — so unlike the df-capped variant this must be EQUAL to
+    // the ground truth, values included, not a subset
+    val exact = TextOps.dedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = TextOps.jaccardPairsPrefix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("simhash pairs respect the hamming<=3 contract") {
     val rows = TextOps.dedupSimhash(spark, sfDir).collect()
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
