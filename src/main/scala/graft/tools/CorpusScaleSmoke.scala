@@ -124,7 +124,15 @@ object CorpusScaleSmoke {
         // labels×dim); epoch assignment is two-phase ranks + a
         // |sources| broadcast
         "dedup_cross_source", "dedup_banding_eval", "mm_dedup_cluster",
-        "q_f1_sweep", "vec_drift", "corpus_epochs")) {
+        "q_f1_sweep", "vec_drift", "corpus_epochs",
+        // round-4 surface: the prefix join's candidate stage indexes
+        // only each doc's rarest floor(n/2)+1 shingles — the salted
+        // replicas multiply the vocabulary, so per-token df stays
+        // flat and the prefix fan-out should scale LINEARLY with the
+        // corpus (the signal: exactness without the full index's
+        // hot-shingle blowup); dedup_eval now rides one shared
+        // persisted substrate across its five method pipelines
+        "dedup_prefix_join", "dedup_eval")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()
