@@ -90,6 +90,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("prefix join: shuffled-hash candidate join, per-doc rank window, no product join") {
+    val plan = executed(graft.text.TextOps.jaccardPairsPrefix(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"prefix candidate join lost its shuffled-hash hint:\n${plan.take(1200)}")
+    // the rarity rank must ride a doc_id exchange, never a global sort
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"prefix rank window lost its per-doc partitioning:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to a product join:\n${plan.take(1500)}")
+  }
+
   test("seq_pack's corpus-wide window is bucket-partitioned, not single-partition") {
     val plan = executed(graft.text.CorpusOps.seqPack(spark, sfDir))
     assert(plan.contains("hashpartitioning(bucket"),
