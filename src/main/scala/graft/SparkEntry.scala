@@ -161,6 +161,7 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => Analytics.rfmSegmentation(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
+    "vec_rp" -> ((s, d) => VectorOps.randomProjection(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
@@ -2202,6 +2203,34 @@ object SparkEntry {
         | CAST(list_sum(list_transform(generate_series(1, len(qv)),
         |   i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_wsum
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // the ±1 sign matrix is a pure function of (dim j, output i) via
+    // md5 hex parity, so the oracle derives the SAME matrix inline
+    "vec_rp" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |grid AS (
+        |  SELECT q.vec_id, i.i, q.qv[j.j+1] *
+        |    (CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),1,1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS term
+        |  FROM q
+        |  CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j),
+        |comps AS (SELECT vec_id, i, SUM(term) AS comp FROM grid GROUP BY vec_id, i),
+        |agg AS (
+        |  SELECT vec_id,
+        |    MIN(CASE WHEN i = 0 THEN comp END) AS c0_micro,
+        |    md5(string_agg(CAST(comp AS VARCHAR), ',' ORDER BY i)) AS rp_digest,
+        |    SUM(comp*comp) AS rp_sq
+        |  FROM comps GROUP BY vec_id),
+        |src AS (SELECT vec_id, SUM(v*v) AS src_sq
+        |  FROM (SELECT vec_id, unnest(qv) AS v FROM q) GROUP BY vec_id)
+        |SELECT a.vec_id, CAST(a.c0_micro AS BIGINT) AS c0_micro, a.rp_digest,
+        |  CAST(CAST(a.rp_sq AS HUGEINT) * 1000000 // nullif(16 * s.src_sq, 0) AS BIGINT) AS norm_ratio_ppm
+        |FROM agg a JOIN src s USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -418,6 +418,59 @@ object VectorOps {
           (a, i) => a.cast("long") * i), lit(0L), (acc, v) => acc + v).as("q_wsum"))
       .orderBy("vec_id")
 
+  /** Johnson–Lindenstrauss ±1 random projection (Achlioptas 2001):
+    * 64-dim embeddings → 16 dims through a DATA-INDEPENDENT sign
+    * matrix — the training-free dimensionality reduction a 100 TB
+    * pipeline runs where PCA (`vec_pca`) would need a covariance pass
+    * first. The sign matrix is a pure function of (dim j, output i)
+    * via md5 hex parity, so 1000 executors and the DuckDB oracle
+    * derive the SAME matrix with zero coordination and zero broadcast;
+    * components quantize to exact integer micro-units first
+    * (floor(x·1e6+0.5)), making every projected component an exact
+    * ±-signed integer sum — order-independent, engine-independent.
+    * Output per vector: first component, an md5 digest of the full
+    * projected tuple, and the JL norm-preservation ratio
+    * E[‖Px‖²/k] = ‖x‖² in exact ppm through DECIMAL(38,0) (the
+    * micro²-scaled cross-multiply clears BIGINT). Embarrassingly
+    * parallel — one scan, no shuffle before the presentation sort. */
+  def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val dim = 64
+    // same formula the oracle uses inline: sign(j,i) = +1 iff the
+    // first hex char of md5("j_i") is odd
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def signOf(j: Int, i: Int): Int = {
+      val h = mdi.digest(s"${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("qv"))
+    val comps = (0 until k).map { i =>
+      (0 until dim).map { j =>
+        val e = element_at(col("qv"), j + 1)
+        if (signOf(j, i) > 0) e else -e
+      }.reduce(_ + _).as(s"c$i")
+    }
+    val projected = q.select((col("vec_id") +: col("qv").as("qv") +: comps): _*)
+    // both sums fit BIGINT (|comp| ≤ dim·1e6 ⇒ rp_sq ≤ k·(dim·1e6)² ≈
+    // 6.6e16; src_sq ≤ dim·1e12); only the ×1e6 ppm cross-multiply
+    // needs DECIMAL(38,0) — the q8_mktshare discipline
+    val rpSq = (0 until k).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _)
+    val srcSq = aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v)
+    projected
+      .withColumn("rp_digest",
+        md5(concat_ws(",", (0 until k).map(i => col(s"c$i").cast("string")): _*)))
+      .withColumn("rp_sq", rpSq)
+      .withColumn("src_sq", srcSq)
+      .withColumn("norm_ratio_ppm",
+        expr("CAST((CAST(rp_sq AS DECIMAL(38,0)) * 1000000)" +
+          s" div nullif(CAST($k AS BIGINT) * src_sq, 0) AS BIGINT)"))
+      .select(col("vec_id"), col("c0").as("c0_micro"),
+        col("rp_digest"), col("norm_ratio_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid accumulation — the distributed "sum step" of
     * k-means / class-prototype computation, laid out the only way it
     * scales: posexplode to (label, position, value), hash-aggregate

@@ -16,6 +16,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("JL random projection preserves norms in expectation and is deterministic") {
+    val rp = graft.vector.VectorOps.randomProjection(spark, sfDir).cache()
+    val rows = rp.collect()
+    assert(rows.nonEmpty)
+    // E[||Px||^2 / k] = ||x||^2 — per-vector ratios concentrate around
+    // 1e6 ppm; with k=16 the JL variance bound keeps every ratio well
+    // inside [0.2, 5]x and the MEAN much tighter
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("norm_ratio_ppm")
+      assert(ppm > 200000L && ppm < 5000000L, s"ratio $ppm outside JL band")
+    }
+    val mean = rows.map(_.getAs[Long]("norm_ratio_ppm")).sum / rows.length
+    assert(mean > 700000L && mean < 1400000L, s"mean ratio $mean off 1e6")
+    // data-independent matrix ⇒ bit-identical recomputation
+    val again = graft.vector.VectorOps.randomProjection(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getString(2)))
+  }
+
   test("brute-force ranks are ordered by descending cosine") {
     val rows = VectorOps.annBruteForce(spark, sfDir)
       .orderBy("query_id", "rank").collect()
