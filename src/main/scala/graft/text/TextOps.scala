@@ -607,18 +607,42 @@ object TextOps {
     * the spec pins the hierarchical subset law and recall monotonicity
     * against the exact pair oracle. */
   def bandingEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sigs = minhashSigs(spark, dir).localCheckpoint(true)
     val truth = jaccardPairs(spark, dir).select("a_id", "b_id").localCheckpoint(true)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val configs = Seq((32, 4), (16, 8), (8, 16), (4, 32))
-    configs.map { case (b, r) =>
-      val cand = bandedPairsConf(sigs, b, r)
-      val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_true_pairs")))
-        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_true_pairs"))
-    }.reduce(_.unionAll(_))
+    // ONE config-tagged bucket shuffle for all four configs (the old
+    // per-config formulation paid 4 bucket shuffles + 4 semi-joins over
+    // the same pinned signatures), then one left-join against the
+    // distinct truth pairs scores candidates and hits per config in a
+    // single aggregate. Candidate sets per config are identical to
+    // bandedPairsConf's — same slots, same in-bucket expansion, distinct
+    // per (config, pair).
+    val slots = configs.map { case (b, r) =>
+      bandSlots(sigs, b, r).select(lit(b).as("n_bands"),
+        lit(r).as("rows_per_band"), col("doc_id"), col("band_id"), col("band_hash"))
+    }.reduce(_ unionAll _)
+    val cand = slots
+      .groupBy("n_bands", "rows_per_band", "band_id", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("n_bands"), col("rows_per_band"),
+        explode(flatten(transform(col("ids"), x =>
+          transform(filter(col("ids"), y => y > x),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    val scored = cand
+      .join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+      .groupBy("n_bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_true_pairs"))
+    // literal config spine: a config whose buckets emit ZERO candidates
+    // (possible at strict rows-per-band) must still report a 0/0 row
+    configs.toDF("n_bands", "rows_per_band")
+      .join(scored, Seq("n_bands", "rows_per_band"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_true_pairs"))
       .crossJoin(broadcast(nTruth))
       .withColumn("recall_ppm",
         expr("n_true_pairs * 1000000 div nullif(n_truth, 0)"))
