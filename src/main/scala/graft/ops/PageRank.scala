@@ -141,6 +141,62 @@ object PageRank {
     ranks
   }
 
+  /** Power iteration with the bounded-driver fast path — for graphs
+    * that are STRUCTURALLY bounded regardless of corpus size (the
+    * TextRank word graph: vocabulary saturates by Heaps' law, so its
+    * distinct-bigram edge list stops growing long before the corpus
+    * does — the same justification as DBSCAN's resolution-bounded cell
+    * graph and IVF's bounded sample). Under the edge budget the pinned
+    * edge list is collected once and iterated on the driver with the
+    * IDENTICAL integer arithmetic (teleport = (M·15/100) div n, per-edge
+    * contribution (rank·85) div (100·outdeg), integer sums — order-
+    * independent, so the recursive-CTE oracle cannot tell the branches
+    * apart); past the budget the distributed loop runs unchanged. NOT
+    * used for the trade-graph PageRank, whose edge list scales with the
+    * data — a cap there would make small-scale measurements
+    * unrepresentative of the plan that runs at 100 TB. */
+  private[graft] def guardedPowerIterate(edges: DataFrame,
+      edgeCap: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val spark = edges.sparkSession
+    // fresh projection before .rdd: Dataset.rdd is a cached lazy val,
+    // so checkpointing the CALLER's rdd in place would poison any later
+    // use of the same frame (the unpersisted checkpoint blocks would be
+    // the only way to recompute it)
+    val edgesRdd = edges.select(col("src"), col("dst")).rdd.localCheckpoint()
+    val n = edgesRdd.count()
+    val out =
+      if (n <= edgeCap) {
+        val es = edgesRdd.collect().map(r => (r.get(0), r.get(1)))
+        val outdeg = scala.collection.mutable.Map.empty[Any, Long]
+        es.foreach { case (s, _) => outdeg(s) = outdeg.getOrElse(s, 0L) + 1L }
+        val nodes = es.map(_._1).distinct
+        val nNodes = nodes.length.toLong
+        val schema = StructType(Seq(
+          StructField("node", edges.schema.head.dataType),
+          StructField("rank", LongType)))
+        if (nNodes == 0)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          val teleport = (TotalMass * 15 / 100) / nNodes
+          var rank = nodes.map(_ -> TotalMass / nNodes).toMap
+          for (_ <- 1 to Iterations) {
+            val next = scala.collection.mutable.Map.empty[Any, Long]
+            es.foreach { case (s, d) =>
+              next(d) = next.getOrElse(d, 0L) + (rank(s) * 85) / (100L * outdeg(s))
+            }
+            rank = nodes.map(nd => nd -> (next.getOrElse(nd, 0L) + teleport)).toMap
+          }
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              rank.toSeq.map { case (nd, r) => org.apache.spark.sql.Row(nd, r) }, 4),
+            schema)
+        }
+      } else powerIterate(spark.createDataFrame(edgesRdd, edges.schema))
+    edgesRdd.unpersist(blocking = false)
+    out
+  }
+
   val SpRounds = 6
 
   /** Bounded weighted shortest path (Bellman-Ford, 6 synchronous

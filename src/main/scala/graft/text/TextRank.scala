@@ -44,7 +44,10 @@ object TextRank {
       .distinct()
     val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
       .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
-    graft.ops.PageRank.powerIterate(edges)
+    // guarded: the word graph is vocabulary-bounded (Heaps' law), so
+    // under the edge budget the 10 rounds run on the driver with
+    // identical integer arithmetic; past it, the distributed loop
+    graft.ops.PageRank.guardedPowerIterate(edges)
       .select(col("node").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word"))
       .limit(top)

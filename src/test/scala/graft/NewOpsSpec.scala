@@ -200,6 +200,24 @@ class NewOpsSpec extends SparkSpec {
     assert(fast.filter(col("node") === 300L).head().getLong(1) == 250L)
   }
 
+  test("guardedPowerIterate: driver loop and distributed loop emit identical ranks") {
+    import spark.implicits._
+    // symmetric multi-component graph with a hub and a chain — ranks
+    // must match BIT-FOR-BIT (identical integer arithmetic)
+    val und = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"),
+      ("x", "y"), ("y", "z")).toDF("lo", "hi")
+    val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+    val fast = graft.ops.PageRank.guardedPowerIterate(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val slow = graft.ops.PageRank.guardedPowerIterate(edges, edgeCap = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fast == slow)
+    assert(fast.size == 8)
+    // the hub out-ranks its leaves
+    assert(fast("a") > fast("b") && fast("a") > fast("c"))
+  }
+
   test("near-dup clustering labels both ends of every pair identically") {
     val clusters = TextOps.dedupCluster(spark, sfDir).cache()
     val labels = clusters.select("doc_id", "cluster_id")
