@@ -162,6 +162,7 @@ object SparkEntry {
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
     "vec_rp" -> ((s, d) => VectorOps.randomProjection(s, d)),
+    "vec_rp_eval" -> ((s, d) => VectorOps.rpRetrievalEval(s, d)),
     "vec_centroid" -> ((s, d) => VectorOps.vecCentroid(s, d)),
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
@@ -2231,6 +2232,41 @@ object SparkEntry {
         |  CAST(CAST(a.rp_sq AS HUGEINT) * 1000000 // nullif(16 * s.src_sq, 0) AS BIGINT) AS norm_ratio_ppm
         |FROM agg a JOIN src s USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+
+    // integer L2² rankings on both sides (micro units / signed
+    // projected sums), deterministic neighbor_id tie-break — the
+    // overlap table reproduces bit-for-bit
+    "vec_rp_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |grid AS (
+        |  SELECT q.vec_id, i.i,
+        |    SUM(q.qv[j.j+1] * (CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)),1,1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) AS comp
+        |  FROM q
+        |  CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j
+        |  GROUP BY q.vec_id, i.i),
+        |rp AS (SELECT vec_id, list(comp ORDER BY i) AS rp FROM grid GROUP BY vec_id),
+        |base AS (SELECT q.vec_id, q.qv, rp.rp FROM q JOIN rp USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1,64), t -> (a.qv[t]-b.qv[t])*(a.qv[t]-b.qv[t]))) AS d_true,
+        |    list_sum(list_transform(generate_series(1,16), t -> (a.rp[t]-b.rp[t])*(a.rp[t]-b.rp[t]))) AS d_rp
+        |  FROM base a JOIN base b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d_true, neighbor_id) AS r_true,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d_rp, neighbor_id) AS r_rp
+        |  FROM pairs)
+        |SELECT t.query_id, COUNT(*) AS n_true, COUNT(r.query_id) AS n_overlap,
+        |  CAST(COUNT(r.query_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM (SELECT query_id, neighbor_id FROM ranked WHERE r_true <= 10) t
+        |LEFT JOIN (SELECT query_id, neighbor_id FROM ranked WHERE r_rp <= 10) r
+        |  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -433,25 +433,34 @@ object VectorOps {
     * E[‖Px‖²/k] = ‖x‖² in exact ppm through DECIMAL(38,0) (the
     * micro²-scaled cross-multiply clears BIGINT). Embarrassingly
     * parallel — one scan, no shuffle before the presentation sort. */
-  def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val dim = 64
-    // same formula the oracle uses inline: sign(j,i) = +1 iff the
-    // first hex char of md5("j_i") is odd
-    val mdi = java.security.MessageDigest.getInstance("MD5")
-    def signOf(j: Int, i: Int): Int = {
-      val h = mdi.digest(s"${j}_${i}".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 1) == 1) 1 else -1
-    }
-    val q = Tables.embeddings(spark, dir)
+  /** The JL sign matrix: sign(j,i) = +1 iff the first hex char of
+    * md5("j_i") is odd — the same formula the oracles derive inline. */
+  private def rpSignOf(j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_${i}".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1 else -1
+  }
+
+  /** (vec_id, qv) with micro-unit quantized components. */
+  private def microVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("qv"))
-    val comps = (0 until k).map { i =>
+
+  /** The k projected components of `qv` as ±-signed integer sums. */
+  private def rpCompCols(k: Int, dim: Int): Seq[Column] =
+    (0 until k).map { i =>
       (0 until dim).map { j =>
         val e = element_at(col("qv"), j + 1)
-        if (signOf(j, i) > 0) e else -e
+        if (rpSignOf(j, i) > 0) e else -e
       }.reduce(_ + _).as(s"c$i")
     }
+
+  def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val dim = 64
+    val q = microVecs(spark, dir)
+    val comps = rpCompCols(k, dim)
     val projected = q.select((col("vec_id") +: col("qv").as("qv") +: comps): _*)
     // both sums fit BIGINT (|comp| ≤ dim·1e6 ⇒ rp_sq ≤ k·(dim·1e6)² ≈
     // 6.6e16; src_sq ≤ dim·1e12); only the ×1e6 ppm cross-multiply
@@ -469,6 +478,53 @@ object VectorOps {
       .select(col("vec_id"), col("c0").as("c0_micro"),
         col("rp_digest"), col("norm_ratio_ppm"))
       .orderBy("vec_id")
+  }
+
+  /** Retrieval-quality audit of the JL projection (`vec_rp`): per
+    * query (the bounded vec_id < 10 set), top-10 nearest by EXACT
+    * integer L2² in the original 64-dim micro space vs top-10 by L2²
+    * in the 16-dim projected space, and the overlap in exact ppm —
+    * the number a pipeline owner reads before swapping full vectors
+    * for projections in a first-stage retriever (JL preserves
+    * pairwise distances, so rank inversions concentrate where true
+    * distances nearly tie). Every distance is an integer (micro
+    * units / signed projected sums), so ranking ties break
+    * deterministically on neighbor_id and the DuckDB oracle
+    * reproduces the table bit-for-bit. Scale shape: one broadcast of
+    * the 10-row query set against the corpus scan — the annBruteForce
+    * discipline — with both distance columns computed in the same
+    * pass (no second scan for the projected side). */
+  def rpRetrievalEval(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val base = microVecs(spark, dir)
+      .select(col("vec_id"), col("qv"),
+        array(rpCompCols(k, 64): _*).as("rp"))
+    val q = base.toDF("query_id", "q_qv", "q_rp").filter(col("query_id") < 10)
+    val c = base.toDF("neighbor_id", "c_qv", "c_rp")
+    val joined = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d_true", aggregate(
+        zip_with(col("q_qv"), col("c_qv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("d_rp", aggregate(
+        zip_with(col("q_rp"), col("c_rp"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    val wTrue = Window.partitionBy("query_id")
+      .orderBy(col("d_true"), col("neighbor_id"))
+    val wRp = Window.partitionBy("query_id")
+      .orderBy(col("d_rp"), col("neighbor_id"))
+    val ranked = joined
+      .withColumn("r_true", row_number().over(wTrue))
+      .withColumn("r_rp", row_number().over(wRp))
+    val top10 = ranked.filter(col("r_true") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val rp10 = ranked.filter(col("r_rp") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    top10
+      .join(rp10.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr("n_overlap * 1000000 div nullif(n_true, 0)"))
+      .orderBy("query_id")
   }
 
   /** Per-label centroid accumulation — the distributed "sum step" of

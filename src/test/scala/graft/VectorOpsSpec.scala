@@ -35,6 +35,17 @@ class VectorOpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getString(2)))
   }
 
+  test("JL retrieval eval: 10 queries, full true set, recall within bounds") {
+    val rows = graft.vector.VectorOps.rpRetrievalEval(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 10L)
+      val ppm = r.getAs[Long]("recall_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm == r.getAs[Long]("n_overlap") * 100000L)
+    }
+  }
+
   test("brute-force ranks are ordered by descending cosine") {
     val rows = VectorOps.annBruteForce(spark, sfDir)
       .orderBy("query_id", "rank").collect()
