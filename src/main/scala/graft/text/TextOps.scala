@@ -280,6 +280,14 @@ object TextOps {
     val docs = shingledDocs(spark, dir)
     val ex = invertedIndex(docs)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    verifyJaccard(prefixCandidatesFromIndex(ex, dfTab), hashedFrom(docs))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Prefix-filter candidates over a prebuilt index + df table —
+    * shared with `dedupEval`, which scores this strategy off its
+    * persisted substrate. */
+  private def prefixCandidatesFromIndex(ex: DataFrame, dfTab: DataFrame): DataFrame = {
     // per-doc rarity rank under the GLOBAL (df, sh) total order — both
     // sides of the join must use the same order for the lemma to hold
     val ranked = ex.join(dfTab, Seq("sh"))
@@ -290,11 +298,9 @@ object TextOps {
       .select("doc_id", "sh")
     val a = prefix.toDF("a_id", "sh")
     val b = prefix.toDF("b_id", "sh")
-    val cand = a.join(b.hint("shuffle_hash"), Seq("sh"))
+    a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    verifyJaccard(cand, hashedFrom(docs))
-      .orderBy("a_id", "b_id")
   }
 
   /** Near-duplicate clustering: connected components over the exact
@@ -806,6 +812,10 @@ object TextOps {
           verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 64L), hashed)),
         "jaccard_dfcap_8" -> (() =>
           verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 8L), hashed)),
+        // exact by the prefix-filter lemma: its 1.0/1.0 row is the
+        // report's built-in self-check
+        "jaccard_prefix" -> (() =>
+          verifyJaccard(prefixCandidatesFromIndex(ex, dfTab), hashed)),
         "simhash64_h3" -> (() => simhashPairsFromSigs(simhashSigsFrom(docs))),
         "winnow_k3w4" -> (() => winnowPairsFromFps(winnowFpsFrom(docs))))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }

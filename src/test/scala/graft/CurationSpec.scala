@@ -52,16 +52,19 @@ class CurationSpec extends SparkSpec {
     val rows = TextOps.dedupEval(spark, sfDir).collect()
       .map(r => r.getAs[String]("method") -> r).toMap
     assert(rows.keySet == Set("minhash_lsh_32x4", "jaccard_dfcap_64",
-      "jaccard_dfcap_8", "simhash64_h3", "winnow_k3w4"))
+      "jaccard_dfcap_8", "jaccard_prefix", "simhash64_h3", "winnow_k3w4"))
     for ((_, r) <- rows) {
       assert(r.getAs[Long]("n_truth") > 0)
       assert(r.getAs[Long]("precision_ppm") <= 1000000L &&
         r.getAs[Long]("recall_ppm") <= 1000000L)
     }
     // jaccard-verified outputs can never emit a false pair
-    for (m <- Seq("minhash_lsh_32x4", "jaccard_dfcap_64", "jaccard_dfcap_8"))
+    for (m <- Seq("minhash_lsh_32x4", "jaccard_dfcap_64", "jaccard_dfcap_8",
+        "jaccard_prefix"))
       assert(rows(m).getAs[Long]("precision_ppm") == 1000000L ||
         rows(m).getAs[Long]("n_pairs") == 0, s"$m emitted non-truth pairs")
+    // the prefix-filter lemma promises TOTAL recall: 1.0/1.0 exactly
+    assert(rows("jaccard_prefix").getAs[Long]("recall_ppm") == 1000000L)
     // a looser df cap keeps at least the pairs of a tighter one
     assert(rows("jaccard_dfcap_64").getAs[Long]("recall_ppm") >=
       rows("jaccard_dfcap_8").getAs[Long]("recall_ppm"))
