@@ -22,7 +22,12 @@ object Bench {
     // emitted JSON so cross-round comparisons can't be corrupted by a
     // crash masquerading as a speedup.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=<regex> benches only the
+    // matching queries (unset in driver runs — full surface)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.map { case (name, fn) =>
       // Per-query warmup AT THE BENCH SF, immediately before its timed
       // run (JMH style): whole-stage codegen caches on generated source,
       // so the timed run measures execution, not the codegen
@@ -37,7 +42,8 @@ object Bench {
       // the cache hot exactly when it matters. Steady-state is also the
       // honest 100 TB quantity: production queries run hot.
       val w0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val warmupOk =
+        try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // heavyweight multi-job ops (iterative clustering, the eval
       // reports) don't reach JIT/codegen steady state in one pass —
@@ -46,7 +52,10 @@ object Bench {
       // slow keeps the timed run at the steady state the per-query
       // warmup is meant to buy (and that a production run would see),
       // at the cost of one repeat of only the slow tail.
-      if ((System.nanoTime() - w0) / 1e9 > 2.5) {
+      // only when the first warmup SUCCEEDED slowly: a consistently
+      // failing query must not execute (and stack-dump) a third time,
+      // and a thrown first pass says nothing about JIT steady state
+      if (warmupOk && (System.nanoTime() - w0) / 1e9 > 2.5) {
         try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }

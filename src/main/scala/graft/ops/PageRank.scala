@@ -154,7 +154,17 @@ object PageRank {
     * apart); past the budget the distributed loop runs unchanged. NOT
     * used for the trade-graph PageRank, whose edge list scales with the
     * data — a cap there would make small-scale measurements
-    * unrepresentative of the plan that runs at 100 TB. */
+    * unrepresentative of the plan that runs at 100 TB.
+    *
+    * PRECONDITION (same as powerIterate, and load-bearing for branch
+    * equivalence): the edge list must be SYMMETRIC — every (a, b) has
+    * its (b, a). The driver path takes the node universe as distinct
+    * src, the distributed loop's output set is distinct dst (its last
+    * groupBy); only symmetry makes the two sets equal, so an
+    * asymmetric caller would get different node sets depending on
+    * which side of the edge cap its graph lands. Both in-repo callers
+    * (trade graph, TextRank bigram graph) construct explicit
+    * symmetric unions. */
   private[graft] def guardedPowerIterate(edges: DataFrame,
       edgeCap: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType}

@@ -432,6 +432,16 @@ object TextOps {
       edgeCap: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    // fail loudly at the call site: the long cast below would turn
+    // non-integral ids into nulls that collapse under distinct() and
+    // NPE in getLong far from the actual mistake
+    Seq("a_id", "b_id").foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"guardedComponents needs integral ids; column '$c' is $dt " +
+          "(use connectedComponents directly for non-numeric ids)")
+    }
     // one pinned materialization decides the path AND feeds whichever
     // branch runs — the pair plan (often several joins deep) is never
     // executed twice
@@ -822,9 +832,14 @@ object TextOps {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration(20, "min"))
-    } finally pool.shutdown()
-    Seq(truth, dfTab, ex, hashed, shingled, docs)
-      .foreach(_.unpersist(blocking = false))
+    } finally {
+      pool.shutdown()
+      // unpersist in finally: a method-pipeline failure or the Await
+      // timeout must not leave six cached frames pinned for the rest
+      // of the session
+      Seq(truth, dfTab, ex, hashed, shingled, docs)
+        .foreach(_.unpersist(blocking = false))
+    }
     rows.map { case (m, nPairs, nHit) =>
       (m, nPairs, nTruth, nHit,
         if (nPairs == 0) 0L else nHit * 1000000L / nPairs,
