@@ -182,6 +182,7 @@ object SparkEntry {
     // Fuzzy-key record linkage (graft.ops.RecordLinkage)
     "dedup_editdist" -> ((s, d) => graft.ops.RecordLinkage.editDistancePairs(s, d)),
     "text_containment" -> ((s, d) => TextOps.containmentPairs(s, d)),
+    "text_containment_capped" -> ((s, d) => TextOps.containmentPairsCapped(s, d, 64L)),
     "text_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "text_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "text_novelty" -> ((s, d) => TextOps.noveltyCurve(s, d)),
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_disjunctive" -> ((s, d) => Analytics.disjunctiveJoin(s, d)),
     "q_weighted_median" -> ((s, d) => Analytics.weightedMedian(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidfPairs(s, d)),
+    "text_tfidf_capped" -> ((s, d) => TextOps.tfidfPairsCapped(s, d, 64L)),
     "vec_pca" -> ((s, d) => VectorOps.vecPca(s, d)),
     "text_top_quality" -> ((s, d) => TextOps.topQualityPerLang(s, d)),
     "q_funnel_time" -> ((s, d) => Analytics.funnelTime(s, d)),
@@ -2455,6 +2457,28 @@ object SparkEntry {
         |FROM p WHERE round(inter / CAST(a_n AS DOUBLE), 6) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // df-capped twin: candidates only from shingles with df <= 64,
+    // containment re-verified exactly over ALL shared shingles
+    "text_containment_capped" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |rare AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 64),
+        |pr AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare USING (sh)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, COUNT(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1,2,3),
+        |j AS (SELECT p.* FROM p JOIN cand USING (a_id, b_id))
+        |SELECT a_id, b_id, round(inter / CAST(a_n AS DOUBLE), 6) AS containment
+        |FROM j WHERE round(inter / CAST(a_n AS DOUBLE), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_interpolate" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
@@ -2554,6 +2578,43 @@ object SparkEntry {
         |  SELECT a_id, b_id,
         |   round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_tfidf
         |  FROM dot JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id)
+        |SELECT a_id, b_id, cos_tfidf FROM cosv
+        |WHERE cos_tfidf >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    // df-capped twin: candidate pairs only from terms with df <= 64,
+    // cosine re-verified exactly over the candidates' FULL term vectors
+    "text_tfidf_capped" ->
+      """WITH wd AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM wd WHERE len(words) >= 3),
+        |tf AS (SELECT doc_id, unnest(shingles) AS term FROM sh),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |idf AS (
+        |  SELECT term, COUNT(*) AS df,
+        |   CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000, 0) AS BIGINT) AS idf_milli
+        |  FROM tf, nd GROUP BY term, n_docs),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.term, idf.idf_milli AS w, idf.df
+        |  FROM tf JOIN idf USING (term)),
+        |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt
+        |        GROUP BY doc_id HAVING CAST(SUM(w * w) AS BIGINT) > 0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64),
+        |dot AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dc AS (SELECT dot.* FROM dot JOIN cand USING (a_id, b_id)),
+        |cosv AS (
+        |  SELECT a_id, b_id,
+        |   round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_tfidf
+        |  FROM dc JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id)
         |SELECT a_id, b_id, cos_tfidf FROM cosv
         |WHERE cos_tfidf >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 

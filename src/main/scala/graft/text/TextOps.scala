@@ -218,6 +218,34 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** The 100 TB shape of the containment join — `jaccardPairsCapped`'s
+    * twin for the ORDERED-pair containment operator: candidates come
+    * from the df-capped inverted index (per-shingle fan-out bounded at
+    * dfCap², both directions of each unordered candidate), and the
+    * containment value is re-verified EXACTLY over the full hashed
+    * shingle arrays, so emitted values never depend on the cap. Pairs
+    * whose only shared shingles are hotter than the cap are missed —
+    * cap=∞ is exactly `containmentPairs` (spec-pinned). */
+  def containmentPairsCapped(spark: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    val ex = invertedIndex(docs)
+    val und = cappedCandidatesFromIndex(ex,
+      ex.groupBy("sh").agg(count(lit(1)).as("df")), dfCap)
+    // containment is directional: score both orientations of each
+    // unordered candidate (the generator is symmetric, so this loses
+    // nothing)
+    val cand = und.union(
+      und.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    cand.join(hashedFrom(docs).toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(hashedFrom(docs).toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("long"))
+      .withColumn("containment", round(col("inter") / size(col("a_sh")), 6))
+      .filter(col("containment") >= 0.6)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** The 100 TB shape of the exact shingle join: drop shingles whose
     * document frequency exceeds `dfCap` from the inverted index before
     * the self-join. Ultra-common shingles ("one of the", boilerplate)
@@ -436,11 +464,20 @@ object TextOps {
     // non-integral ids into nulls that collapse under distinct() and
     // NPE in getLong far from the actual mistake
     Seq("a_id", "b_id").foreach { c =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, ShortType}
       val dt = pairs.schema(c).dataType
-      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
-        s"guardedComponents needs integral ids; column '$c' is $dt " +
-          "(use connectedComponents directly for non-numeric ids)")
+      // DecimalType(p,0) ids come straight out of parquet written by
+      // decimal-keyed warehouses and cast to long losslessly (p ≤ 18) —
+      // accept them alongside the plain integral types
+      val ok = dt match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case d: DecimalType => d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
+      require(ok,
+        s"guardedComponents needs integral ids (long/int/short/byte or " +
+          s"decimal(p<=18,0)); column '$c' is $dt " +
+          "(use connectedComponents directly for non-integral ids)")
     }
     // one pinned materialization decides the path AND feeds whichever
     // branch runs — the pair plan (often several joins deep) is never
@@ -833,7 +870,13 @@ object TextOps {
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration(20, "min"))
     } finally {
-      pool.shutdown()
+      // shutdownNow, not shutdown: on an Await timeout the in-flight
+      // method pipelines would otherwise keep running against the
+      // frames unpersisted below, recomputing the whole substrate cold
+      // in the background. Interrupting the pool threads cancels the
+      // abandoned Spark jobs (the interrupt propagates into the
+      // blocked collect) before the caches go away.
+      pool.shutdownNow()
       // unpersist in finally: a method-pipeline failure or the Await
       // timeout must not leave six cached frames pinned for the rest
       // of the session
@@ -888,7 +931,12 @@ object TextOps {
     * contamination which whole-doc dedup misses. Shingle document
     * frequency is one combinable aggregate on hashed shingles; the
     * coverage join is index-shaped (per-doc cost ∝ its shingle count),
-    * and the ppm is exact integer arithmetic. */
+    * and the ppm is exact integer arithmetic. Unlike the PAIR joins
+    * (tfidf/containment/jaccard, which need df-cap twins), this join
+    * is occurrence × one df row — LINEAR fan-out per occurrence
+    * whatever the shingle's df; a hot shingle here is a skewed-task
+    * problem (AQE skew split applies: it IS a shuffle join), never a
+    * quadratic one. */
   def dupCoverage(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingledDocs(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("sh_str"))
@@ -1023,42 +1071,95 @@ object TextOps {
     *
     * Scale shape: index join on hashed terms (8-byte shuffle keys),
     * per-term fan-out bounded by document frequency — the same hot-key
-    * profile as the shingle index, so the df-cap twin pattern
-    * (`jaccardPairsCapped`) applies verbatim when stopword-like terms
-    * dominate; norms ride a map-side-combinable aggregate. */
+    * profile as the shingle index; `tfidfPairsCapped` below is the
+    * df-capped production twin for when stopword-like terms dominate
+    * (spec-pinned cap=∞ == this join); norms ride a
+    * map-side-combinable aggregate. */
   def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    // term space = distinct word-3-shingles, NOT unigrams: the shingle
-    // index stays sparse as the corpus grows (per-term df bounded by
-    // genuine phrase reuse), where a fixed-vocabulary unigram space
-    // degenerates to a dense all-pairs join. Distinct shingles make
-    // tf ≡ 1, so each weight IS the term's integer milli-IDF.
+    val weighted = tfidfWeighted(spark, dir)
+    val a = weighted.toDF("a_id", "t", "a_df", "a_w")
+    val b = weighted.toDF("b_id", "t", "b_df", "b_w")
+    val dots = a.join(b.hint("shuffle_hash"), Seq("t"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("a_w") * col("b_w")).as("dot"))
+    tfidfCosine(dots, tfidfNorms(weighted))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The weighted inverted term index (doc_id, t, df, w) shared by the
+    * exact and df-capped TF-IDF pair pipelines. Term space = distinct
+    * word-3-shingles, NOT unigrams: the shingle index stays sparse as
+    * the corpus grows (per-term df bounded by genuine phrase reuse),
+    * where a fixed-vocabulary unigram space degenerates to a dense
+    * all-pairs join. Distinct shingles make tf ≡ 1, so each weight IS
+    * the term's integer milli-IDF. */
+  private def tfidfWeighted(spark: SparkSession, dir: String): DataFrame = {
     val tf = shingledDocs(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("term"))
       .select(col("doc_id"), xxhash64(col("term")).as("t"))
     val nDocs = tf.select(countDistinct("doc_id").as("n_docs"))
     val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)
-      .select(col("t"),
+      .select(col("t"), col("df"),
         round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1000, 0)
           .cast("long").as("idf_milli"))
-    val weighted = tf.join(idf.hint("shuffle_hash"), Seq("t"))
-      .select(col("doc_id"), col("t"), col("idf_milli").as("w"))
-    // zero-norm docs (every shingle in every document → all IDF 0)
-    // carry no signal and would divide 0/0 into NaN — and Spark's
-    // NaN-is-largest ordering would pass NaN through the ≥ filter
-    val norms = weighted.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    tf.join(idf.hint("shuffle_hash"), Seq("t"))
+      .select(col("doc_id"), col("t"), col("df"), col("idf_milli").as("w"))
+  }
+
+  /** Per-doc squared weight norms. Zero-norm docs (every shingle in
+    * every document → all IDF 0) carry no signal and would divide 0/0
+    * into NaN — and Spark's NaN-is-largest ordering would pass NaN
+    * through the ≥ filter. */
+  private def tfidfNorms(weighted: DataFrame): DataFrame =
+    weighted.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
       .filter(col("n2") > 0)
-    val a = weighted.toDF("a_id", "t", "a_w")
-    val b = weighted.toDF("b_id", "t", "b_w")
-    a.join(b.hint("shuffle_hash"), Seq("t")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(sum(col("a_w") * col("b_w")).as("dot"))
+
+  /** Cosine from exact integer dots + norms, thresholded at 0.5. */
+  private def tfidfCosine(dots: DataFrame, norms: DataFrame): DataFrame =
+    dots
       .join(norms.toDF("a_id", "a_n2"), Seq("a_id"))
       .join(norms.toDF("b_id", "b_n2"), Seq("b_id"))
       .withColumn("cos_tfidf", round(col("dot") /
         (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
       .filter(col("cos_tfidf") >= 0.5)
       .select("a_id", "b_id", "cos_tfidf")
+
+  /** The 100 TB shape of the TF-IDF pair join — the df-cap twin the
+    * `tfidfPairs` doc promises: candidate pairs come only from terms
+    * with document frequency ≤ dfCap (per-term join fan-out bounded at
+    * dfCap²; boilerplate shingles — license headers, nav bars — are
+    * exactly the terms a real crawl makes hot), then dot products are
+    * re-verified EXACTLY over each candidate pair's FULL term vectors,
+    * so emitted cosines are identical to the uncapped join's for every
+    * surviving pair. What the cap trades is recall on pairs whose only
+    * shared terms are hotter than the cap — and those shared terms
+    * carry near-zero IDF weight by definition, so a qualifying cosine
+    * built solely from them is already degenerate. cap=∞ is exactly
+    * `tfidfPairs` (spec-pinned). */
+  def tfidfPairsCapped(spark: SparkSession, dir: String, dfCap: Long): DataFrame = {
+    // four consumers below (candidates, both verify sides, norms) —
+    // pin the weighted index once (eager, like the dbscan pair list;
+    // Bench sweeps persistent RDDs per query)
+    val weighted = tfidfWeighted(spark, dir).localCheckpoint(true)
+    val pruned = weighted.filter(col("df") <= dfCap).select("doc_id", "t")
+    val ca = pruned.toDF("a_id", "t")
+    val cb = pruned.toDF("b_id", "t")
+    val cand = ca.join(cb.hint("shuffle_hash"), Seq("t"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact re-verify: fan each candidate pair out to a's full term
+    // list, keep b's matching terms — per-pair cost ∝ vector length,
+    // never df²
+    val wA = weighted.select(col("doc_id").as("a_id"), col("t"), col("w").as("a_w"))
+    val wB = weighted.select(col("doc_id").as("b_id"), col("t"), col("w").as("b_w"))
+    val dots = cand
+      .join(wA.hint("shuffle_hash"), Seq("a_id"))
+      .join(wB.hint("shuffle_hash"), Seq("b_id", "t"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("a_w") * col("b_w")).as("dot"))
+    tfidfCosine(dots, tfidfNorms(weighted))
       .orderBy("a_id", "b_id")
   }
 

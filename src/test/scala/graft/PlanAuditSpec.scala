@@ -102,6 +102,19 @@ class PlanAuditSpec extends SparkSpec {
       s"prefix join degenerated to a product join:\n${plan.take(1500)}")
   }
 
+  test("capped tfidf/containment: shuffled-hash joins, no product join") {
+    for ((name, df) <- Seq(
+        "tfidf_capped" -> graft.text.TextOps.tfidfPairsCapped(spark, sfDir, 64L),
+        "containment_capped" -> graft.text.TextOps.containmentPairsCapped(spark, sfDir, 64L))) {
+      val plan = executed(df)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name candidate join lost its shuffled-hash hint:\n${plan.take(1200)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a product join:\n${plan.take(1500)}")
+    }
+  }
+
   test("seq_pack's corpus-wide window is bucket-partitioned, not single-partition") {
     val plan = executed(graft.text.CorpusOps.seqPack(spark, sfDir))
     assert(plan.contains("hashpartitioning(bucket"),

@@ -124,6 +124,30 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.subsetOf(full))
   }
 
+  test("capped tfidf: cap=inf equals the exact pair join, capped is a value-exact subset") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = TextOps.tfidfPairs(spark, sfDir).collect().map(key).toSet
+    val uncapped = TextOps.tfidfPairsCapped(spark, sfDir, Long.MaxValue)
+      .collect().map(key).toSet
+    assert(uncapped == exact)
+    assert(exact.nonEmpty)
+    // capped pairs: a subset INCLUDING values — the re-verify computes
+    // dots over full vectors, so surviving pairs carry the exact cosine
+    val capped = TextOps.tfidfPairsCapped(spark, sfDir, 8L).collect().map(key).toSet
+    assert(capped.subsetOf(exact))
+  }
+
+  test("capped containment: cap=inf equals the exact join, capped is a value-exact subset") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = TextOps.containmentPairs(spark, sfDir).collect().map(key).toSet
+    val uncapped = TextOps.containmentPairsCapped(spark, sfDir, Long.MaxValue)
+      .collect().map(key).toSet
+    assert(uncapped == exact)
+    assert(exact.nonEmpty)
+    val capped = TextOps.containmentPairsCapped(spark, sfDir, 8L).collect().map(key).toSet
+    assert(capped.subsetOf(exact))
+  }
+
   test("capped simhash: cap=inf equals the exact operator, capped is a subset") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val exact = TextOps.dedupSimhash(spark, sfDir).collect().map(key).toSet

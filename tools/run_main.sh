@@ -1,8 +1,10 @@
 #!/bin/bash
 # Run a graft main (Bench/Verify) directly with java, bypassing sbt.
-# usage: tools/run_main.sh graft.Bench   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_ONLY)
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java -Xmx96g -XX:+UseG1GC \
+# usage: tools/run_main.sh graft.Bench   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_ONLY, GRAFT_HEAP)
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+CP="$REPO/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CP="${CP%:}"
+exec java -Xmx"${GRAFT_HEAP:-96g}" -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
