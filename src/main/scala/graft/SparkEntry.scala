@@ -2281,40 +2281,50 @@ object SparkEntry {
         |SELECT doc_id, digest, canonical_id, doc_id <> canonical_id AS is_dup
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    // The mm stub-decode recomputed in SQL: h = first 60 bits of the
-    // payload sha256, dims/frames/features all derived from h.
+    // The real-pixel embedding recomputed in closed form: emb = 8 grid
+    // row sums ++ 8 column sums of the planted block signature (each
+    // set bit reads 255 through the aHash downsample), checksum
+    // position-weighted.
     "mm_batch_infer" ->
       """WITH h AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(sha256(text), 16, 15)) AS BIGINT) AS h2
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h
         |  FROM documents)
         |SELECT doc_id, 16 AS emb_dim,
-        | CAST(list_sum(list_transform(generate_series(0, 7),
-        |   i -> (i+1) * ((h1 >> (i*7)) & 127) + (i+9) * ((h2 >> (i*7)) & 127))) AS BIGINT) AS emb_checksum
+        | CAST(
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    (j + 1) * 255 * list_sum(list_transform(generate_series(0, 7),
+        |      i -> (h >> (j * 8 + i)) & 1))))
+        |  +
+        |  list_sum(list_transform(generate_series(0, 7), i ->
+        |    (i + 9) * 255 * list_sum(list_transform(generate_series(0, 7),
+        |      j -> (h >> (j * 8 + i)) & 1))))
+        | AS BIGINT) AS emb_checksum
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // both towers recomputed in closed form: 8 row sums ++ 8 column
+    // sums of the planted block signature (media from the payload
+    // sha256, prompt rendered through the same planted-image encoder)
     "mm_retrieval" ->
       """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(sha256(text), 16, 15)) AS BIGINT) AS h2
+        |  SELECT doc_id, CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h
         |  FROM documents),
         |me AS (
         |  SELECT doc_id,
-        |   list_transform(generate_series(0, 7), i -> (h1 >> (i*7)) & 127) ||
-        |   list_transform(generate_series(0, 7), i -> (h2 >> (i*7)) & 127) AS emb
+        |   list_transform(generate_series(0, 7), j ->
+        |     255 * list_sum(list_transform(generate_series(0, 7), i -> (h >> (j * 8 + i)) & 1))) ||
+        |   list_transform(generate_series(0, 7), i ->
+        |     255 * list_sum(list_transform(generate_series(0, 7), j -> (h >> (j * 8 + i)) & 1))) AS emb
         |  FROM m),
         |qs AS (
-        |  SELECT query,
-        |    CAST(('0x' || substr(sha256(query), 1, 15)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(sha256(query), 16, 15)) AS BIGINT) AS h2
+        |  SELECT query, CAST(('0x' || substr(sha256(query), 1, 15)) AS BIGINT) AS h
         |  FROM (VALUES ('transit delay report'), ('vehicle speed trace'),
         |        ('route schedule table')) v(query)),
         |qe AS (
         |  SELECT query,
-        |   list_transform(generate_series(0, 7), i -> (h1 >> (i*7)) & 127) ||
-        |   list_transform(generate_series(0, 7), i -> (h2 >> (i*7)) & 127) AS emb
+        |   list_transform(generate_series(0, 7), j ->
+        |     255 * list_sum(list_transform(generate_series(0, 7), i -> (h >> (j * 8 + i)) & 1))) ||
+        |   list_transform(generate_series(0, 7), i ->
+        |     255 * list_sum(list_transform(generate_series(0, 7), j -> (h >> (j * 8 + i)) & 1))) AS emb
         |  FROM qs),
         |scored AS (
         |  SELECT qe.query, me.doc_id,
@@ -2328,30 +2338,60 @@ object SparkEntry {
         |SELECT query, rank, doc_id, score FROM ranked
         |WHERE rank <= 3 ORDER BY query, rank""".stripMargin,
 
+    // The block fixture recomputed in closed form: sig = 60-bit sha256
+    // prefix, dims 16..63 from the same seed; the Spark side EARNS the
+    // same numbers from real PNG decode (block (bx,by) is solid
+    // 255·bit(by*8+bx), so grid_sum = 255·popcount and px_sum counts
+    // pixels per block: #{x: 8x div w == i} = ceil((i+1)w/8)-ceil(iw/8))
     "mm_decode" ->
       """WITH h AS (
         |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h
-        |  FROM documents)
-        |SELECT doc_id,
-        | CAST(64 + h % 192 AS INT) AS width,
-        | CAST(64 + (h >> 8) % 192 AS INT) AS height,
-        | CAST(1 + (h >> 16) % 16 AS INT) AS n_frames,
-        | CAST(list_sum(list_transform(generate_series(0,7), j -> (h >> (j*7)) & 255)) AS BIGINT) AS feat_sum_255
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |d AS (SELECT doc_id, h,
+        |       CAST(16 + h % 48 AS INT) AS width,
+        |       CAST(16 + (h >> 8) % 48 AS INT) AS height FROM h),
+        |cx AS (SELECT doc_id, (8 * x) // width AS i, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, width, unnest(generate_series(0, width - 1)) AS x FROM d)
+        |       GROUP BY 1, 2),
+        |cy AS (SELECT doc_id, (8 * y) // height AS j, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, height, unnest(generate_series(0, height - 1)) AS y FROM d)
+        |       GROUP BY 1, 2),
+        |px AS (SELECT cx.doc_id,
+        |        CAST(SUM(CASE WHEN (d.h >> CAST(cy.j * 8 + cx.i AS INT)) & 1 = 1
+        |                 THEN 255 * cx.cnt * cy.cnt ELSE 0 END) AS BIGINT) AS px_sum
+        |       FROM cx JOIN cy ON cx.doc_id = cy.doc_id
+        |       JOIN d ON d.doc_id = cx.doc_id GROUP BY 1)
+        |SELECT d.doc_id, width, height,
+        | CAST(255 * bit_count(h) AS BIGINT) AS grid_sum, px_sum
+        |FROM d JOIN px ON px.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // geometry as before (aspect-preserving round toward 224), plus the
+    // resized-raster pixel sum through the explicit NN mapping
+    // dst(u,v) = src(u*w div tw, v*h div th)
     "mm_resize" ->
       """WITH h AS (
         |  SELECT doc_id, CAST(('0x' || substr(sha256(text),1,15)) AS BIGINT) AS h
         |  FROM documents),
-        |d AS (SELECT doc_id, CAST(64 + h % 192 AS INT) AS width,
-        |       CAST(64 + (h >> 8) % 192 AS INT) AS height FROM h),
+        |d AS (SELECT doc_id, h, CAST(16 + h % 48 AS INT) AS width,
+        |       CAST(16 + (h >> 8) % 48 AS INT) AS height FROM h),
         |s AS (SELECT d.*, least(CAST(224 AS DOUBLE) / width,
-        |                        CAST(224 AS DOUBLE) / height) AS scale FROM d)
-        |SELECT doc_id, width, height,
-        | CAST(floor(width * scale + 0.5) AS INT) AS target_w,
-        | CAST(floor(height * scale + 0.5) AS INT) AS target_h,
-        | scale
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |                        CAST(224 AS DOUBLE) / height) AS scale FROM d),
+        |t AS (SELECT s.*,
+        |       CAST(floor(width * scale + 0.5) AS INT) AS target_w,
+        |       CAST(floor(height * scale + 0.5) AS INT) AS target_h FROM s),
+        |cu AS (SELECT doc_id, (8 * ((u * width) // target_w)) // width AS i, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, width, target_w, unnest(generate_series(0, target_w - 1)) AS u FROM t)
+        |       GROUP BY 1, 2),
+        |cv AS (SELECT doc_id, (8 * ((v * height) // target_h)) // height AS j, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, height, target_h, unnest(generate_series(0, target_h - 1)) AS v FROM t)
+        |       GROUP BY 1, 2),
+        |rs AS (SELECT cu.doc_id,
+        |        CAST(SUM(CASE WHEN (t.h >> CAST(cv.j * 8 + cu.i AS INT)) & 1 = 1
+        |                 THEN 255 * cu.cnt * cv.cnt ELSE 0 END) AS BIGINT) AS resized_px_sum
+        |       FROM cu JOIN cv ON cu.doc_id = cv.doc_id
+        |       JOIN t ON t.doc_id = cu.doc_id GROUP BY 1)
+        |SELECT t.doc_id, width, height, target_w, target_h, scale, resized_px_sum
+        |FROM t JOIN rs ON rs.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "mm_scene_change" ->
       """WITH h AS (

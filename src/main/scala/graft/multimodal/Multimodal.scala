@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,14 +10,30 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in
-  * this environment): it derives deterministic fake features from the
-  * bytes. The Spark-side plumbing — binary schema, digesting, batch
-  * partitioning, typed mapPartitions signature — is real, and is what
-  * carries over to a cluster: decode happens executor-side, one codec
-  * init per partition, never on the driver.
+  * The pixel path is REAL: fixture PNGs are encoded once per document
+  * (the stand-in for landed media files — this container has no crawl
+  * to read), then every downstream operator decodes them with
+  * `javax.imageio` (JDK-native, no external codec), walks the raster,
+  * nearest-neighbor-resamples, and mean-thresholds actual pixel
+  * values. The fixtures are BLOCK images — each cell of an 8×8 grid is
+  * solid 0/255 per one bit of a closed-form planted signature — which
+  * makes every pixel statistic the operators emit recomputable by the
+  * DuckDB oracle in closed form while the Spark side earns it from
+  * the decoded raster. What remains stubbed (and says so): the VIDEO
+  * container path (`mm_frames`/`mm_scene_change` plant per-frame
+  * metadata/signatures arithmetically — the JDK ships no video
+  * demuxer), and the text tower of `mm_retrieval` renders the prompt
+  * through the same planted-image encoder (a real CLIP text tower has
+  * no pixels to decode).
+  *
+  * Cluster shape: all codec work happens executor-side in
+  * `mapPartitions` — one `ImageIO` configuration per partition, bytes
+  * never shuffled except where the operator's algebra needs them, and
+  * per-row outputs are scalar columns.
   */
 object Multimodal {
+
+  private val Mask60 = (1L << 60) - 1
 
   /** Metadata extraction over a binary media column: size, digest,
     * deterministic batch assignment (the decode work unit). */
@@ -43,39 +62,208 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  final case class MediaRow(doc_id: Long, media: Array[Byte])
-  final case class DecodedRow(doc_id: Long, width: Int, height: Int,
-      n_frames: Int, feat_sum_255: Long)
-  final case class ResizedRow(doc_id: Long, width: Int, height: Int,
-      target_w: Int, target_h: Int, scale: Double)
-  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long)
+  // ======================= real pixel substrate =======================
 
-  /** STUB decode: a real deployment would decode image/audio bytes here
-    * (one codec/model init per partition, batch-local). The fake decode
-    * derives dimensions/frame-count/features from the payload's sha256
-    * (a deterministic function of the bytes, so tests reproduce AND the
-    * DuckDB oracle can recompute it). The 8-slot stub "feature vector"
-    * is emitted as its integer slot-sum — no array column in the output
-    * (the verify compare requires sortable scalar columns). */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** First 60 bits of the payload's sha256 — the per-document seed the
+    * fixtures plant their signature and dimensions from (a
+    * deterministic function of the bytes, so the DuckDB oracle
+    * recomputes it). */
+  private def sha60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, >= 0
+  }
+
+  /** Encode the planted block image: a w×h grayscale PNG whose 8×8
+    * block (bx, by) is solid 255 iff bit by·8+bx of `sig` is set.
+    * Block assignment bx = ⌊8x/w⌋ (likewise by), so any w,h ≥ 16 give
+    * every block at least one full pixel row/column — which is what
+    * makes the center-sample downsample in `gridOf` provably exact. */
+  private[graft] def encodePng(sig: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 16 && h >= 16, s"block fixtures need dims >= 16, got ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      val by = (8 * y) / h
+      var x = 0
+      while (x < w) {
+        val bx = (8 * x) / w
+        raster.setSample(x, y, 0,
+          if (((sig >> (by * 8 + bx)) & 1L) == 1L) 255 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Real decode: `ImageIO.read` over the payload bytes (PNG here; the
+    * same call handles JPEG/BMP/GIF). Executor-side only. */
+  private[graft] def readImage(bytes: Array[Byte]): BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable media payload")
+    img
+  }
+
+  /** Nearest-neighbor 8×8 downsample by CENTER sampling: grid cell
+    * (i, j) reads the source pixel at (⌊(2i+1)w/16⌋, ⌊(2j+1)h/16⌋),
+    * which for w,h ≥ 16 provably lands inside block (i, j) — so over a
+    * block fixture the grid IS the planted bit pattern ×255. Over an
+    * arbitrary image it is the standard aHash downsample. */
+  private[graft] def gridOf(img: BufferedImage): Array[Int] = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val grid = new Array[Int](64)
+    var j = 0
+    while (j < 8) {
+      val yj = ((2 * j + 1) * h) / 16
+      var i = 0
+      while (i < 8) {
+        grid(j * 8 + i) = raster.getSample(((2 * i + 1) * w) / 16, yj, 0)
+        i += 1
+      }
+      j += 1
+    }
+    grid
+  }
+
+  /** Sum of every pixel of the decoded raster — the proof the full
+    * image was walked, not just the 64 grid samples. */
+  private[graft] def pxSumOf(img: BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    sum
+  }
+
+  /** Real nearest-neighbor resample: dst(u, v) = src(⌊u·w/tw⌋,
+    * ⌊v·h/th⌋) — our own loop rather than a library resampler so the
+    * pixel mapping is an explicit integer formula the oracle mirrors. */
+  private[graft] def resizeNN(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var v = 0
+    while (v < th) {
+      val sy = (v * h) / th
+      var u = 0
+      while (u < tw) {
+        dst.setSample(u, v, 0, src.getSample((u * w) / tw, sy, 0))
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** 60-bit average hash from a decoded 8×8 grid: mean-threshold each
+    * cell (the classic aHash), keep bits 0..59. Over a block fixture
+    * this reconstructs the planted signature exactly: set cells read
+    * 255 > mean (mean ≤ 255·60/64 since bits 60..63 are never
+    * planted), clear cells read 0 > mean only if the mean is 0 — and
+    * then there is no set bit to miss. */
+  private[graft] def ahash60(grid: Array[Int]): Long = {
+    var sum = 0L
+    var k = 0
+    while (k < 64) { sum += grid(k); k += 1 }
+    val mean = sum / 64.0
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (grid(b) > mean) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+
+  /** The landed-media fixture: one PNG per document, planted signature
+    * = the payload's 60-bit sha256 prefix, dims 16..63 from the same
+    * seed. Encoded executor-side (one codec config per partition) —
+    * everything downstream sees only the bytes. */
+  private[multimodal] def mediaImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // STUB: per-partition "codec init" — here the digest instance.
-        val md = java.security.MessageDigest.getInstance("SHA-256")
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = MessageDigest.getInstance("SHA-256")
         rows.map { r =>
-          md.reset()
-          val hex = md.digest(r.media).map("%02x".format(_)).mkString
-          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, ≥0
-          val w = (64 + h % 192).toInt         // fake width
-          val ht = (64 + (h >> 8) % 192).toInt // fake height
-          val frames = (1 + (h >> 16) % 16).toInt
-          var featSum = 0L                     // Σ of the 8 fake feature slots
-          var j = 0
-          while (j < 8) { featSum += (h >> (j * 7)) & 0xFF; j += 1 }
-          DecodedRow(r.doc_id, w, ht, frames, featSum)
+          val h = sha60(md, r.media)
+          MediaRow(r.doc_id,
+            encodePng(h, (16 + h % 48).toInt, (16 + (h >> 8) % 48).toInt))
+        }
+      }
+  }
+
+  /** The planted pHash signature: items in the same group of 25 share
+    * a base, each member flips k = doc_id%5 bits — a corpus with
+    * genuine 0..~8-bit near-dup structure (the analogue of testdata's
+    * planted duplicate documents). Closed-form, so the DuckDB oracle
+    * recomputes ALL-PAIRS Hamming truth. */
+  private[multimodal] def phashSig(docId: Long): Long = {
+    var sig = ((docId / 25) * 2654435761L) & Mask60
+    var i = 1L
+    while (i <= 4L) {
+      if (docId % 5 >= i) sig ^= 1L << ((docId * i) % 60).toInt
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-dup media fixture: PNGs whose planted signatures carry the
+    * group structure above, dims varied per item (near-dups of
+    * DIFFERENT sizes — the aHash must see through resolution). */
+  private[multimodal] def phashImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          MediaRow(id, encodePng(phashSig(id),
+            (16 + (id * 7) % 48).toInt, (16 + (id * 13) % 48).toInt))
+        }
+      }
+  }
+
+  // ========================== operators ==========================
+
+  final case class DecodedRow(doc_id: Long, width: Int, height: Int,
+      grid_sum: Long, px_sum: Long)
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale: Double, resized_px_sum: Long)
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long)
+
+  /** REAL decode: `ImageIO.read` per payload (one codec config per
+    * partition), dimensions from the decoded header, the aHash
+    * downsample grid sum, and the full-raster pixel sum — every value
+    * earned from actual pixels, every value oracle-recomputable
+    * because the fixture is a block image. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaImages(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = readImage(r.media)
+          var gs = 0L
+          val grid = gridOf(img)
+          var k = 0
+          while (k < 64) { gs += grid(k); k += 1 }
+          DecodedRow(r.doc_id, img.getWidth, img.getHeight, gs, pxSumOf(img))
         }
       }
       .toDF()
@@ -84,35 +272,49 @@ object Multimodal {
 
   final case class InferRow(doc_id: Long, emb_dim: Int, emb_checksum: Long)
 
-  /** STUB batched inference: the GPU-serving shape — one "model load"
-    * per partition, forward passes over FIXED-SIZE batches
-    * (`grouped(batchSize)`), per-row embeddings out. The fake forward
-    * pass derives a 16-slot embedding from the payload's sha256 and
-    * emits its position-weighted checksum, so (a) the DuckDB oracle
-    * recomputes it, and (b) the output is provably independent of
-    * batch boundaries and partition layout — which is the CONTRACT of
-    * batching (a real model's kernel must not leak batch context
-    * across rows either; the spec pins batchSize-invariance). */
+  /** 16-slot integer embedding from a decoded raster: the 8 grid-row
+    * sums then the 8 grid-column sums of the aHash downsample — real
+    * pixel math standing where a vision tower's forward pass runs. */
+  private def pixelEmbed(img: BufferedImage): Array[Long] = {
+    val grid = gridOf(img)
+    val emb = new Array[Long](16)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        emb(j) += grid(j * 8 + i)      // row sum
+        emb(8 + i) += grid(j * 8 + i)  // column sum
+        i += 1
+      }
+      j += 1
+    }
+    emb
+  }
+
+  /** Batched inference in the GPU-serving shape — one "model load" per
+    * partition, forward passes over FIXED-SIZE batches
+    * (`grouped(batchSize)`), per-row embeddings out. The forward pass
+    * is the real-pixel `pixelEmbed` (decode → downsample → row/col
+    * sums); the emitted position-weighted checksum is (a)
+    * oracle-recomputable from the planted signature and (b) provably
+    * independent of batch boundaries and partition layout — the
+    * CONTRACT of batching (a real model's kernel must not leak batch
+    * context across rows either; the spec pins batchSize-invariance). */
   def batchInfer(spark: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[MediaRow]
+    mediaImages(spark, dir)
       .mapPartitions { rows =>
-        // STUB: per-partition "model load" — here the digest instance
-        val md = java.security.MessageDigest.getInstance("SHA-256")
+        // per-partition "model load" — here the ImageIO configuration
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
-          // STUB: the batched "forward pass"
+          // the batched "forward pass"
           batch.map { r =>
-            md.reset()
-            val hex = md.digest(r.media).map("%02x".format(_)).mkString
-            val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-            val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+            val emb = pixelEmbed(readImage(r.media))
             var cs = 0L
             var i = 0
             while (i < 8) {
-              cs += (i + 1) * ((h1 >> (i * 7)) & 127)
-              cs += (i + 9) * ((h2 >> (i * 7)) & 127)
+              cs += (i + 1) * emb(i)
+              cs += (i + 9) * emb(8 + i)
               i += 1
             }
             InferRow(r.doc_id, 16, cs)
@@ -123,34 +325,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** STUB resize: computes the aspect-preserving scale plan for each
-    * media item toward a 224×224 target (the tensor-pipeline contract);
-    * a real deployment applies the scale with an image library in the
-    * same partition-local pass. */
+  /** REAL resize: decode, compute the aspect-preserving scale toward
+    * the 224×224 tensor-pipeline target, nearest-neighbor-resample the
+    * actual raster, and emit the resized image's pixel sum alongside
+    * the geometry — the proof the resample ran, oracle-recomputable
+    * through the explicit integer NN mapping. */
   def resizePlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    decodeFeatures(spark, dir)
-      .select(col("doc_id"), col("width"), col("height"))
-      .as[(Long, Int, Int)]
-      .map { case (id, w, h) =>
-        val scale = math.min(224.0 / w, 224.0 / h)
-        ResizedRow(id, w, h, math.round(w * scale).toInt,
-          math.round(h * scale).toInt, scale)
+    mediaImages(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = readImage(r.media)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(224.0 / w, 224.0 / h)
+          val tw = math.round(w * scale).toInt
+          val th = math.round(h * scale).toInt
+          ResizedRow(r.doc_id, w, h, tw, th, scale,
+            pxSumOf(resizeNN(img, tw, th)))
+        }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** STUB frame sampling: emits one row per sampled frame (every other
-    * frame, capped at 4) with a deterministic fake timestamp — the
-    * explode shape a video pipeline hands to per-frame featurizers. */
+  /** STUB frame sampling (video): emits one row per sampled frame
+    * (every other frame, capped at 4) with a deterministic fake
+    * timestamp — the explode shape a video pipeline hands to per-frame
+    * featurizers. The frame COUNT is planted metadata (the JDK ships
+    * no video demuxer); the image path above is where the per-frame
+    * featurizer would plug in. */
   def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    decodeFeatures(spark, dir)
-      .select(col("doc_id"), col("n_frames"))
-      .as[(Long, Int)]
-      .flatMap { case (id, n) =>
-        (0 until n by 2).take(4).map(i => FrameRow(id, i, i * 40L))
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("SHA-256")
+        rows.flatMap { r =>
+          val h = sha60(md, r.media)
+          val n = (1 + (h >> 16) % 16).toInt
+          (0 until n by 2).take(4).map(i => FrameRow(r.doc_id, i, i * 40L))
+        }
       }
       .toDF()
       .orderBy("doc_id", "frame_idx")
@@ -159,11 +374,11 @@ object Multimodal {
   /** STUB scene-change detection — the video-pipeline shot segmentation
     * step: per-frame signatures compared consecutively, a cut declared
     * where the Hamming distance jumps. A real deployment computes frame
-    * signatures from decoded pixels (pHash per frame); this container
-    * cannot decode, so the deterministic fake plants the structure a
-    * real video has — frames within a scene share a base signature
-    * (≤ 1 flipped "noise" bit each), scene transitions rotate the base
-    * (~30 bits apart) — and because the fake is closed-form bit
+    * signatures from decoded pixels (the aHash path above, per frame);
+    * the JDK has no video demuxer, so the deterministic fake plants the
+    * structure a real video has — frames within a scene share a base
+    * signature (≤ 1 flipped "noise" bit each), scene transitions rotate
+    * the base (~30 bits apart) — and because the fake is closed-form bit
     * arithmetic over the payload's sha256, the DuckDB oracle recomputes
     * every signature, distance, and cut decision bit-for-bit.
     *
@@ -173,7 +388,6 @@ object Multimodal {
     * exchange regardless of corpus size, the same shape as
     * sessionization. */
   def sceneChanges(spark: SparkSession, dir: String): DataFrame = {
-    val Mask60 = (1L << 60) - 1
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val frames = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -212,36 +426,29 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Perceptual-hash near-duplicate detection for media: 60-bit pHash →
-    * 4×15-bit chunk LSH → exact Hamming ≤ 3 verify — the image near-dup
-    * operator (same banding machinery as dedup_simhash, over media
-    * signatures). The pHash itself is the documented STUB (a real
-    * pipeline computes it from decoded pixels; this container can't
-    * decode, so a deterministic fake stands in: a multiplicative group
-    * hash with per-item planted bit flips, giving the corpus genuine
-    * 0–3-bit near-pairs). Because the fake is closed-form arithmetic,
-    * the DuckDB oracle recomputes ALL-PAIRS Hamming ≤ 3 exactly — so
-    * this is the one LSH operator whose pigeonhole recall contract
-    * (≤ 3 errors leave one of 4 chunks clean ⇒ every qualifying pair
-    * surfaces) is PROVEN against an oracle, not just spec-sampled.
-    * Scale shape: candidates come from chunk-bucket joins (never
-    * all-pairs — the oracle's O(n²) join is the sf-small verifier
-    * only), dedup on bare ids precedes the verify. */
+  /** Perceptual-hash near-duplicate detection for media: REAL 60-bit
+    * average hash (PNG decode → NN 8×8 downsample → mean threshold,
+    * all from actual pixels) → 4×15-bit chunk LSH → exact Hamming ≤ 3
+    * verify — the image near-dup operator (same banding machinery as
+    * dedup_simhash, over media signatures). The FIXTURE plants its
+    * near-dup structure (groups of 25 share a base signature, members
+    * flip 0–4 bits, dims vary per item), and because the block-image
+    * construction makes the aHash provably equal the planted
+    * signature, the DuckDB oracle recomputes ALL-PAIRS Hamming ≤ 3
+    * exactly — so this is the one LSH operator whose pigeonhole recall
+    * contract (≤ 3 errors leave one of 4 chunks clean ⇒ every
+    * qualifying pair surfaces) is PROVEN against an oracle end-to-end
+    * from pixels, not just spec-sampled. Scale shape: candidates come
+    * from chunk-bucket joins (never all-pairs — the oracle's O(n²)
+    * join is the sf-small verifier only), dedup on bare ids precedes
+    * the verify. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val Mask60 = (1L << 60) - 1
-    // STUB pHash: items in the same group of 25 share a base signature;
-    // each member flips k = doc_id%5 bits at positions derived from its
-    // id — near-dups with Hamming 0..~8 inside a group, random across
-    val sigs = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"))
-      .withColumn("base", expr(s"((doc_id div 25) * 2654435761) & ${Mask60}"))
-      .withColumn("phash", expr(
-        """base ^
-          | (CASE WHEN doc_id % 5 >= 1 THEN shiftleft(1L, CAST((doc_id * 1) % 60 AS INT)) ELSE 0L END) ^
-          | (CASE WHEN doc_id % 5 >= 2 THEN shiftleft(1L, CAST((doc_id * 2) % 60 AS INT)) ELSE 0L END) ^
-          | (CASE WHEN doc_id % 5 >= 3 THEN shiftleft(1L, CAST((doc_id * 3) % 60 AS INT)) ELSE 0L END) ^
-          | (CASE WHEN doc_id % 5 >= 4 THEN shiftleft(1L, CAST((doc_id * 4) % 60 AS INT)) ELSE 0L END)""".stripMargin))
-      .select("doc_id", "phash")
+    import spark.implicits._
+    val sigs = phashImages(spark, dir)
+      .mapPartitions { rows =>
+        rows.map(r => (r.doc_id, ahash60(gridOf(readImage(r.media)))))
+      }
+      .toDF("doc_id", "phash")
     val chunked = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk_id"),
@@ -259,27 +466,15 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
-  /** STUB shared encoder for cross-modal retrieval: a 16-slot integer
-    * embedding (slots in [0,127]) derived from the payload's sha256 —
-    * deterministic, so the DuckDB oracle recomputes it bit-for-bit.
-    * A real deployment swaps in the CLIP-style image/text towers; the
-    * retrieval plumbing around it is unchanged. */
-  private[multimodal] def stubEmbed(md: java.security.MessageDigest,
-      bytes: Array[Byte]): Seq[Long] = {
-    md.reset()
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
-    (0 until 8).map(i => (h1 >> (i * 7)) & 127) ++
-      (0 until 8).map(i => (h2 >> (i * 7)) & 127)
-  }
-
   final case class MediaEmbRow(doc_id: Long, emb: Seq[Long])
 
   /** Cross-modal retrieval: text prompts against a media corpus through
     * a SHARED embedding space — the CLIP-style serving join. The media
-    * tower runs executor-side in the model-serving shape (one encoder
-    * init per partition, embeddings out of the binary column); the
+    * tower is the real-pixel encoder (`pixelEmbed` over the decoded
+    * raster, one codec config per partition — the model-serving shape);
+    * the TEXT tower is the declared stub: the prompt renders through
+    * the same planted-image encoder (a real deployment swaps in the
+    * CLIP text transformer — there are no pixels in a prompt). The
     * prompt side is a BOUNDED query set embedded on the driver and
     * broadcast, so the corpus is scanned exactly once whatever its
     * size, scoring integer dot products (exact, engine-portable) and
@@ -289,20 +484,19 @@ object Multimodal {
     * exact-scan baseline the indexes are measured against. */
   def crossModalSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[MediaRow]
+    val media = mediaImages(spark, dir)
       .mapPartitions { rows =>
-        // one "encoder load" per partition (digest instance as the stub)
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        rows.map(r => MediaEmbRow(r.doc_id, stubEmbed(md, r.media)))
+        rows.map(r => MediaEmbRow(r.doc_id, pixelEmbed(readImage(r.media)).toSeq))
       }
       .toDF("doc_id", "emb")
-    val mdq = java.security.MessageDigest.getInstance("SHA-256")
+    val mdq = MessageDigest.getInstance("SHA-256")
     val prompts = Seq("transit delay report", "vehicle speed trace",
       "route schedule table")
-    val q = prompts.map(p =>
-        (p, stubEmbed(mdq, p.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    val q = prompts.map { p =>
+        val h = sha60(mdq, p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val img = readImage(encodePng(h, (16 + h % 48).toInt, (16 + (h >> 8) % 48).toInt))
+        (p, pixelEmbed(img).toSeq)
+      }
       .toDF("query", "q_emb")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
@@ -316,15 +510,16 @@ object Multimodal {
   }
 
   /** Media near-dup clustering: connected components over the pHash
-    * chunk-LSH pair graph (`phashPairs`), every asset labeled —
-    * singletons self-label — with cluster size and canonical flag.
-    * This is the decision step a media pipeline executes after pair
-    * detection: keep one rendition per cluster, route the rest to
-    * dedup. Reuses the min-label/pointer-jumping CC loop (one
-    * neighbor-min shuffle per round over O(near-dup nodes), driver
-    * reads one convergence count per round); the recursive-CTE oracle
-    * reproduces the full closure bit-for-bit, so the banding's ≤3-bit
-    * recall guarantee extends to CLUSTER identity, not just pairs. */
+    * chunk-LSH pair graph (`phashPairs` — real decoded-pixel hashes),
+    * every asset labeled — singletons self-label — with cluster size
+    * and canonical flag. This is the decision step a media pipeline
+    * executes after pair detection: keep one rendition per cluster,
+    * route the rest to dedup. Reuses the min-label/pointer-jumping CC
+    * loop (one neighbor-min shuffle per round over O(near-dup nodes),
+    * driver reads one convergence count per round); the recursive-CTE
+    * oracle reproduces the full closure bit-for-bit, so the banding's
+    * ≤3-bit recall guarantee extends to CLUSTER identity, not just
+    * pairs. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = phashPairs(spark, dir).select("a_id", "b_id")
     val labels = graft.text.TextOps.guardedComponents(pairs)

@@ -5,8 +5,55 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  // closed-form twin of the fixture: 60-bit sha prefix, dims 16..63
+  private def sha60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private def dimsOf(h: Long): (Int, Int) =
+    ((16 + h % 48).toInt, (16 + (h >> 8) % 48).toInt)
+  // #{x in [0,n): floor(8x/n) == i} = ceil((i+1)n/8) - ceil(in/8)
+  private def blockCnt(n: Int, i: Int): Long =
+    (((i + 1) * n + 7) / 8 - (i * n + 7) / 8).toLong
+
+  test("PNG roundtrip is pixel-exact and aHash reconstructs the planted signature") {
+    // edge signatures: empty, full 60 bits, single bit, arbitrary
+    val sigs = Seq(0L, (1L << 60) - 1, 1L << 59, 0x5A5A5A5A5A5A5AL)
+    for (sig <- sigs; (w, h) <- Seq((16, 16), (63, 17), (40, 59))) {
+      val img = Multimodal.readImage(Multimodal.encodePng(sig, w, h))
+      assert(img.getWidth == w && img.getHeight == h)
+      // every pixel decodes back to the planted block value
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (8 * y / h) * 8 + (8 * x / w)
+        val want = if (((sig >> b) & 1L) == 1L) 255 else 0
+        assert(raster.getSample(x, y, 0) == want,
+          s"pixel ($x,$y) of sig=$sig ${w}x$h decoded ${raster.getSample(x, y, 0)}, want $want")
+      }
+      // the REAL average hash over decoded pixels equals the signature
+      assert(Multimodal.ahash60(Multimodal.gridOf(img)) == sig,
+        s"aHash lost the planted signature for sig=$sig ${w}x$h")
+    }
+  }
+
+  test("decode of an arbitrary (non-block) image walks the true raster") {
+    // the decode path must not be fixture-shaped: arbitrary gray values
+    val img = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var want = 0L
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val v = (x * 37 + y * 101) % 256
+      img.getRaster.setSample(x, y, 0, v)
+      want += v
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val back = Multimodal.readImage(baos.toByteArray)
+    assert(Multimodal.pxSumOf(back) == want, "PNG decode changed pixel values")
+  }
+
   test("batched inference output is invariant to batch size and layout") {
-    import graft.multimodal.Multimodal
     def rows(bs: Int) = Multimodal.batchInfer(spark, sfDir, bs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     // the batching contract: a forward pass must not leak batch
@@ -18,8 +65,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("media dedup groups identical payloads under the min canonical id") {
-    import org.apache.spark.sql.functions._
-    val df = graft.multimodal.Multimodal.mediaDedup(spark, sfDir).cache()
+    val df = Multimodal.mediaDedup(spark, sfDir).cache()
     assert(df.count() == graft.sources.Tables.documents(spark, sfDir).count())
     // canonical is never above the member, and canonicals are not dups
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
@@ -27,24 +73,50 @@ class MultimodalSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("decode stub is deterministic and covers every doc") {
-    val a = Multimodal.decodeFeatures(spark, sfDir).collect()
-    val b = Multimodal.decodeFeatures(spark, sfDir).collect()
-    assert(a.length == 500 && a.sameElements(b))
-    a.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
-      // 8 feature slots of one byte each → slot-sum bounded by 8*255
-      assert(r.getAs[Long]("feat_sum_255") >= 0 &&
-        r.getAs[Long]("feat_sum_255") <= 8L * 255)
+  test("decode emits the real decoded dimensions and pixel sums") {
+    val got = Multimodal.decodeFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    assert(got.size == docs.length)
+    docs.foreach { r =>
+      val h = sha60(r.getString(1).getBytes("UTF-8"))
+      val (w, ht) = dimsOf(h)
+      val gridSum = 255L * java.lang.Long.bitCount(h)
+      val pxSum = 255L * (0 until 60).map(b =>
+        if (((h >> b) & 1L) == 1L) blockCnt(w, b % 8) * blockCnt(ht, b / 8)
+        else 0L).sum
+      assert(got(r.getLong(0)) == ((w, ht, gridSum, pxSum)),
+        s"decode mismatch for doc ${r.getLong(0)}")
     }
   }
 
-  test("resize plan preserves aspect ratio within rounding") {
-    Multimodal.resizePlan(spark, sfDir).collect().foreach { r =>
+  test("resize really resamples: geometry + NN resized pixel sum match closed form") {
+    val got = Multimodal.resizePlan(spark, sfDir).collect()
+    got.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       val (tw, th) = (r.getAs[Int]("target_w"), r.getAs[Int]("target_h"))
       assert(tw <= 224 && th <= 224 && (tw == 224 || th == 224))
       assert(math.abs(tw.toDouble / th - w.toDouble / h) < 0.05)
+    }
+    // closed-form resized sums for a sample of docs (NN mapping
+    // dst(u,v) = src(u*w div tw, v*h div th) over the block fixture)
+    val sample = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(40).collect()
+    val byId = got.map(r => r.getLong(0) -> r.getAs[Long]("resized_px_sum")).toMap
+    sample.foreach { r =>
+      val hh = sha60(r.getString(1).getBytes("UTF-8"))
+      val (w, h) = dimsOf(hh)
+      val scale = math.min(224.0 / w, 224.0 / h)
+      val (tw, th) = (math.round(w * scale).toInt, math.round(h * scale).toInt)
+      def cntD(n: Int, tn: Int, i: Int): Long =
+        (0 until tn).count(u => 8 * (u * n / tn) / n == i).toLong
+      val want = 255L * (0 until 60).map(b =>
+        if (((hh >> b) & 1L) == 1L) cntD(w, tw, b % 8) * cntD(h, th, b / 8)
+        else 0L).sum
+      assert(byId(r.getLong(0)) == want,
+        s"resized pixel sum mismatch for doc ${r.getLong(0)}")
     }
   }
 
@@ -62,9 +134,10 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("batch_id") == 0L)
   }
 
-  test("phash LSH emits exactly the all-pairs Hamming<=3 set") {
-    // recompute the stub pHash by hand and brute-force all pairs — the
-    // chunk-LSH candidates must lose nothing (pigeonhole recall)
+  test("phash LSH emits exactly the all-pairs Hamming<=3 set — from real pixels") {
+    // recompute the planted pHash by hand and brute-force all pairs —
+    // the REAL pipeline (PNG encode → decode → downsample → aHash →
+    // chunk-LSH) must lose nothing (pigeonhole recall) and add nothing
     val mask = (1L << 60) - 1
     def phash(id: Long): Long = {
       var h = (id / 25) * 2654435761L & mask
@@ -86,14 +159,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("cross-modal retrieval equals the sequential shared-space top-3 per prompt") {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    // independent driver-side reference through the CLOSED FORM (row
+    // and column sums of the planted signature), not the pixel path —
+    // the operator must earn the same numbers from decoded rasters
     def embed(bytes: Array[Byte]): Seq[Long] = {
-      md.reset()
-      val hex = md.digest(bytes).map("%02x".format(_)).mkString
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
-      (0 until 8).map(i => (h1 >> (i * 7)) & 127) ++
-        (0 until 8).map(i => (h2 >> (i * 7)) & 127)
+      val h = sha60(bytes)
+      val rows = (0 until 8).map(j =>
+        255L * (0 until 8).count(i => ((h >> (j * 8 + i)) & 1L) == 1L))
+      val cols = (0 until 8).map(i =>
+        255L * (0 until 8).count(j => ((h >> (j * 8 + i)) & 1L) == 1L))
+      rows ++ cols
     }
     val corpus = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
@@ -167,7 +242,7 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.dedupCluster(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got.toSeq == exp.toSeq)
-    // the stub's 25-groups produce real multi-member clusters
+    // the planted 25-groups produce real multi-member clusters
     assert(got.exists(_._3 > 1))
   }
 }
