@@ -263,6 +263,10 @@ object SparkEntry {
     // components bounded (~10³ nodes) at the bench SF, which is the
     // regime the operator is FOR.
     "q_dbscan" -> ((s, d) => graft.ops.SpatialJoin.dbscan(s, d, rCents = 60L)),
+    // the SAME code path on a mod-8-thinned plane: small enough for the
+    // DuckDB recursive-CTE closure, so cluster identity is oracled
+    "q_dbscan_small" -> ((s, d) =>
+      graft.ops.SpatialJoin.dbscan(s, d, rCents = 200L, minPts = 4L, sampleMod = 8L)),
     "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
@@ -3020,6 +3024,41 @@ object SparkEntry {
         | CAST(d2_min AS BIGINT) AS d2_min
         |FROM p2 LEFT JOIN cand ON p2.event_id = cand.a_id
         |ORDER BY event_id""".stripMargin,
+
+    // DBSCAN on the thinned plane, fully oracled: all-pairs distance
+    // join (the oracle-side O(n²) — Spark uses the grid), degree ≥
+    // minPts cores, recursive-CTE closure over core-core edges for
+    // cluster identity (component-min core id), min-label border attach
+    "q_dbscan_small" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
+        |   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 100 AS yc
+        |  FROM events WHERE value IS NOT NULL),
+        |p2 AS (SELECT * FROM p WHERE yc IS NOT NULL AND event_id % 8 = 0),
+        |pairs AS (
+        |  SELECT a.event_id AS a_id, b.event_id AS b_id
+        |  FROM p2 a JOIN p2 b ON a.event_id <> b.event_id
+        |  WHERE (a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) <= 40000),
+        |core AS (SELECT a_id AS id FROM pairs GROUP BY a_id HAVING COUNT(*) >= 4),
+        |cedges AS (SELECT pr.a_id AS src, pr.b_id AS dst FROM pairs pr
+        |           JOIN core ca ON ca.id = pr.a_id JOIN core cb ON cb.id = pr.b_id),
+        |closure(a, b) AS (
+        |  SELECT src, dst FROM cedges
+        |  UNION
+        |  SELECT c.a, e.dst FROM closure c JOIN cedges e ON c.b = e.src),
+        |corelbl AS (SELECT core.id, least(core.id, coalesce(min(c.b), core.id)) AS cluster_id
+        |            FROM core LEFT JOIN closure c ON c.a = core.id GROUP BY core.id),
+        |border AS (SELECT pr.a_id AS id, MIN(cl.cluster_id) AS cluster_id
+        |           FROM pairs pr JOIN corelbl cl ON cl.id = pr.b_id
+        |           WHERE pr.a_id NOT IN (SELECT id FROM core)
+        |           GROUP BY pr.a_id)
+        |SELECT p2.event_id,
+        | CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |      WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind,
+        | COALESCE(cl.cluster_id, bd.cluster_id) AS cluster_id
+        |FROM p2 LEFT JOIN corelbl cl ON cl.id = p2.event_id
+        |LEFT JOIN border bd ON bd.id = p2.event_id
+        |ORDER BY p2.event_id""".stripMargin,
 
     "dedup_sweep" ->
       """WITH w AS (

@@ -89,9 +89,17 @@ object SpatialJoin {
     * Every rule is exact-integer, so the DuckDB oracle (grid-mirrored
     * pairs + recursive-CTE closure) reproduces cluster identity
     * bit-for-bit. */
+  /** `sampleMod` thins the plane to event_id ≡ 0 (mod m) BEFORE
+    * clustering — the oracle-scale twin (`q_dbscan_small`) runs the
+    * SAME code path on a plane small enough for a recursive-CTE
+    * closure, so the cluster-identity rule (component-min core id,
+    * min-label border attach) is DuckDB-verified, not only
+    * spec-verified; the full-plane entry stays rows-only. */
   def dbscan(spark: SparkSession, dir: String,
-      rCents: Long = 200L, minPts: Long = 4L): DataFrame = {
-    val pts = points(spark, dir)
+      rCents: Long = 200L, minPts: Long = 4L, sampleMod: Long = 1L): DataFrame = {
+    val pts =
+      if (sampleMod == 1L) points(spark, dir)
+      else points(spark, dir).filter(pmod(col("event_id"), lit(sampleMod)) === 0)
     // pair list is consumed three times (degrees, core-core edges,
     // border attachment): pin it once
     val pairs = ballPairs(pts, rCents).select("a_id", "b_id").localCheckpoint(true)
