@@ -132,7 +132,14 @@ object CorpusScaleSmoke {
         // corpus (the signal: exactness without the full index's
         // hot-shingle blowup); dedup_eval now rides one shared
         // persisted substrate across its five method pipelines
-        "dedup_prefix_join", "dedup_eval")) {
+        "dedup_prefix_join", "dedup_eval",
+        // round-6 top-of-bench additions: the exact kNN graph carries
+        // its documented Θ(n²) block-join contract (3× vectors ⇒ ~9×
+        // is EXPECTED and declared); the IVF-realized graph is the
+        // corpus-scale path whose Σn_c² cell work should stay ~linear;
+        // capped tfidf/containment twins ride the df-pruned index
+        "vec_knn_graph", "vec_knn_graph_ann",
+        "text_tfidf_capped", "text_containment_capped")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()

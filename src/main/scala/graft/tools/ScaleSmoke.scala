@@ -125,7 +125,13 @@ object ScaleSmoke {
         // weighted Bellman-Ford on the 10x trade graph
         "q_min_cost", "q_top_supplier", "q_parts_supp", "q_order_priority",
         "q_active_users", "q_new_returning", "q_top_percent",
-        "q_shortest_path")) {
+        "q_shortest_path",
+        // round-6 top-of-bench additions: full-plane DBSCAN on the 10×
+        // densified grid (clique collapse + bounded-driver union-find
+        // are exactly the pieces density stresses), deletion-variant
+        // record linkage on the salted 10× supplier names, the KS
+        // distinct-score table on 10× events
+        "q_dbscan", "linkage_cluster", "q_ks_stat")) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
 

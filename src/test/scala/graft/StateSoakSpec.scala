@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.{AnomalyStream, HeavyHittersStream, NearDupStream}
+import graft.streaming.AnomalyStream.ValueIn
+import graft.streaming.HeavyHittersStream.ItemIn
+import graft.streaming.NearDupStream.DocIn
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** State-size soak for the stateful streaming family: drive many
+  * micro-batches and assert, via StreamingQueryProgress's state
+  * operator metrics, that state ROWS obey each operator's declared
+  * bound — a measurement of the "bounded state forever" claims, not a
+  * narration. (tools/StreamSoak is the wall-clock rate-source twin for
+  * longer runs; this spec is the deterministic MemoryStream version
+  * the test gate can afford.) */
+class StateSoakSpec extends SparkSpec {
+
+  private def stateRows(q: StreamingQuery): Long = {
+    val p = q.lastProgress
+    assert(p != null && p.stateOperators.nonEmpty, "no state operator progress")
+    p.stateOperators.map(_.numRowsTotal).sum
+  }
+
+  test("anomaly state plateaus at the number of distinct keys, whatever the volume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = (0 until 8).map(i => s"t$i")
+    val stream = MemoryStream[ValueIn]
+    val q = AnomalyStream.anomalyStream(stream.toDS())
+      .writeStream.format("memory").queryName("soak_anom")
+      .outputMode("append").start()
+    try {
+      var plateau = -1L
+      for (b <- 0 until 30) {
+        stream.addData((0 until 200).map { i =>
+          val id = b * 200L + i
+          ValueIn(id, id * 1000L, types((i + b) % 8).toString, 10.0 + (i % 7) * 0.3)
+        }: _*)
+        q.processAllAvailable()
+        val rows = stateRows(q)
+        if (b == 9) plateau = rows
+        // once every key has arrived, 29× more data must not add a row
+        if (b >= 10) assert(rows == plateau,
+          s"anomaly state grew past its key bound: batch $b rows=$rows plateau=$plateau")
+      }
+      assert(plateau == 8L, s"one moment cell per type expected, got $plateau")
+    } finally q.stop()
+  }
+
+  test("heavy-hitter state rows stay at #groups and bytes stay k-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ItemIn]
+    val q = HeavyHittersStream.heavyHittersStream(stream.toDS(), k = 20)
+      .writeStream.format("memory").queryName("soak_hh")
+      .outputMode("update").start()
+    try {
+      var plateauRows = -1L
+      var plateauBytes = -1L
+      for (b <- 0 until 30) {
+        // an adversarially WIDE item domain per batch — the regime
+        // where an unbounded counter map would grow every batch
+        stream.addData((0 until 300).map(i =>
+          ItemIn(s"g${i % 4}", s"w${b * 300 + i}")): _*)
+        q.processAllAvailable()
+        val p = q.lastProgress.stateOperators.head
+        if (b == 9) { plateauRows = p.numRowsTotal; plateauBytes = p.memoryUsedBytes }
+        if (b >= 10) {
+          assert(p.numRowsTotal == plateauRows,
+            s"hh state rows grew: batch $b rows=${p.numRowsTotal}")
+          // Misra-Gries caps counters at k+? per group: bytes wobble
+          // with map occupancy but must stay within 2x of the plateau,
+          // never trend with the 9000-new-items-per-batch stream
+          assert(p.memoryUsedBytes <= plateauBytes * 2,
+            s"hh state bytes trend upward: batch $b bytes=${p.memoryUsedBytes} vs $plateauBytes")
+        }
+      }
+      assert(plateauRows == 4L, s"one MG sketch per group expected, got $plateauRows")
+    } finally q.stop()
+  }
+
+  test("neardup state grows only with ADMITTED docs; replays add nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // vocabulary-disjoint docs: each lands in 32 FRESH band buckets,
+    // so state rows = admitted docs × 32 exactly (similar docs would
+    // share buckets and grow occupancy inside existing rows instead).
+    // Ids spell in LETTERS — the canonicalizer strips digits, and a
+    // digit-keyed vocabulary would collapse every doc to one word.
+    def alpha(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def doc(id: Long) = DocIn(id,
+      (0 until 40).map(w => s"q${alpha(id)}x${alpha(w)}").mkString(" "))
+    val stream = MemoryStream[DocIn]
+    val q = NearDupStream.nearDupStream(stream.toDS())
+      .writeStream.format("memory").queryName("soak_neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L until 40L).map(doc): _*)
+      q.processAllAvailable()
+      val afterAdmit = stateRows(q)
+      assert(afterAdmit > 0)
+      // at-least-once replay: the SAME docs again — set semantics must
+      // leave every bucket unchanged
+      for (_ <- 0 until 5) {
+        stream.addData((0L until 40L).map(doc): _*)
+        q.processAllAvailable()
+        assert(stateRows(q) == afterAdmit,
+          "replayed docs grew near-dup bucket state")
+      }
+      // new admissions DO grow state (the declared dial: occupancy is
+      // bounded by TTL/compaction at production scale, not by the
+      // operator) — exactly 32 fresh buckets per disjoint doc
+      stream.addData((40L until 60L).map(doc): _*)
+      q.processAllAvailable()
+      val afterMore = stateRows(q)
+      assert(afterMore == afterAdmit + 20L * 32L,
+        s"expected ${afterAdmit + 640L} bucket rows, got $afterMore")
+    } finally q.stop()
+  }
+}
