@@ -84,6 +84,8 @@ object GraftFunctions {
       exprs => WinnowFps(exprs.head)),
     ("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of two sorted int64 arrays, allocation-free",
       exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    ("sorted_dot", "sorted_dot(ts1, ws1, ts2, ws2) - sparse integer dot over sorted key arrays with parallel weights",
+      exprs => SortedDot(exprs(0), exprs(1), exprs(2), exprs(3))),
     ("zorder2", "zorder2(x, y) - Morton interleave of two 16-bit coordinates",
       exprs => ZOrder2(asLong(exprs(0)), asLong(exprs(1)))),
     ("kll_agg", "kll_agg(value) - KLL quantile sketch of a double column",
