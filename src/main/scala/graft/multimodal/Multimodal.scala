@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * solid 0/255 per one bit of a closed-form planted signature — which
   * makes every pixel statistic the operators emit recomputable by the
   * DuckDB oracle in closed form while the Spark side earns it from
-  * the decoded raster. What remains stubbed (and says so): the VIDEO
-  * container path (`mm_frames`/`mm_scene_change` plant per-frame
-  * metadata/signatures arithmetically — the JDK ships no video
-  * demuxer), and the text tower of `mm_retrieval` renders the prompt
+  * the decoded raster. The video path demuxes a length-prefixed PNG
+  * container and decodes every frame the same way — the residual stub
+  * is only the container FORMAT being ours (the JDK ships no MP4
+  * demuxer) — and the text tower of `mm_retrieval` renders the prompt
   * through the same planted-image encoder (a real CLIP text tower has
   * no pixels to decode).
   *
@@ -348,22 +348,83 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** STUB frame sampling (video): emits one row per sampled frame
-    * (every other frame, capped at 4) with a deterministic fake
-    * timestamp — the explode shape a video pipeline hands to per-frame
-    * featurizers. The frame COUNT is planted metadata (the JDK ships
-    * no video demuxer); the image path above is where the per-frame
-    * featurizer would plug in. */
-  def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
+  // ===================== real video-frame substrate =====================
+
+  /** The planted per-frame signature of the synthetic "video": frames
+    * within a scene share a rotated base (rotation steps 13 bits per
+    * scene), each frame carries at most one planted noise bit; a cut
+    * happens at frame 0 and wherever two low bits of the shifted
+    * payload hash are clear (P = 1/4). Closed-form over the payload's
+    * 60-bit sha prefix, so the DuckDB oracle recomputes every
+    * signature — while the PIPELINE recovers them from decoded
+    * pixels. */
+  private[multimodal] def frameSigs(h1: Long): Seq[Long] = {
+    val n = (1 + (h1 >> 16) % 16).toInt
+    var scene = 0L
+    (0 until n).map { i =>
+      if (i == 0 || ((h1 >> (i % 60)) & 3L) == 0L) scene += 1L
+      val r = ((scene * 13) % 60).toInt
+      val base = ((h1 >> r) | ((h1 & ((1L << r) - 1)) << (60 - r))) & Mask60
+      val noise =
+        if (((h1 >> ((i * 7) % 59)) & 1L) == 1L)
+          1L << (((h1 >> i) + i) % 60).toInt
+        else 0L
+      base ^ noise
+    }
+  }
+
+  /** The container fixture: frames as length-prefixed PNGs (4-byte
+    * big-endian length + image bytes) — a toy but REAL container
+    * format the demuxer below actually parses; the residual stub is
+    * only that the format is ours (no ffmpeg/MP4 demuxer ships with
+    * the JDK). One container per document, frame images encoded from
+    * the planted per-frame signatures. */
+  private[multimodal] def videoContainers(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         val md = MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          val h1 = sha60(md, r.media)
+          val w = (16 + h1 % 17).toInt
+          val ht = (16 + (h1 >> 8) % 17).toInt
+          val frames = frameSigs(h1).map(sig => encodePng(sig, w, ht))
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+          MediaRow(r.doc_id, out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL demux of the length-prefixed container: frame byte ranges
+    * out, in stored order. */
+  private[graft] def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (buf.remaining() >= 4) {
+      val len = buf.getInt()
+      val f = new Array[Byte](len)
+      buf.get(f)
+      out += f
+    }
+    out.toSeq
+  }
+
+  /** REAL frame sampling: demux the container, decode nothing yet —
+    * emit one row per sampled frame (every other frame, capped at 4)
+    * with the 25 fps timestamp; the explode shape a video pipeline
+    * hands to per-frame featurizers, with the frame COUNT read from
+    * the actual container instead of planted metadata. */
+  def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoContainers(spark, dir)
+      .mapPartitions { rows =>
         rows.flatMap { r =>
-          val h = sha60(md, r.media)
-          val n = (1 + (h >> 16) % 16).toInt
+          val n = demuxFrames(r.media).size
           (0 until n by 2).take(4).map(i => FrameRow(r.doc_id, i, i * 40L))
         }
       }
@@ -371,49 +432,40 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** STUB scene-change detection — the video-pipeline shot segmentation
-    * step: per-frame signatures compared consecutively, a cut declared
-    * where the Hamming distance jumps. A real deployment computes frame
-    * signatures from decoded pixels (the aHash path above, per frame);
-    * the JDK has no video demuxer, so the deterministic fake plants the
-    * structure a real video has — frames within a scene share a base
-    * signature (≤ 1 flipped "noise" bit each), scene transitions rotate
-    * the base (~30 bits apart) — and because the fake is closed-form bit
-    * arithmetic over the payload's sha256, the DuckDB oracle recomputes
-    * every signature, distance, and cut decision bit-for-bit.
+  /** REAL scene-change detection — the video-pipeline shot
+    * segmentation step, now running on decoded pixels end-to-end:
+    * demux the length-prefixed container, decode every frame with
+    * ImageIO, compute each frame's 60-bit average hash from its
+    * raster, then compare consecutive signatures and declare a cut
+    * where the Hamming distance jumps. The FIXTURE plants the
+    * structure a real video has — frames within a scene share a
+    * rotated base signature (≤ 1 noise bit per frame), transitions
+    * rotate the base (~30 bits apart) — and the block-image
+    * construction makes the decoded aHash provably equal the planted
+    * signature, so the DuckDB oracle recomputes every signature,
+    * distance, and cut decision in closed form while the pipeline
+    * EARNS them from pixels. Residual stub: the container format is
+    * ours (the JDK ships no MP4 demuxer); everything after the byte
+    * ranges is real.
     *
-    * Plan shape: frame explode is linear (≤ 16 rows per doc), the
-    * consecutive compare is ONE lag window and the scene numbering ONE
-    * cumulative sum over the same per-doc ordering — a single keyed
-    * exchange regardless of corpus size, the same shape as
-    * sessionization. */
+    * Plan shape: the demux+decode explode is linear (≤ 16 rows per
+    * doc, decoded executor-side), the consecutive compare is ONE lag
+    * window and the scene numbering ONE cumulative sum over the same
+    * per-doc ordering — a single keyed exchange regardless of corpus
+    * size, the same shape as sessionization. */
   def sceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    val frames = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("CAST(conv(substr(sha2(CAST(text AS BINARY), 256), 1, 15), 16, 10) AS BIGINT)")
-          .as("h1"))
-      .withColumn("n_frames", expr("CAST(1 + (h1 >> 16) % 16 AS INT)"))
-      .select(col("doc_id"), col("h1"),
-        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
-      // TRUTH scene structure (what the fake plants): a transition at
-      // frame 0 and wherever two low bits of the shifted payload hash
-      // are clear (P = 1/4)
-      .withColumn("truth_cut",
-        col("frame_idx") === 0 || expr("((h1 >> (frame_idx % 60)) & 3) = 0"))
-      .withColumn("truth_scene",
-        sum(when(col("truth_cut"), 1L).otherwise(0L)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // signature: scene base = h1 rotated by 13·scene (overflow-safe
-      // rotation — low bits lifted, never a 63-bit shift), noise = at
-      // most one planted bit per frame
-      .withColumn("r", expr("(truth_scene * 13) % 60"))
-      .withColumn("base", expr(
-        s"((h1 >> r) | ((h1 & ((CAST(1 AS BIGINT) << r) - 1)) << (60 - r))) & $Mask60"))
-      .withColumn("sig", expr(
-        s"""base ^ (CASE WHEN ((h1 >> ((frame_idx * 7) % 59)) & 1) = 1
-           | THEN CAST(1 AS BIGINT) << CAST(((h1 >> frame_idx) + frame_idx) % 60 AS INT)
-           | ELSE 0 END)""".stripMargin))
+    val frames = videoContainers(spark, dir)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          demuxFrames(r.media).zipWithIndex.map { case (png, i) =>
+            (r.doc_id, i, ahash60(gridOf(readImage(png))))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "sig")
     frames
       .withColumn("prev_sig", lag("sig", 1).over(w))
       .withColumn("hamming_prev",
