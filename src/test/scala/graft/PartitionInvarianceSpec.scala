@@ -84,7 +84,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_top_percent", "q_dbscan", "q14_promo", "q10_returns", "q7_volume",
       "corpus_epochs", "q_skyline", "q_quintile_shift", "q_allocation",
       "q_sql_topk", "q_lead_time", "text_heaps", "dedup_length_profile",
-      "q_week_profile", "q_pareto", "linkage_cluster", "q_user_features")
+      "q_week_profile", "q_pareto", "linkage_cluster", "q_user_features",
+      // round-6 surface: df-capped candidate joins + array-shipped
+      // exact verifies, the thinned-plane DBSCAN twin, real-pixel
+      // decode/resize/frames (partition-local codec work must not
+      // leak layout into output)
+      "text_tfidf_capped", "text_containment_capped", "q_dbscan_small",
+      "mm_decode", "mm_resize", "mm_frames", "mm_batch_infer")
     for (n <- names) {
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
       spark.conf.set("spark.sql.shuffle.partitions", "7")
