@@ -115,7 +115,9 @@ object SparkEntry {
     "dedup_prefix_join" -> ((s, d) => TextOps.jaccardPairsPrefix(s, d)),
     "dedup_cluster" -> ((s, d) => TextOps.dedupCluster(s, d)),
     "dedup_minhash" -> ((s, d) => TextOps.dedupMinhash(s, d)),
+    "dedup_minhash_arith" -> ((s, d) => TextOps.dedupMinhashArith(s, d)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    "dedup_simhash_arith" -> ((s, d) => TextOps.dedupSimhashArith(s, d)),
     "dedup_simhash128" -> ((s, d) => TextOps.dedupSimhash128(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -1811,6 +1813,74 @@ object SparkEntry {
         |FROM p WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // the arithmetic MinHash twin is the one LSH pipeline an external
+    // SQL engine can replay end to end: polynomial shingle hash, the
+    // closed-form affine permutation family, raw-tuple banding, and
+    // the exact-Jaccard verify are all plain integer arithmetic
+    "dedup_minhash_arith" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |hx AS (
+        |  SELECT doc_id, unnest(list_transform(shingles, sh ->
+        |    ((list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sh,''), c -> ascii(c)::BIGINT)), (a,b) -> (a*131+b)%2147483647) << 32)
+        |     | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sh,''), c -> ascii(c)::BIGINT)), (a,b) -> (a*137+b)%2147483629))
+        |    % 2147483647)) AS x
+        |  FROM s),
+        |mh AS (
+        |  SELECT doc_id, i, min(((2*i+3)*x + i*i+7) % 2147483647) AS v
+        |  FROM hx, generate_series(0,127) t(i) GROUP BY doc_id, i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band_id, list(v ORDER BY i) AS key
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT c.a_id, c.b_id,
+        |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |    len(sa.shingles) AS a_n, len(sb.shingles) AS b_n
+        |  FROM cand c JOIN s sa ON sa.doc_id = c.a_id JOIN s sb ON sb.doc_id = c.b_id)
+        |SELECT a_id, b_id, round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard
+        |FROM ver WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the SimHash counterpart: every signature bit, every 16-bit LSH
+    // chunk, and every Hamming pair re-derived from the rolling
+    // polynomial token hash (62 effective bits; bits 31/63 are
+    // structurally zero on both sides)
+    "dedup_simhash_arith" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(string_split(unnest(words),''), c -> ascii(c)::BIGINT)), (a,b) -> (a*131+b)%2147483647) << 32)
+        |    | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(unnest(words),''), c -> ascii(c)::BIGINT)), (a,b) -> (a*137+b)%2147483629) AS h
+        |  FROM w),
+        |v AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM t, generate_series(0,63) g(b) GROUP BY doc_id, b),
+        |sg AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+        |  FROM v GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT d.doc_id, COALESCE(sg.simhash, 0) AS simhash
+        |  FROM documents d LEFT JOIN sg ON d.doc_id = sg.doc_id),
+        |ch AS (
+        |  SELECT doc_id, simhash, j AS chunk_id, (simhash >> CAST(16*j AS INTEGER)) & 65535 AS chunk
+        |  FROM sigs, generate_series(0,3) g(j)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+        |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, bit_count(xor(a_sim, b_sim))::BIGINT AS hamming
+        |FROM p WHERE bit_count(xor(a_sim, b_sim)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // prefix filtering is EXACT by the prefix-filter lemma, so its
     // oracle is the same ground-truth pair set as the full inverted
     // index — the strongest possible check of the pruning's recall
@@ -2032,6 +2102,25 @@ object SparkEntry {
         |SELECT doc_id, fingerprint,
         | COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_key
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // rolling_hash is pure arithmetic (two 31-bit polynomial rolls over
+    // the normalized a-z/space stream, packed (a1<<32)|a2), so DuckDB
+    // reproduces the codegen'd expression bit-exactly with a char fold.
+    "text_rollhash" ->
+      """WITH codes AS (
+        |  SELECT doc_id, list_transform(
+        |    string_split(ltrim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ''),
+        |    c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents),
+        |rolled AS (
+        |  SELECT doc_id,
+        |   list_reduce(list_prepend(0::BIGINT, cs), (a,b) -> (a*131+b) % 2147483647) AS h1,
+        |   list_reduce(list_prepend(0::BIGINT, cs), (a,b) -> (a*137+b) % 2147483629) AS h2
+        |  FROM codes)
+        |SELECT doc_id, ((h1 << 32) | h2) AS roll_fp,
+        | COUNT(*) OVER (PARTITION BY ((h1 << 32) | h2)) AS n_same_key
+        |FROM rolled ORDER BY doc_id""".stripMargin,
 
     "text_winnow" ->
       """WITH w AS (

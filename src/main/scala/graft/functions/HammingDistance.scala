@@ -64,6 +64,10 @@ object GraftFunctions {
       exprs => WordShingles(exprs.head, 2)),
     ("minhash128", "minhash128(shingles) - 128-slot MinHash signature in one pass",
       exprs => MinHash128(exprs.head)),
+    ("minhash_affine128", "minhash_affine128(xs) - 128-slot MinHash over pre-hashed values, affine perms",
+      exprs => MinHashAffine128(exprs.head)),
+    ("simhash_roll64", "simhash_roll64(tokens) - 64-bit SimHash with the arithmetic rolling token hash",
+      exprs => SimHashRoll64(exprs.head)),
     ("simhash64", "simhash64(tokens) - 64-bit SimHash signature in one pass",
       exprs => SimHash64(exprs.head)),
     ("simhash128", "simhash128(tokens) - 128-bit SimHash signature [w0, w1] in one pass",

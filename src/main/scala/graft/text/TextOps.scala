@@ -604,6 +604,46 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Arithmetic-hash twin of the full MinHash+LSH pipeline, DuckDB-
+    * oracle-able END TO END: shingle hashes are `pmod(rolling_hash(s),
+    * 2³¹−1)` (pure polynomial arithmetic — see
+    * [[graft.functions.MinHashAffine128]]), the 128 permutations are
+    * the closed-form affine family h_i(x) = ((2i+3)x + i²+7) mod
+    * (2³¹−1), and banding buckets on the RAW 4-slot tuple instead of a
+    * Murmur3 band hash — so an external SQL engine can replay every
+    * stage (shingle → hash → min-fold → band tuple → in-bucket pair →
+    * exact-Jaccard verify) and hash-match the result, which the
+    * xxhash64-based production path (`dedup_minhash`) structurally
+    * cannot. Same plan shape as production: candidate generation is a
+    * shuffle on band buckets (never all-pairs), verification re-joins
+    * the hashed shingle arrays, emitted jaccards are exact. */
+  def dedupMinhashArith(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = shingledDocs(spark, dir).select(col("doc_id"),
+      expr("minhash_affine128(transform(shingles, s -> pmod(rolling_hash(s), 2147483647)))")
+        .as("sig"))
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until 32).map(i =>
+          struct(lit(i).as("band_id"),
+            element_at(col("sig"), i * 4 + 1).as("s0"),
+            element_at(col("sig"), i * 4 + 2).as("s1"),
+            element_at(col("sig"), i * 4 + 3).as("s2"),
+            element_at(col("sig"), i * 4 + 4).as("s3"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"),
+        col("b.s0").as("s0"), col("b.s1").as("s1"),
+        col("b.s2").as("s2"), col("b.s3").as("s3"))
+    val cand = banded.groupBy("band_id", "s0", "s1", "s2", "s3")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, hashedShingleDocs(spark, dir))
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signatures via the fused minhash128 expression (all 128
     * slots in one compiled pass per document — no explode, no
     * 128-buffer aggregate, no intermediate (doc, shingle) relation),
@@ -720,6 +760,22 @@ object TextOps {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     simhashPairsFromSigs(simhashSigsFrom(docsRepartitioned(spark, dir)))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Arithmetic-hash twin of the SimHash near-dup pipeline, DuckDB-
+    * oracle-able END TO END (the SimHash counterpart of
+    * `dedupMinhashArith`): per-token hashes are the rolling polynomial
+    * fingerprint (see [[graft.functions.SimHashRoll64]] — 62 effective
+    * signature bits, same ±1 vote semantics), so an external SQL
+    * engine re-derives every signature bit, every 16-bit LSH chunk,
+    * and every Hamming≤3 pair. Identical plan shape to the production
+    * `dedupSimhash`: 4×16-bit chunk buckets, equi-join, exact
+    * popcount verify. */
+  def dedupSimhashArith(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    simhashPairsFromSigs(docsRepartitioned(spark, dir)
+        .select(col("doc_id"), expr("simhash_roll64(word_tokens(text))").as("simhash")))
       .orderBy("a_id", "b_id")
   }
 

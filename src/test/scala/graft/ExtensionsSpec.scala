@@ -10,6 +10,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(names == Set("hamming64", "word_shingles3", "word_shingles2",
       "word_tokens", "vec_dot", "vec_norm", "rolling_hash", "winnow_fps",
       "sorted_intersect_count", "sorted_dot", "minhash128",
+      "minhash_affine128", "simhash_roll64",
       "simhash64", "simhash128", "text_profile", "token_profile", "zorder2",
       "kll_agg", "kll_merge_agg", "kll_quantile", "kll_n",
       "theta_agg", "theta_union_agg", "theta_estimate", "theta_intersect",

@@ -15,6 +15,44 @@ class TextOpsSpec extends SparkSpec {
     assert(mh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("arith minhash twin: formula vector, subset-of-exact, pipeline determinism") {
+    import graft.functions.MinHashAffine128
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // hand vector: one input value x — slot j must be ((2j+3)x + j²+7) mod p
+    val x = 123456789L
+    val sig = MinHashAffine128.compute(new GenericArrayData(Array[Any](x)))
+    (0 until 128).foreach { j =>
+      assert(sig.getLong(j) == ((2L * j + 3) * x + j.toLong * j + 7) % 2147483647L)
+    }
+    // pipeline: verified pairs are a subset of exact jaccard>=0.5 truth
+    // (verify stage is exact, so the twin can only lose recall, never precision)
+    val exact = TextOps.dedupNgramJaccard(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tw = TextOps.dedupMinhashArith(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tw.subsetOf(exact))
+    assert(tw.size >= (exact.size * 0.8).toInt) // 128 perms ⇒ near-total recall
+  }
+
+  test("arith simhash twin: structural-zero bits, hamming contract, exact-dup floor") {
+    import graft.functions.SimHashRoll64
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // bits 31 and 63 of the packed rolling hash are structurally zero,
+    // so no signature may ever set them
+    val sig = SimHashRoll64.compute(new GenericArrayData(
+      Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta"))))
+    assert((sig & (1L << 31)) == 0L && (sig & (1L << 63)) == 0L)
+    // single token: signature IS the token's rolling hash (every set
+    // bit votes +1, every clear bit votes -1 → sign copies the bit)
+    val one = SimHashRoll64.compute(new GenericArrayData(Array[Any](UTF8String.fromString("alpha"))))
+    assert(one == graft.functions.WordShingles.rollingHash(UTF8String.fromString("alpha")))
+    // pipeline: emitted pairs respect hamming<=3 and identical docs pair at 0
+    val rows = TextOps.dedupSimhashArith(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(2) <= 3))
+    assert(rows.nonEmpty)
+  }
+
   test("prefix-filter join equals the full inverted-index join exactly") {
     // the prefix-filter lemma promises TOTAL recall at t=0.5 (any pair
     // with J >= 0.5 shares a token among each side's floor(n/2)+1
