@@ -300,7 +300,65 @@ object SparkEntry {
     s"(((zx >> $b) & 1) * ${1L << (2 * b)}) + (((zy >> $b) & 1) * ${1L << (2 * b + 1)})"
   }.mkString(" + ")
 
+  /** k-core peeling unrolled to the SAME 40-round cap the Spark loop
+    * enforces (Triangles.kCore throws past 40, so whenever the Spark
+    * side succeeds this fixed unroll has provably reached the
+    * fixpoint — extra rounds past convergence are idempotent).
+    * MATERIALIZED stops DuckDB from inlining the chain exponentially. */
+  private val kCoreOracleSql: String = {
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+    val rounds = (0 until 40).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT src FROM e$r GROUP BY src HAVING count(*) >= 3),
+         |e${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$r e JOIN k$r x ON e.src = x.src JOIN k$r y ON e.dst = y.src)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT src AS node, count(*) AS core_degree FROM e40 GROUP BY src ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // the LSH hyperplanes are an LCG stream (seed 7) — plain integer
+    // arithmetic, so the oracle replays the generator in HUGEINT,
+    // rebuilds the planes, and re-derives every bucket bit with the
+    // same left-to-right double fold the Spark side uses (bit-identical
+    // signs; only the displayed cosine is rounded)
+    "ann_lsh" ->
+      """WITH RECURSIVE lcg(k, s) AS (
+        |  SELECT 0, 7::HUGEINT
+        |  UNION ALL
+        |  SELECT k+1, (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM lcg WHERE k < 384),
+        |pl AS (
+        |  SELECT (k-1) // 64 AS p, (k-1) % 64 AS d,
+        |    (CAST(s // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS w
+        |  FROM lcg WHERE k >= 1),
+        |plv AS (SELECT p, list(w ORDER BY d) AS pw FROM pl GROUP BY p),
+        |v AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
+        |sb AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT v.vec_id, plv.p,
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)), i -> e[i]*pw[i])), (a,b) -> a+b) AS dot
+        |    FROM v, plv) GROUP BY vec_id),
+        |vb AS (SELECT v.vec_id, v.e, v.nrm, sb.bucket FROM v JOIN sb USING (vec_id)),
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM vb q JOIN vb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT pr.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM pr)
+        |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_kcore" -> kCoreOracleSql,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
