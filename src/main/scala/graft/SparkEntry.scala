@@ -319,7 +319,120 @@ object SparkEntry {
       "\nSELECT src AS node, count(*) AS core_degree FROM e40 GROUP BY src ORDER BY node"
   }
 
+  /** The distributed k-means trainer replayed exactly: per-iteration
+    * cell sums are INTEGER micros (floor(v·1e6+0.5) — order-free, so
+    * SQL SUM reproduces them bit-exactly), centroids re-derive through
+    * the same s/n/1e6 double division chain, and the argmin assignment
+    * uses the same left-to-right (e[i]−c[i])² fold with ties to the
+    * lowest cell index (row_number ASC,c ASC == NearestCell's strict
+    * `<`). Eight unrolled Lloyd iterations, init = first 8 vectors by
+    * vec_id — the whole iterative FP pipeline, DuckDB-verified. */
+  /** argmin cell assignment against centroid relation `centRel` —
+    * row_number(dist ASC, c ASC) == NearestCell's strict-`<` lowest-
+    * index tie rule; the dist fold is the same left-to-right
+    * (e[i]−c[i])² accumulation as the codegen'd kernel. */
+  private def kmeansArgminSql(centRel: String): String =
+    s"""    SELECT ev.vec_id, $centRel.c,
+       |      row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, $centRel.c ASC) AS rn
+       |    FROM ev, $centRel""".stripMargin
+
+  /** The distributed k-means trainer ([[graft.vector.VectorOps]]
+    * kmeansFit) replayed exactly in SQL: per-iteration cell sums are
+    * INTEGER micros (floor(v·1e6+0.5) — order-free, so SQL SUM
+    * reproduces them bit-exactly), centroids re-derive through the
+    * same s/n/1e6 double division chain, and assignments reuse
+    * [[kmeansArgminSql]]. Produces CTEs ev/mvp/c0..c{iters}; the
+    * caller appends its consumer stages against c{iters}. */
+  private def kmeansCtesSql(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |mvp AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(1, len(e))) AS pos,
+         |    CAST(floor(unnest(e)*1000000.0 + 0.5) AS BIGINT) AS mm FROM ev),
+         |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS cl FROM (SELECT * FROM ev ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (0 until iters).map { it =>
+      s"""a$it AS MATERIALIZED (
+         |  SELECT vec_id, c FROM (
+         |${kmeansArgminSql(s"c$it")}) WHERE rn = 1),
+         |cn$it AS MATERIALIZED (
+         |  SELECT c, list(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0 ORDER BY pos) AS cl FROM (
+         |    SELECT a.c, t.pos, sum(t.mm) AS s, count(*) AS n
+         |    FROM mvp t JOIN a$it a ON a.vec_id = t.vec_id GROUP BY a.c, t.pos) GROUP BY c),
+         |c${it + 1} AS MATERIALIZED (
+         |  SELECT ci.c, COALESCE(cn.cl, ci.cl) AS cl FROM c$it ci LEFT JOIN cn$it cn ON ci.c = cn.c)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private val vecKmeansOracleSql: String =
+    kmeansCtesSql(iters = 8, k = 8) +
+      s""",
+         |fin AS (
+         |  SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+         |${kmeansArgminSql("c8")}) WHERE rn = 1),
+         |sz AS (SELECT cluster, count(*) AS cluster_n FROM fin GROUP BY cluster)
+         |SELECT f.vec_id, f.cluster, sz.cluster_n FROM fin f JOIN sz USING (cluster) ORDER BY f.vec_id""".stripMargin
+
+  /** sampleDiverse replayed: 6-round trainer, then the same
+    * ‖x‖²−2x·c+‖c‖² sequential-fold distance in integer micros and the
+    * (dist ASC, vec_id ASC) per-cell top-4 the heap operator selects. */
+  private val sampleDiverseOracleSql: String =
+    kmeansCtesSql(iters = 6, k = 8) +
+      s""",
+         |cc AS MATERIALIZED (
+         |  SELECT c, cl,
+         |    list_reduce(list_prepend(0.0, list_transform(cl, x -> x*x)), (x,y) -> x+y) AS c2
+         |  FROM c6),
+         |asg AS (
+         |  SELECT vec_id, c AS cell, cl, c2 FROM (
+         |    SELECT ev.vec_id, cc.c, cc.cl, cc.c2,
+         |      row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, cc.c ASC) AS rn
+         |    FROM ev, cc) WHERE rn = 1),
+         |dst AS (
+         |  SELECT a.vec_id, a.cell,
+         |    CAST(floor((
+         |      list_reduce(list_prepend(0.0, list_transform(ev.e, x -> x*x)), (x,y) -> x+y)
+         |      - 2 * list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.cl)), ix -> ev.e[ix]*a.cl[ix])), (x,y) -> x+y)
+         |      + a.c2) * 1000000.0 + 0.5) AS BIGINT) AS dist_micro
+         |  FROM asg a JOIN ev ON ev.vec_id = a.vec_id),
+         |rk AS (
+         |  SELECT vec_id, cell, dist_micro,
+         |    row_number() OVER (PARTITION BY cell ORDER BY dist_micro ASC, vec_id ASC) AS cell_rank
+         |  FROM dst)
+         |SELECT vec_id, cell, dist_micro, cell_rank FROM rk WHERE cell_rank <= 4 ORDER BY cell, cell_rank""".stripMargin
+
+  /** semanticDedup replayed: 4-round trainer, every same-cluster pair
+    * scored directly (the block partitioning only schedules WHERE pairs
+    * meet, never WHICH pairs exist, so the oracle skips it), min-id
+    * dup_of verdicts. */
+  private val dedupSemanticOracleSql: String =
+    kmeansCtesSql(iters = 4, k = 8) +
+      s""",
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+         |${kmeansArgminSql("c4")}) WHERE rn = 1),
+         |nv AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cluster, ev.e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(ev.e, x -> x*x)), (x,y) -> x+y)) AS nrm
+         |  FROM asg a JOIN ev ON ev.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT least(a.vec_id, b.vec_id) AS lo_id, greatest(a.vec_id, b.vec_id) AS hi_id
+         |  FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45),
+         |dup AS (SELECT hi_id AS vec_id, min(lo_id) AS dup_of FROM pr GROUP BY hi_id)
+         |SELECT a.vec_id, a.cluster,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep, d.dup_of
+         |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "vec_kmeans" -> vecKmeansOracleSql,
+    "sample_diverse" -> sampleDiverseOracleSql,
+    "dedup_semantic" -> dedupSemanticOracleSql,
+
     // the LSH hyperplanes are an LCG stream (seed 7) — plain integer
     // arithmetic, so the oracle replays the generator in HUGEINT,
     // rebuilds the planes, and re-derives every bucket bit with the
