@@ -428,7 +428,327 @@ object SparkEntry {
          |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin
 
+  /** The IVF coarse-quantizer trainer (VectorOps.trainCentroids →
+    * lloyd) replayed exactly: the bounded sample is the first 4096
+    * vectors by vec_id, init picks rows (j·n)/k, and — the part that
+    * looks impossible but isn't — the PLAIN DOUBLE centroid sums
+    * replay bit-exactly because lloyd accumulates them in sample-row
+    * order, which `list(val ORDER BY rn0)` + a left fold reproduces
+    * term for term (IEEE determinism: same values, same order, same
+    * result). Assignment ties to the lowest index like NearestCell.
+    * Emits CTEs ev/smp/sp/t0..t{iters}. */
+  private def lloydCtesSql(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |smp AS MATERIALIZED (
+         |  SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn0,
+         |    count(*) OVER () AS n
+         |  FROM (SELECT * FROM ev ORDER BY vec_id LIMIT 4096)),
+         |sp AS MATERIALIZED (
+         |  SELECT vec_id, rn0, unnest(generate_series(1, len(e))) AS pos, unnest(e) AS val FROM smp),
+         |t0 AS MATERIALIZED (
+         |  SELECT g.j AS c, smp.e AS cl FROM generate_series(0, ${k - 1}) g(j)
+         |  JOIN smp ON smp.rn0 = (g.j * smp.n) // $k)""".stripMargin
+    val rounds = (0 until iters).map { it =>
+      s"""sa$it AS MATERIALIZED (
+         |  SELECT vec_id, rn0, c FROM (
+         |    SELECT smp.vec_id, smp.rn0, t$it.c,
+         |      row_number() OVER (PARTITION BY smp.vec_id ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t$it.c ASC) AS rn
+         |    FROM smp, t$it) WHERE rn = 1),
+         |sn$it AS MATERIALIZED (
+         |  SELECT c, list(m ORDER BY pos) AS cl FROM (
+         |    SELECT a.c, sp.pos,
+         |      list_reduce(list_prepend(0.0, list(sp.val ORDER BY sp.rn0)), (x,y) -> x+y) / CAST(count(*) AS DOUBLE) AS m
+         |    FROM sp JOIN sa$it a ON a.vec_id = sp.vec_id GROUP BY a.c, sp.pos) GROUP BY c),
+         |t${it + 1} AS MATERIALIZED (
+         |  SELECT ti.c, COALESCE(sn.cl, ti.cl) AS cl FROM t$it ti LEFT JOIN sn$it sn ON ti.c = sn.c)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** norm-filtered corpus assignment against the final IVF centroids
+    * (shared tail of the two IVF oracles) */
+  private val ivfAssignSql: String =
+    """nv AS MATERIALIZED (
+      |  SELECT vec_id, e, sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x,y) -> x+y)) AS nrm
+      |  FROM ev),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, e, nrm, c AS cell FROM (
+      |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+      |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+      |    FROM nv, t10 WHERE nv.nrm > 0) WHERE rn = 1)""".stripMargin
+
+  private val annIvfOracleSql: String =
+    lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql +
+      """,
+        |pr AS (
+        |  SELECT q.vec_id AS query_id, CAST(q.cell AS INTEGER) AS cell, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT pr.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM pr)
+        |SELECT query_id, cell, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val annIvfProbeOracleSql: String =
+    lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql +
+      """,
+        |qp AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell FROM (
+        |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+        |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM nv, t10 WHERE nv.vec_id < 10 AND nv.nrm > 0) WHERE rn <= 3),
+        |pr AS (
+        |  SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id, c.e AS ce, c.nrm AS cn
+        |  FROM qp q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos FROM pr),
+        |r AS (SELECT sc.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** the approximate k-NN graph replayed end to end: same trainer and
+    * probe machinery as the IVF oracles, but EVERY vector queries its
+    * 3 probed cells; ranking/mutual tail identical to the exact graph */
+  private val vecKnnGraphAnnOracleSql: String =
+    lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql +
+      """,
+        |qp AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell FROM (
+        |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+        |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM nv, t10 WHERE nv.nrm > 0) WHERE rn <= 3),
+        |sc AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos FROM (
+        |    SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id, c.e AS ce, c.nrm AS cn
+        |    FROM qp q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.query_id)),
+        |tk AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc QUALIFY rank <= 5)
+        |SELECT a.query_id, a.rank, a.neighbor_id, a.cos,
+        |  (b.query_id IS NOT NULL) AS mutual
+        |FROM tk a LEFT JOIN tk b
+        |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+        |ORDER BY a.query_id, a.rank""".stripMargin
+
+  /** The PQ codebook trainer (8 subspaces × 16 Lloyd centroids over
+    * the unit-normalized sample) replayed as ONE 10-round chain keyed
+    * by subspace j — same ordered-fold trick as [[lloydCtesSql]], the
+    * float cast after unit normalization included (CAST twice: to
+    * FLOAT then back — IEEE rounding is engine-independent). Emits
+    * un/smp/sv/sp/t0..t10 (t rows keyed (j, c)). */
+  private val pqCtesSql: String = {
+    val head =
+      """WITH ev AS MATERIALIZED (SELECT vec_id, embedding AS ef, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nv AS MATERIALIZED (
+        |  SELECT vec_id, ef, e, sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x,y) -> x+y)) AS nrm FROM ev),
+        |un AS MATERIALIZED (
+        |  SELECT vec_id, ef, e, nrm,
+        |    CASE WHEN nrm = 0 THEN ef
+        |         ELSE list_transform(e, x -> CAST(x / nrm AS FLOAT)) END AS usn
+        |  FROM nv),
+        |smp AS MATERIALIZED (
+        |  SELECT vec_id, usn, row_number() OVER (ORDER BY vec_id) - 1 AS rn0, count(*) OVER () AS n
+        |  FROM (SELECT * FROM un ORDER BY vec_id LIMIT 4096)),
+        |sv AS MATERIALIZED (
+        |  SELECT vec_id, rn0, j, list_transform(generate_series(1, 8), i -> CAST(usn[j*8+i] AS DOUBLE)) AS sl
+        |  FROM smp, generate_series(0, 7) g(j)),
+        |sp AS MATERIALIZED (
+        |  SELECT vec_id, rn0, j, unnest(generate_series(1, 8)) AS pos, unnest(sl) AS val FROM sv),
+        |t0 AS MATERIALIZED (
+        |  SELECT g.j, h.c, list_transform(generate_series(1, 8), i -> CAST(smp.usn[g.j*8+i] AS DOUBLE)) AS cl
+        |  FROM generate_series(0, 7) g(j), generate_series(0, 15) h(c)
+        |  JOIN smp ON smp.rn0 = (h.c * smp.n) // 16)""".stripMargin
+    val rounds = (0 until 10).map { it =>
+      s"""sa$it AS MATERIALIZED (
+         |  SELECT vec_id, rn0, j, c FROM (
+         |    SELECT sv.vec_id, sv.rn0, sv.j, t$it.c,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), ix -> (sl[ix]-cl[ix])*(sl[ix]-cl[ix]))), (x,y) -> x+y) ASC, t$it.c ASC) AS rn
+         |    FROM sv JOIN t$it ON sv.j = t$it.j) WHERE rn = 1),
+         |sn$it AS MATERIALIZED (
+         |  SELECT j, c, list(m ORDER BY pos) AS cl FROM (
+         |    SELECT a.j, a.c, sp.pos,
+         |      list_reduce(list_prepend(0.0, list(sp.val ORDER BY sp.rn0)), (x,y) -> x+y) / CAST(count(*) AS DOUBLE) AS m
+         |    FROM sp JOIN sa$it a ON a.vec_id = sp.vec_id AND a.j = sp.j GROUP BY a.j, a.c, sp.pos) GROUP BY j, c),
+         |t${it + 1} AS MATERIALIZED (
+         |  SELECT ti.j, ti.c, COALESCE(sn.cl, ti.cl) AS cl FROM t$it ti LEFT JOIN sn$it sn ON ti.j = sn.j AND ti.c = sn.c)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private val annPqOracleSql: String =
+    pqCtesSql +
+      """,
+        |cvs AS MATERIALIZED (
+        |  SELECT vec_id, ef, e, nrm,
+        |    j, list_transform(generate_series(1, 8), i -> CAST(CAST(e[j*8+i] / greatest(nrm, 1e-30) AS FLOAT) AS DOUBLE)) AS sl
+        |  FROM un, generate_series(0, 7) g(j) WHERE nrm > 0),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT cvs.vec_id, cvs.j, t10.c,
+        |      row_number() OVER (PARTITION BY cvs.vec_id, cvs.j ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), ix -> (sl[ix]-cl[ix])*(sl[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM cvs JOIN t10 ON cvs.j = t10.j) WHERE rn = 1),
+        |qt AS MATERIALIZED (
+        |  SELECT u.vec_id AS query_id, t.j, t.c,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), ix -> (CAST(u.usn[t.j*8+ix] AS DOUBLE)-cl[ix])*(CAST(u.usn[t.j*8+ix] AS DOUBLE)-cl[ix]))), (x,y) -> x+y) AS dist
+        |  FROM un u, t10 t WHERE u.vec_id < 10 AND u.nrm > 0),
+        |adc AS MATERIALIZED (
+        |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list(q.dist ORDER BY q.j)), (x,y) -> x+y) AS adc_dist
+        |  FROM qt q JOIN codes cd ON cd.j = q.j AND cd.code = q.c
+        |  WHERE cd.vec_id <> q.query_id
+        |  GROUP BY q.query_id, cd.vec_id HAVING count(*) = 8),
+        |sl32 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        |  FROM adc QUALIFY adc_rank <= 32),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id, round(s.adc_dist, 6) AS adc_dist,
+        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM sl32 s JOIN nv q ON q.vec_id = s.query_id JOIN nv c ON c.vec_id = s.neighbor_id
+        |  WHERE q.nrm > 0),
+        |fin AS (
+        |  SELECT query_id, neighbor_id, cos, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM rr QUALIFY rank <= 3)
+        |SELECT query_id, rank, neighbor_id, cos, adc_dist FROM fin ORDER BY query_id, rank""".stripMargin
+
+  /** IVF+PQ replayed in full: the coarse 16-cell Lloyd over the RAW
+    * sample, residual encoding (unit-norm − cell centroid, float-cast
+    * like the Spark side), the 8×16 residual codebooks as a second
+    * subspace-keyed Lloyd chain, per-(query, probed-cell) ADC tables
+    * with the exact ((q−c)−b)² parenthesization, ordered ADC folds,
+    * and the two-stage shortlist→rerank tail. */
+  private val annIvfPqOracleSql: String = {
+    val coarseHead =
+      """WITH ev AS MATERIALIZED (SELECT vec_id, embedding AS ef, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nv AS MATERIALIZED (
+        |  SELECT vec_id, ef, e, sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x,y) -> x+y)) AS nrm FROM ev),
+        |un AS MATERIALIZED (
+        |  SELECT vec_id, ef, e, nrm,
+        |    CASE WHEN nrm = 0 THEN ef ELSE list_transform(e, x -> CAST(x / nrm AS FLOAT)) END AS usn
+        |  FROM nv),
+        |smp AS MATERIALIZED (
+        |  SELECT vec_id, e, usn, row_number() OVER (ORDER BY vec_id) - 1 AS rn0, count(*) OVER () AS n
+        |  FROM (SELECT * FROM un ORDER BY vec_id LIMIT 4096)),
+        |sp AS MATERIALIZED (
+        |  SELECT vec_id, rn0, unnest(generate_series(1, len(e))) AS pos, unnest(e) AS val FROM smp),
+        |t0 AS MATERIALIZED (
+        |  SELECT g.j AS c, smp.e AS cl FROM generate_series(0, 15) g(j)
+        |  JOIN smp ON smp.rn0 = (g.j * smp.n) // 16)""".stripMargin
+    val coarseRounds = (0 until 10).map { it =>
+      s"""sa$it AS MATERIALIZED (
+         |  SELECT vec_id, rn0, c FROM (
+         |    SELECT smp.vec_id, smp.rn0, t$it.c,
+         |      row_number() OVER (PARTITION BY smp.vec_id ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t$it.c ASC) AS rn
+         |    FROM smp, t$it) WHERE rn = 1),
+         |sn$it AS MATERIALIZED (
+         |  SELECT c, list(m ORDER BY pos) AS cl FROM (
+         |    SELECT a.c, sp.pos,
+         |      list_reduce(list_prepend(0.0, list(sp.val ORDER BY sp.rn0)), (x,y) -> x+y) / CAST(count(*) AS DOUBLE) AS m
+         |    FROM sp JOIN sa$it a ON a.vec_id = sp.vec_id GROUP BY a.c, sp.pos) GROUP BY c),
+         |t${it + 1} AS MATERIALIZED (
+         |  SELECT ti.c, COALESCE(sn.cl, ti.cl) AS cl FROM t$it ti LEFT JOIN sn$it sn ON ti.c = sn.c)""".stripMargin
+    }
+    val residualHead =
+      """rsm AS MATERIALIZED (
+        |  SELECT s.vec_id, s.rn0, s.n,
+        |    list_transform(generate_series(1, len(s.usn)), i -> CAST(CAST(s.usn[i] AS DOUBLE) - tc.cl[i] AS FLOAT)) AS res
+        |  FROM (
+        |    SELECT smp.*, t10.c AS cell,
+        |      row_number() OVER (PARTITION BY smp.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (CAST(usn[ix] AS DOUBLE)-cl[ix])*(CAST(usn[ix] AS DOUBLE)-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM smp, t10) s
+        |  JOIN t10 tc ON tc.c = s.cell WHERE s.rn = 1),
+        |rsv AS MATERIALIZED (
+        |  SELECT vec_id, rn0, j, list_transform(generate_series(1, 8), i -> CAST(res[j*8+i] AS DOUBLE)) AS sl
+        |  FROM rsm, generate_series(0, 7) g(j)),
+        |rsp AS MATERIALIZED (
+        |  SELECT vec_id, rn0, j, unnest(generate_series(1, 8)) AS pos, unnest(sl) AS val FROM rsv),
+        |rt0 AS MATERIALIZED (
+        |  SELECT g.j, h.c, list_transform(generate_series(1, 8), i -> CAST(rsm.res[g.j*8+i] AS DOUBLE)) AS cl
+        |  FROM generate_series(0, 7) g(j), generate_series(0, 15) h(c)
+        |  JOIN rsm ON rsm.rn0 = (h.c * rsm.n) // 16)""".stripMargin
+    val residualRounds = (0 until 10).map { it =>
+      s"""ra$it AS MATERIALIZED (
+         |  SELECT vec_id, rn0, j, c FROM (
+         |    SELECT rsv.vec_id, rsv.rn0, rsv.j, rt$it.c,
+         |      row_number() OVER (PARTITION BY rsv.vec_id, rsv.j ORDER BY
+         |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), ix -> (sl[ix]-cl[ix])*(sl[ix]-cl[ix]))), (x,y) -> x+y) ASC, rt$it.c ASC) AS rn
+         |    FROM rsv JOIN rt$it ON rsv.j = rt$it.j) WHERE rn = 1),
+         |rn$it AS MATERIALIZED (
+         |  SELECT j, c, list(m ORDER BY pos) AS cl FROM (
+         |    SELECT a.j, a.c, rsp.pos,
+         |      list_reduce(list_prepend(0.0, list(rsp.val ORDER BY rsp.rn0)), (x,y) -> x+y) / CAST(count(*) AS DOUBLE) AS m
+         |    FROM rsp JOIN ra$it a ON a.vec_id = rsp.vec_id AND a.j = rsp.j GROUP BY a.j, a.c, rsp.pos) GROUP BY j, c),
+         |rt${it + 1} AS MATERIALIZED (
+         |  SELECT ti.j, ti.c, COALESCE(rn.cl, ti.cl) AS cl FROM rt$it ti LEFT JOIN rn$it rn ON ti.j = rn.j AND ti.c = rn.c)""".stripMargin
+    }
+    val tail =
+      """cvv AS MATERIALIZED (
+        |  SELECT u.vec_id, u.e, u.nrm, s.cell,
+        |    list_transform(generate_series(1, len(u.usn)), i -> CAST(CAST(u.usn[i] AS DOUBLE) - tc.cl[i] AS FLOAT)) AS res
+        |  FROM un u
+        |  JOIN (
+        |    SELECT un.vec_id, t10.c AS cell,
+        |      row_number() OVER (PARTITION BY un.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (CAST(usn[ix] AS DOUBLE)-cl[ix])*(CAST(usn[ix] AS DOUBLE)-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM un, t10 WHERE un.nrm > 0) s ON s.vec_id = u.vec_id AND s.rn = 1
+        |  JOIN t10 tc ON tc.c = s.cell),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, cell, j, c AS code FROM (
+        |    SELECT cv.vec_id, cv.cell, g.j, rt10.c,
+        |      row_number() OVER (PARTITION BY cv.vec_id, g.j ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), ix -> (CAST(cv.res[g.j*8+ix] AS DOUBLE)-cl[ix])*(CAST(cv.res[g.j*8+ix] AS DOUBLE)-cl[ix]))), (x,y) -> x+y) ASC, rt10.c ASC) AS rn
+        |    FROM cvv cv, generate_series(0, 7) g(j) JOIN rt10 ON rt10.j = g.j) WHERE rn = 1),
+        |qcells AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, usn, cell FROM (
+        |    SELECT un.vec_id, un.usn, t10.c AS cell,
+        |      row_number() OVER (PARTITION BY un.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (CAST(usn[ix] AS DOUBLE)-cl[ix])*(CAST(usn[ix] AS DOUBLE)-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM un, t10 WHERE un.vec_id < 10 AND un.nrm > 0) WHERE rn <= 3),
+        |qtab AS MATERIALIZED (
+        |  SELECT q.query_id, q.cell, rc.j, rc.c,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      ix -> ((CAST(q.usn[rc.j*8+ix] AS DOUBLE) - tc.cl[rc.j*8+ix]) - rc.cl[ix])*((CAST(q.usn[rc.j*8+ix] AS DOUBLE) - tc.cl[rc.j*8+ix]) - rc.cl[ix]))), (x,y) -> x+y) AS dist
+        |  FROM qcells q JOIN t10 tc ON tc.c = q.cell, rt10 rc),
+        |adc AS MATERIALIZED (
+        |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list(q.dist ORDER BY q.j)), (x,y) -> x+y) AS adc_dist
+        |  FROM qtab q JOIN codes cd ON cd.cell = q.cell AND cd.j = q.j AND cd.code = q.c
+        |  WHERE cd.vec_id <> q.query_id
+        |  GROUP BY q.query_id, cd.vec_id HAVING count(*) = 8),
+        |sl32 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        |  FROM adc QUALIFY adc_rank <= 32),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id, round(s.adc_dist, 6) AS adc_dist,
+        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM sl32 s JOIN nv q ON q.vec_id = s.query_id JOIN nv c ON c.vec_id = s.neighbor_id
+        |  WHERE q.nrm > 0),
+        |fin AS (
+        |  SELECT query_id, neighbor_id, cos, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM rr QUALIFY rank <= 3)
+        |SELECT query_id, rank, neighbor_id, cos, adc_dist FROM fin ORDER BY query_id, rank""".stripMargin
+    ((coarseHead +: coarseRounds) ++ (residualHead +: residualRounds)).mkString(",\n") + ",\n" + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_pq" -> annPqOracleSql,
+    "ann_ivfpq" -> annIvfPqOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
+    "ann_ivf_probe" -> annIvfProbeOracleSql,
+    "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,
     "vec_kmeans" -> vecKmeansOracleSql,
     "sample_diverse" -> sampleDiverseOracleSql,
     "dedup_semantic" -> dedupSemanticOracleSql,
