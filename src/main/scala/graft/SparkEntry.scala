@@ -743,7 +743,141 @@ object SparkEntry {
     ((coarseHead +: coarseRounds) ++ (residualHead +: residualRounds)).mkString(",\n") + ",\n" + tail
   }
 
+  /** the PRODUCTION MinHash pipeline hash-oracled end to end: DuckDB
+    * recomputes Spark's xxhash64 per distinct shingle
+    * ([[OracleSqlGen.xxh64Sql]]), replays the LCG permutation stream
+    * (seed 42) in HUGEINT, rebuilds all 128 signature slots, buckets
+    * by the SAME Murmur3 band hash (`hash()` over 4 slots,
+    * [[OracleSqlGen.murmurLongStep]]), and verifies candidates with
+    * the exact hashed-shingle Jaccard. */
+  private val dedupMinhashOracleSql: String = {
+    val hsh = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(shingles) AS sh FROM s)", "sh", 42L)
+    val mstep = OracleSqlGen.murmurLongStep("l", "acc")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+       |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+       |  FROM w WHERE len(words) >= 3),
+       |hx AS MATERIALIZED ($hsh),
+       |shx AS MATERIALIZED (
+       |  SELECT sd.doc_id, hx.h AS xh, ((hx.h % 2147483647) + 2147483647) % 2147483647 AS x
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM s) sd JOIN hx ON hx.s = sd.sh),
+       |lcg AS (
+       |  WITH RECURSIVE l(k, st) AS (
+       |    SELECT 0, 42::HUGEINT
+       |    UNION ALL
+       |    SELECT k+1, (st * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT
+       |    FROM l WHERE k < 256)
+       |  SELECT k, (st // 8589934592::HUGEINT)::BIGINT AS v FROM l WHERE k >= 1),
+       |perms AS MATERIALIZED (
+       |  SELECT (a.k - 1) // 2 AS i,
+       |    a.v % 2147483646 + 1 AS pa, b.v % 2147483647 AS pb
+       |  FROM lcg a JOIN lcg b ON b.k = a.k + 1 WHERE a.k % 2 = 1),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS v
+       |  FROM shx, perms GROUP BY doc_id, i),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, band_id, bh - CASE WHEN bh >= 2147483648 THEN 4294967296 ELSE 0 END AS band_hash FROM (
+       |    SELECT doc_id, i // 4 AS band_id,
+       |      list_reduce(list_prepend(42::BIGINT, list(v ORDER BY i)), (acc, l) -> $mstep) AS bh
+       |    FROM sigs GROUP BY doc_id, i // 4)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
+       |iv AS (
+       |  SELECT c.a_id AS ia, c.b_id AS ib, count(*) AS inter
+       |  FROM cand c JOIN shx ea ON ea.doc_id = c.a_id JOIN shx eb ON eb.doc_id = c.b_id AND eb.xh = ea.xh
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT c.a_id, c.b_id,
+       |  round(COALESCE(iv.inter,0) / CAST(na.n_sh + nb.n_sh - COALESCE(iv.inter,0) AS DOUBLE), 6) AS jaccard
+       |FROM cand c
+       |JOIN ns na ON na.doc_id = c.a_id JOIN ns nb ON nb.doc_id = c.b_id
+       |LEFT JOIN iv ON iv.ia = c.a_id AND iv.ib = c.b_id
+       |WHERE round(COALESCE(iv.inter,0) / CAST(na.n_sh + nb.n_sh - COALESCE(iv.inter,0) AS DOUBLE), 6) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** the production SimHash pipeline with the REAL xxhash64 token hash
+    * re-derived per distinct token */
+  private val dedupSimhashOracleSql: String = {
+    val hw = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w FROM wd)", "w", 42L)
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words FROM documents),
+       |hw AS MATERIALIZED ($hw),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, unnest(words) AS w FROM wd),
+       |v AS MATERIALIZED (
+       |  SELECT o.doc_id, g.b,
+       |    sum(CASE WHEN (hw.h >> CAST(g.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM occ o JOIN hw ON hw.s = o.w, generate_series(0,63) g(b)
+       |  GROUP BY o.doc_id, g.b),
+       |sg AS (
+       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END) AS sigu
+       |  FROM v GROUP BY doc_id),
+       |sigs AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CASE WHEN COALESCE(sg.sigu, 0) >= 9223372036854775808::HUGEINT
+       |         THEN (COALESCE(sg.sigu, 0) - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE COALESCE(sg.sigu, 0)::BIGINT END AS simhash
+       |  FROM documents d LEFT JOIN sg ON d.doc_id = sg.doc_id),
+       |ch AS (
+       |  SELECT doc_id, simhash, j AS chunk_id, (simhash >> CAST(16*j AS INTEGER)) & 65535 AS chunk
+       |  FROM sigs, generate_series(0,3) g(j)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+       |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(a_sim, b_sim))::BIGINT AS hamming
+       |FROM p WHERE bit_count(xor(a_sim, b_sim)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** the 128-bit SimHash pipeline: both token hashes (seeds 42 and
+    * 1371) re-derived, 4×32-bit chunk LSH, summed popcount verify */
+  private val dedupSimhash128OracleSql: String = {
+    val h0 = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w FROM wd)", "w", 42L)
+    val h1 = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w FROM wd)", "w", 1371L)
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words FROM documents),
+       |hw0 AS MATERIALIZED ($h0),
+       |hw1 AS MATERIALIZED ($h1),
+       |hw AS MATERIALIZED (SELECT hw0.s, hw0.h AS h0, hw1.h AS h1 FROM hw0 JOIN hw1 ON hw0.s = hw1.s),
+       |occ AS MATERIALIZED (SELECT doc_id, unnest(words) AS w FROM wd),
+       |v AS MATERIALIZED (
+       |  SELECT o.doc_id, g.b,
+       |    sum(CASE WHEN (CASE WHEN g.b < 64 THEN hw.h0 ELSE hw.h1 END >> CAST(g.b % 64 AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM occ o JOIN hw ON hw.s = o.w, generate_series(0,127) g(b)
+       |  GROUP BY o.doc_id, g.b),
+       |sg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN s > 0 AND b < 64 THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END) AS w0u,
+       |    sum(CASE WHEN s > 0 AND b >= 64 THEN (1::HUGEINT << CAST(b - 64 AS INTEGER)) ELSE 0::HUGEINT END) AS w1u
+       |  FROM v GROUP BY doc_id),
+       |sigs AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CASE WHEN COALESCE(sg.w0u,0) >= 9223372036854775808::HUGEINT THEN (COALESCE(sg.w0u,0) - 18446744073709551616::HUGEINT)::BIGINT ELSE COALESCE(sg.w0u,0)::BIGINT END AS s0,
+       |    CASE WHEN COALESCE(sg.w1u,0) >= 9223372036854775808::HUGEINT THEN (COALESCE(sg.w1u,0) - 18446744073709551616::HUGEINT)::BIGINT ELSE COALESCE(sg.w1u,0)::BIGINT END AS s1
+       |  FROM documents d LEFT JOIN sg ON d.doc_id = sg.doc_id),
+       |ch AS (
+       |  SELECT doc_id, s0, s1, j AS chunk_id,
+       |    (CASE WHEN j < 2 THEN s0 ELSE s1 END >> CAST((j % 2) * 32 AS INTEGER)) & 4294967295 AS chunk
+       |  FROM sigs, generate_series(0,3) g(j)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.s0 AS a0, a.s1 AS a1x, b.s0 AS b0, b.s1 AS b1x
+       |  FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, (bit_count(xor(a0, b0)) + bit_count(xor(a1x, b1x)))::BIGINT AS hamming
+       |FROM p WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1x, b1x)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> dedupMinhashOracleSql,
+    "dedup_simhash" -> dedupSimhashOracleSql,
+    "dedup_simhash128" -> dedupSimhash128OracleSql,
     "ann_pq" -> annPqOracleSql,
     "ann_ivfpq" -> annIvfPqOracleSql,
     "ann_ivf" -> annIvfOracleSql,
