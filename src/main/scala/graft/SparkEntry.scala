@@ -750,9 +750,11 @@ object SparkEntry {
     * by the SAME Murmur3 band hash (`hash()` over 4 slots,
     * [[OracleSqlGen.murmurLongStep]]), and verifies candidates with
     * the exact hashed-shingle Jaccard. */
-  private val dedupMinhashOracleSql: String = {
+  /** shared prefix of the xxhash-MinHash oracles: shingles, xxh64
+    * shingle hashes, the replayed LCG permutation stream, and the 128
+    * signature slots (CTEs w/s/hx/shx/lcg/perms/sigs) */
+  private lazy val minhashSigsCtesSql: String = {
     val hsh = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(shingles) AS sh FROM s)", "sh", 42L)
-    val mstep = OracleSqlGen.murmurLongStep("l", "acc")
     s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
        |    x -> x <> '') AS words FROM documents),
@@ -777,7 +779,13 @@ object SparkEntry {
        |  FROM lcg a JOIN lcg b ON b.k = a.k + 1 WHERE a.k % 2 = 1),
        |sigs AS MATERIALIZED (
        |  SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS v
-       |  FROM shx, perms GROUP BY doc_id, i),
+       |  FROM shx, perms GROUP BY doc_id, i)""".stripMargin
+  }
+
+  private val dedupMinhashOracleSql: String = {
+    val mstep = OracleSqlGen.murmurLongStep("l", "acc")
+    minhashSigsCtesSql +
+    s""",
        |bands AS MATERIALIZED (
        |  SELECT doc_id, band_id, bh - CASE WHEN bh >= 2147483648 THEN 4294967296 ELSE 0 END AS band_hash FROM (
        |    SELECT doc_id, i // 4 AS band_id,
@@ -798,6 +806,50 @@ object SparkEntry {
        |LEFT JOIN iv ON iv.ia = c.a_id AND iv.ib = c.b_id
        |WHERE round(COALESCE(iv.inter,0) / CAST(na.n_sh + nb.n_sh - COALESCE(iv.inter,0) AS DOUBLE), 6) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** the banding S-curve report replayed: four (bands × rows) configs
+    * banded over the SAME replayed signatures with the same Murmur3
+    * bucket hash, scored against the exact hashed-shingle Jaccard
+    * truth in integer ppm */
+  private val dedupBandingEvalOracleSql: String = {
+    val mstep = OracleSqlGen.murmurLongStep("l", "acc")
+    val cfgCtes = Seq((32, 4), (16, 8), (8, 16), (4, 32)).map { case (b, r) =>
+      s"""bands_$r AS MATERIALIZED (
+         |  SELECT doc_id, band_id, bh - CASE WHEN bh >= 2147483648 THEN 4294967296 ELSE 0 END AS band_hash FROM (
+         |    SELECT doc_id, i // $r AS band_id,
+         |      list_reduce(list_prepend(42::BIGINT, list(v ORDER BY i)), (acc, l) -> $mstep) AS bh
+         |    FROM sigs GROUP BY doc_id, i // $r)),
+         |cand_$r AS MATERIALIZED (
+         |  SELECT DISTINCT $b AS n_bands, $r AS rows_per_band, a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands_$r a JOIN bands_$r b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    minhashSigsCtesSql +
+    s""",
+       |$cfgCtes,
+       |allc AS (SELECT * FROM cand_4 UNION ALL SELECT * FROM cand_8 UNION ALL SELECT * FROM cand_16 UNION ALL SELECT * FROM cand_32),
+       |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
+       |tpair AS MATERIALIZED (
+       |  SELECT ia AS a_id, ib AS b_id FROM (
+       |    SELECT ea.doc_id AS ia, eb.doc_id AS ib, count(*) AS inter
+       |    FROM shx ea JOIN shx eb ON eb.xh = ea.xh AND ea.doc_id < eb.doc_id
+       |    GROUP BY ea.doc_id, eb.doc_id) p
+       |  JOIN ns na ON na.doc_id = p.ia JOIN ns nb ON nb.doc_id = p.ib
+       |  WHERE round(p.inter / CAST(na.n_sh + nb.n_sh - p.inter AS DOUBLE), 6) >= 0.5),
+       |nt AS (SELECT count(*) AS n_truth FROM tpair),
+       |scored AS (
+       |  SELECT c.n_bands, c.rows_per_band, count(*) AS n_candidates,
+       |    count(t.a_id) AS n_true_pairs
+       |  FROM allc c LEFT JOIN tpair t ON t.a_id = c.a_id AND t.b_id = c.b_id
+       |  GROUP BY c.n_bands, c.rows_per_band),
+       |spine AS (SELECT * FROM (VALUES (32,4),(16,8),(8,16),(4,32)) v(n_bands, rows_per_band))
+       |SELECT sp.n_bands, sp.rows_per_band,
+       |  COALESCE(sc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(sc.n_true_pairs, 0) AS n_true_pairs,
+       |  COALESCE(sc.n_true_pairs, 0) * 1000000 // nullif(nt.n_truth, 0) AS recall_ppm,
+       |  COALESCE(sc.n_true_pairs, 0) * 1000000 // nullif(COALESCE(sc.n_candidates, 0), 0) AS precision_ppm
+       |FROM spine sp LEFT JOIN scored sc ON sc.n_bands = sp.n_bands AND sc.rows_per_band = sp.rows_per_band, nt
+       |ORDER BY sp.rows_per_band""".stripMargin
   }
 
   /** the production SimHash pipeline with the REAL xxhash64 token hash
@@ -874,26 +926,73 @@ object SparkEntry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "dedup_minhash" -> dedupMinhashOracleSql,
-    "dedup_simhash" -> dedupSimhashOracleSql,
-    "dedup_simhash128" -> dedupSimhash128OracleSql,
-    "ann_pq" -> annPqOracleSql,
-    "ann_ivfpq" -> annIvfPqOracleSql,
-    "ann_ivf" -> annIvfOracleSql,
-    "ann_ivf_probe" -> annIvfProbeOracleSql,
-    "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,
-    "vec_kmeans" -> vecKmeansOracleSql,
-    "sample_diverse" -> sampleDiverseOracleSql,
-    "dedup_semantic" -> dedupSemanticOracleSql,
+  private val annBqOracleSql: String =
+     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |m AS (SELECT vec_id, e, nrm,
+        |  CAST(list_sum(list_transform(generate_series(0, 31),
+        |    j -> CASE WHEN e[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m0,
+        |  CAST(list_sum(list_transform(generate_series(0, 31),
+        |    j -> CASE WHEN e[j+33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m1
+        | FROM n),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       CAST(bit_count(xor(q.m0, c.m0)) + bit_count(xor(q.m1, c.m1)) AS BIGINT) AS hamming
+        |      FROM m q, m c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |s AS (SELECT * FROM (SELECT h.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY hamming, neighbor_id) AS hr FROM h) WHERE hr <= 32),
+        |r AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM s JOIN m q ON s.query_id = q.vec_id JOIN m c ON s.neighbor_id = c.vec_id),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank FROM r)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos, hamming
+        |FROM k WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-    // the LSH hyperplanes are an LCG stream (seed 7) — plain integer
-    // arithmetic, so the oracle replays the generator in HUGEINT,
-    // rebuilds the planes, and re-derives every bucket bit with the
-    // same left-to-right double fold the Spark side uses (bit-identical
-    // signs; only the displayed cosine is rounded)
-    "ann_lsh" ->
-      """WITH RECURSIVE lcg(k, s) AS (
+  private val annBruteforceOracleSql: String =
+     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+        |     WHERE nrm > 0),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT p.*, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
+  /** the ANN quality report composed from the six independently-
+    * validated method oracles — each full pipeline SQL embeds as a
+    * nested-WITH subquery (its CTE names stay scoped, so the six
+    * trainers coexist without renaming), scored against the rank≤3
+    * brute-force truth in integer ppm */
+  private lazy val annEvalOracleSql: String = {
+    val methods = Seq(
+      "lsh_hyperplane" -> annLshOracleSql,
+      "ivf_1probe" -> annIvfOracleSql,
+      "ivf_3probe" -> annIvfProbeOracleSql,
+      "ivfpq_adc" -> annIvfPqOracleSql,
+      "bq_hamming" -> annBqOracleSql,
+      "pq_adc" -> annPqOracleSql)
+    val mctes = methods.zipWithIndex.map { case ((m, q), i) =>
+      s"m_$i AS MATERIALIZED (SELECT '$m' AS method, query_id, neighbor_id FROM ($q))"
+    }.mkString(",\n")
+    val union = methods.indices.map(i => s"SELECT * FROM m_$i").mkString(" UNION ALL ")
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annBruteforceOracleSql) WHERE rank <= 3),
+       |$mctes,
+       |allm AS ($union),
+       |nt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT m.method, count(*) AS n_returned, nt.n_truth,
+       |  count(t.query_id) AS n_hits,
+       |  CASE WHEN nt.n_truth = 0 THEN 0 ELSE count(t.query_id) * 1000000 // nt.n_truth END AS recall_ppm
+       |FROM allm m LEFT JOIN truth t ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id, nt
+       |GROUP BY m.method, nt.n_truth
+       |ORDER BY m.method""".stripMargin
+  }
+
+  private val annLshOracleSql: String =
+     """WITH RECURSIVE lcg(k, s) AS (
         |  SELECT 0, 7::HUGEINT
         |  UNION ALL
         |  SELECT k+1, (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT
@@ -922,7 +1021,29 @@ object SparkEntry {
         |  WHERE q.vec_id < 10),
         |r AS (SELECT pr.*, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM pr)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_eval" -> annEvalOracleSql,
+    "dedup_minhash" -> dedupMinhashOracleSql,
+    "dedup_banding_eval" -> dedupBandingEvalOracleSql,
+    "dedup_simhash" -> dedupSimhashOracleSql,
+    "dedup_simhash128" -> dedupSimhash128OracleSql,
+    "ann_pq" -> annPqOracleSql,
+    "ann_ivfpq" -> annIvfPqOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
+    "ann_ivf_probe" -> annIvfProbeOracleSql,
+    "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,
+    "vec_kmeans" -> vecKmeansOracleSql,
+    "sample_diverse" -> sampleDiverseOracleSql,
+    "dedup_semantic" -> dedupSemanticOracleSql,
+
+    // the LSH hyperplanes are an LCG stream (seed 7) — plain integer
+    // arithmetic, so the oracle replays the generator in HUGEINT,
+    // rebuilds the planes, and re-derives every bucket bit with the
+    // same left-to-right double fold the Spark side uses (bit-identical
+    // signs; only the displayed cosine is rounded)
+    "ann_lsh" -> annLshOracleSql,
 
     "q_kcore" -> kCoreOracleSql,
 
@@ -2812,28 +2933,7 @@ object SparkEntry {
         | md5(regexp_replace(t1, '\d{7,}', '<NUM>', 'g')) AS redacted_md5
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "ann_bq" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
-        |     WHERE nrm > 0),
-        |m AS (SELECT vec_id, e, nrm,
-        |  CAST(list_sum(list_transform(generate_series(0, 31),
-        |    j -> CASE WHEN e[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m0,
-        |  CAST(list_sum(list_transform(generate_series(0, 31),
-        |    j -> CASE WHEN e[j+33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS m1
-        | FROM n),
-        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |       CAST(bit_count(xor(q.m0, c.m0)) + bit_count(xor(q.m1, c.m1)) AS BIGINT) AS hamming
-        |      FROM m q, m c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |s AS (SELECT * FROM (SELECT h.*, row_number() OVER (PARTITION BY query_id
-        |       ORDER BY hamming, neighbor_id) AS hr FROM h) WHERE hr <= 32),
-        |r AS (SELECT s.query_id, s.neighbor_id, s.hamming,
-        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
-        |      FROM s JOIN m q ON s.query_id = q.vec_id JOIN m c ON s.neighbor_id = c.vec_id),
-        |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |       ORDER BY cos DESC, neighbor_id) AS rank FROM r)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos, hamming
-        |FROM k WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_bq" -> annBqOracleSql,
 
     "vec_mrl_eval" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -2876,17 +2976,7 @@ object SparkEntry {
         |       TRUE AS mutual FROM k) m USING (query_id, neighbor_id)
         |ORDER BY query_id, rank""".stripMargin,
 
-    "ann_bruteforce" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT * FROM (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
-        |     WHERE nrm > 0),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |       round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
-        |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |r AS (SELECT p.*, row_number() OVER (PARTITION BY query_id
-        |       ORDER BY cos DESC, neighbor_id) AS rank FROM p)
-        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "ann_bruteforce" -> annBruteforceOracleSql,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
