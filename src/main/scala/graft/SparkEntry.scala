@@ -852,6 +852,122 @@ object SparkEntry {
        |ORDER BY sp.rows_per_band""".stripMargin
   }
 
+  /** the six-method dedup quality report replayed in ONE statement:
+    * the four exact-verified strategies (minhash banding, two df-caps,
+    * prefix filter) reduce to |candidates ∩ truth| because the verify
+    * stage IS the truth predicate; simhash and winnow pair sets are
+    * re-derived in full (prefixed CTE names — DuckDB scopes nested
+    * WITHs but rejects shadowing, so the fragments inline instead). */
+  private val dedupEvalOracleSql: String = {
+    val mstep = OracleSqlGen.murmurLongStep("l", "acc")
+    val hw = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w_ FROM w)", "w_", 42L)
+    minhashSigsCtesSql +
+    s""",
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, band_id, bh - CASE WHEN bh >= 2147483648 THEN 4294967296 ELSE 0 END AS band_hash FROM (
+       |    SELECT doc_id, i // 4 AS band_id,
+       |      list_reduce(list_prepend(42::BIGINT, list(v ORDER BY i)), (acc, l) -> $mstep) AS bh
+       |    FROM sigs GROUP BY doc_id, i // 4)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
+       |tpair AS MATERIALIZED (
+       |  SELECT ia AS a_id, ib AS b_id FROM (
+       |    SELECT ea.doc_id AS ia, eb.doc_id AS ib, count(*) AS inter
+       |    FROM shx ea JOIN shx eb ON eb.xh = ea.xh AND ea.doc_id < eb.doc_id
+       |    GROUP BY ea.doc_id, eb.doc_id) p
+       |  JOIN ns na ON na.doc_id = p.ia JOIN ns nb ON nb.doc_id = p.ib
+       |  WHERE round(p.inter / CAST(na.n_sh + nb.n_sh - p.inter AS DOUBLE), 6) >= 0.5),
+       |nt AS (SELECT count(*) AS n_truth FROM tpair),
+       |dftab AS MATERIALIZED (SELECT xh, count(*) AS df FROM shx GROUP BY xh),
+       |cap64 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
+       |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 64),
+       |cap8 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
+       |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 8),
+       |pfx AS MATERIALIZED (
+       |  SELECT doc_id, xh FROM (
+       |    SELECT e.doc_id, e.xh, ns.n_sh,
+       |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.xh) AS rk
+       |    FROM shx e JOIN dftab d ON d.xh = e.xh JOIN ns ON ns.doc_id = e.doc_id)
+       |  WHERE rk <= n_sh // 2 + 1),
+       |pfxc AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pfx a JOIN pfx b ON a.xh = b.xh AND a.doc_id < b.doc_id),
+       |sim_hw AS MATERIALIZED ($hw),
+       |sim_v AS MATERIALIZED (
+       |  SELECT o.doc_id, g.b,
+       |    sum(CASE WHEN (sim_hw.h >> CAST(g.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+       |  FROM (SELECT doc_id, unnest(words) AS w_ FROM w) o
+       |  JOIN sim_hw ON sim_hw.s = o.w_, generate_series(0,63) g(b)
+       |  GROUP BY o.doc_id, g.b),
+       |sim_sigs AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CASE WHEN COALESCE(sg.sigu, 0) >= 9223372036854775808::HUGEINT
+       |         THEN (COALESCE(sg.sigu, 0) - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE COALESCE(sg.sigu, 0)::BIGINT END AS simhash
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::HUGEINT << CAST(b AS INTEGER)) ELSE 0::HUGEINT END) AS sigu
+       |    FROM sim_v GROUP BY doc_id) sg ON d.doc_id = sg.doc_id),
+       |simp AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM (SELECT doc_id, simhash, j AS chunk_id, (simhash >> CAST(16*j AS INTEGER)) & 65535 AS chunk
+       |        FROM sim_sigs, generate_series(0,3) g(j)) a
+       |  JOIN (SELECT doc_id, simhash, j AS chunk_id, (simhash >> CAST(16*j AS INTEGER)) & 65535 AS chunk
+       |        FROM sim_sigs, generate_series(0,3) g(j)) b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |wn_k AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(words) - 2 AS BIGINT) AS m,
+       |   list_transform(generate_series(1, len(words) - 2),
+       |     i -> md5(array_to_string(words[i:i+2], ' '))) AS kg
+       |  FROM w WHERE len(words) >= 6),
+       |wn_f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |   list_distinct(list_transform(generate_series(1, CAST(m - 3 AS INTEGER)),
+       |     j -> list_aggregate(keys[j:j+3], 'min'))) AS fps
+       |  FROM (SELECT doc_id, m,
+       |     list_transform(generate_series(1, CAST(m AS INTEGER)),
+       |       i -> kg[i] || '#' || lpad(CAST(9999999 - i AS VARCHAR), 7, '0')) AS keys
+       |    FROM wn_k)),
+       |wn_e AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, split_part(fpk, '#', 1) AS h
+       |  FROM (SELECT doc_id, unnest(fps) AS fpk FROM wn_f)),
+       |wn_keep AS MATERIALIZED (
+       |  SELECT doc_id, h FROM wn_e JOIN (SELECT h FROM wn_e GROUP BY h HAVING COUNT(*) <= 50) r USING (h)),
+       |winp AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM wn_keep a JOIN wn_keep b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sc AS (
+       |  SELECT 'minhash_lsh_32x4' AS method,
+       |    (SELECT count(*) FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id) AS n_pairs,
+       |    (SELECT count(*) FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id) AS n_hit
+       |  UNION ALL SELECT 'jaccard_dfcap_64',
+       |    (SELECT count(*) FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
+       |    (SELECT count(*) FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'jaccard_dfcap_8',
+       |    (SELECT count(*) FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
+       |    (SELECT count(*) FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'jaccard_prefix',
+       |    (SELECT count(*) FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
+       |    (SELECT count(*) FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'simhash64_h3',
+       |    (SELECT count(*) FROM simp),
+       |    (SELECT count(*) FROM simp c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'winnow_k3w4',
+       |    (SELECT count(*) FROM winp),
+       |    (SELECT count(*) FROM winp c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id))
+       |SELECT sc.method, sc.n_pairs, nt.n_truth, sc.n_hit,
+       |  CASE WHEN sc.n_pairs = 0 THEN 0 ELSE sc.n_hit * 1000000 // sc.n_pairs END AS precision_ppm,
+       |  CASE WHEN nt.n_truth = 0 THEN 0 ELSE sc.n_hit * 1000000 // nt.n_truth END AS recall_ppm
+       |FROM sc, nt ORDER BY sc.method""".stripMargin
+  }
+
   /** the production SimHash pipeline with the REAL xxhash64 token hash
     * re-derived per distinct token */
   private val dedupSimhashOracleSql: String = {
@@ -1026,6 +1142,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ann_eval" -> annEvalOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
+    "dedup_eval" -> dedupEvalOracleSql,
     "dedup_banding_eval" -> dedupBandingEvalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash128" -> dedupSimhash128OracleSql,
