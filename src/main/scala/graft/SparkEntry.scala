@@ -968,6 +968,110 @@ object SparkEntry {
        |FROM sc, nt ORDER BY sc.method""".stripMargin
   }
 
+  /** full-plane DBSCAN oracled at last: the point-level closure is
+    * ~10⁷ pairs (which is why this sat rows-only for five rounds), but
+    * the oracle only needs recursion on the CLIQUE-COLLAPSED super
+    * graph — the same resolution-bounded cells the Spark plan uses —
+    * where components measure ≤ a few hundred nodes (sf0.1: 20k
+    * supers, 28k edges, largest component 175 / diameter 110). The
+    * point stages (grid pairs, degree cores, border min-attach) are
+    * plain joins; `div` is truncating in Spark vs flooring in DuckDB,
+    * hence the sign-adjusted cell arithmetic. */
+  private val qDbscanOracleSql: String = {
+    val R = 60L; val S = 42L; val r2 = R * R
+    def tdiv(x: String, d: Long) =
+      s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT event_id, xc, yc FROM (
+       |    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
+       |     TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) * 100 AS yc
+       |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL),
+       |pc AS MATERIALIZED (
+       |  SELECT event_id, xc, yc, ${tdiv("xc", R)} AS cx, ${tdiv("yc", R)} AS cy FROM p),
+       |pairs AS MATERIALIZED (
+       |  SELECT a0.event_id AS a_id, b.event_id AS b_id
+       |  FROM (SELECT t1.event_id, t1.xc, t1.yc, unnest([t1.cx-1, t1.cx, t1.cx+1]) AS jx, t1.cy AS cy0 FROM pc t1) a1,
+       |  LATERAL (SELECT a1.event_id, a1.xc, a1.yc, a1.jx, unnest([a1.cy0-1, a1.cy0, a1.cy0+1]) AS jy) a0,
+       |  pc b
+       |  WHERE b.cx = a0.jx AND b.cy = a0.jy AND a0.event_id <> b.event_id
+       |    AND (a0.xc - b.xc)*(a0.xc - b.xc) + (a0.yc - b.yc)*(a0.yc - b.yc) <= $r2),
+       |core AS MATERIALIZED (SELECT a_id AS id FROM pairs GROUP BY a_id HAVING COUNT(*) >= 4),
+       |csup AS MATERIALIZED (
+       |  SELECT c.id, ${tdiv("p.xc", S)} AS sx, ${tdiv("p.yc", S)} AS sy
+       |  FROM core c JOIN p ON p.event_id = c.id),
+       |supof AS MATERIALIZED (
+       |  SELECT cs.id, m.sup FROM csup cs JOIN (
+       |    SELECT sx, sy, min(id) AS sup FROM csup GROUP BY sx, sy) m ON m.sx = cs.sx AND m.sy = cs.sy),
+       |sedge AS MATERIALIZED (
+       |  SELECT DISTINCT least(sa.sup, sb.sup) AS a, greatest(sa.sup, sb.sup) AS b
+       |  FROM pairs pr JOIN supof sa ON sa.id = pr.a_id JOIN supof sb ON sb.id = pr.b_id
+       |  WHERE sa.sup <> sb.sup),
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM sedge UNION ALL SELECT b, a FROM sedge),
+       |closure(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT c.u, e.v FROM closure c JOIN sym e ON e.u = c.v WHERE e.v <> c.u),
+       |suplbl AS MATERIALIZED (
+       |  SELECT s0.sup AS v, least(s0.sup, coalesce(min(c.v), s0.sup)) AS lbl
+       |  FROM (SELECT DISTINCT sup FROM supof) s0 LEFT JOIN closure c ON c.u = s0.sup
+       |  GROUP BY s0.sup),
+       |corelbl AS MATERIALIZED (
+       |  SELECT so.id, coalesce(l.lbl, so.sup) AS cluster_id
+       |  FROM supof so LEFT JOIN suplbl l ON l.v = so.sup),
+       |border AS MATERIALIZED (
+       |  SELECT pr.a_id AS id, MIN(cl.cluster_id) AS cluster_id
+       |  FROM pairs pr JOIN corelbl cl ON cl.id = pr.b_id
+       |  WHERE pr.a_id NOT IN (SELECT id FROM core)
+       |  GROUP BY pr.a_id)
+       |SELECT p.event_id,
+       | CASE WHEN cl.id IS NOT NULL THEN 'core'
+       |      WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind,
+       | COALESCE(cl.cluster_id, bd.cluster_id) AS cluster_id
+       |FROM p LEFT JOIN corelbl cl ON cl.id = p.event_id
+       |LEFT JOIN border bd ON bd.id = p.event_id
+       |ORDER BY p.event_id""".stripMargin
+  }
+
+  /** the BPE learner+encoder replayed: 8 unrolled merge rounds, each
+    * an adjacent-pair count over the running symbol table, the argmax
+    * with (count desc, a, b) lexical tie-break, and greedy
+    * left-to-right application as a list fold (incremental application
+    * of the newest merge == the from-scratch foldLeft, since BPE
+    * applies merges one-at-a-time in learn order). DuckDB slice
+    * semantics are INCLUSIVE, so drop-last is [:-2], not [:-1]. */
+  private val textBpeEncodeOracleSql: String = {
+    val applyOne =
+      """CASE WHEN m.a IS NULL THEN ws.syms ELSE
+        |    list_reduce(list_prepend([]::VARCHAR[], list_transform(ws.syms, s_ -> [s_])),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+        |                  THEN acc[:-2] || [m.a || m.b] ELSE acc || x END) END""".stripMargin
+    val head =
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS freq FROM (SELECT unnest(words) AS word FROM w) GROUP BY word),
+        |ws0 AS MATERIALIZED (
+        |  SELECT word, freq, list_filter(string_split(word, ''), c -> c <> '') AS syms FROM vocab)""".stripMargin
+    val rounds = (0 until 8).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT p.a, p.b FROM (
+         |    SELECT s.a, s.b, sum(freq) AS n FROM (
+         |      SELECT freq, unnest(list_transform(generate_series(1, len(syms)-1),
+         |        i -> struct_pack(a := syms[i], b := syms[i+1]))) AS s
+         |      FROM ws$r WHERE len(syms) >= 2)
+         |    GROUP BY s.a, s.b) p
+         |  ORDER BY p.n DESC, p.a, p.b LIMIT 1),
+         |ws${r + 1} AS MATERIALIZED (
+         |  SELECT ws.word, ws.freq, $applyOne AS syms
+         |  FROM ws$r ws LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      """
+        |SELECT word, freq, len(syms)::BIGINT AS n_tokens, array_to_string(syms, ' ') AS encoding
+        |FROM ws8 ORDER BY freq DESC, word LIMIT 200""".stripMargin
+  }
+
   /** the production SimHash pipeline with the REAL xxhash64 token hash
     * re-derived per distinct token */
   private val dedupSimhashOracleSql: String = {
@@ -1143,6 +1247,8 @@ object SparkEntry {
     "ann_eval" -> annEvalOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "dedup_eval" -> dedupEvalOracleSql,
+    "text_bpe_encode" -> textBpeEncodeOracleSql,
+    "q_dbscan" -> qDbscanOracleSql,
     "dedup_banding_eval" -> dedupBandingEvalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash128" -> dedupSimhash128OracleSql,
