@@ -230,13 +230,39 @@ object TextOps {
       dfCap: Long): DataFrame = {
     val docs = shingledDocs(spark, dir)
     val ex = invertedIndex(docs)
-    val und = cappedCandidatesFromIndex(ex,
-      ex.groupBy("sh").agg(count(lit(1)).as("df")), dfCap)
+    val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val pruned = ex.join(rare, Seq("sh"))
+    // The capped index join yields each pair once per shared CAPPED
+    // shingle — so the same shuffle that found the candidate folds the
+    // capped intersection count, which upper-bounds the FULL
+    // intersection: inter ≤ inter_c + min(a_tail, b_tail), tail = the
+    // doc's above-cap shingle count. Orientations whose bound cannot
+    // reach the 0.6 emit threshold are pruned BEFORE the full-array
+    // verify join (the dominant shuffle: candidates × both docs'
+    // complete shingle arrays). The bound is pure integer counting;
+    // the 0.5999 slack (vs 0.6) covers the verify's round(·, 6) edge,
+    // so the emitted set is provably identical to the unpruned form
+    // (which is what the oracle replays).
+    val pa = pruned.toDF("sh", "a_id", "a_n")
+    val pb = pruned.toDF("sh", "b_id", "b_n")
+    val candC = pa.join(pb.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter_c"))
+    val rareN = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val und = candC
+      .join(rareN.toDF("a_id", "a_rare"), Seq("a_id"))
+      .join(rareN.toDF("b_id", "b_rare"), Seq("b_id"))
+      .withColumn("ub", col("inter_c") +
+        least(col("a_n") - col("a_rare"), col("b_n") - col("b_rare")))
     // containment is directional: score both orientations of each
     // unordered candidate (the generator is symmetric, so this loses
-    // nothing)
-    val cand = und.union(
-      und.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // nothing); each orientation prunes against ITS denominator
+    val cand = und.filter(col("ub") / col("a_n") >= 0.5999)
+      .select("a_id", "b_id")
+      .union(und.filter(col("ub") / col("b_n") >= 0.5999)
+        .select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     cand.join(hashedFrom(docs).toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashedFrom(docs).toDF("b_id", "b_sh"), Seq("b_id"))
       .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("long"))
@@ -1199,12 +1225,44 @@ object TextOps {
     // weighted index once (eager, like the dbscan pair list; Bench
     // sweeps persistent RDDs per query)
     val weighted = tfidfWeighted(spark, dir).localCheckpoint(true)
-    val pruned = weighted.filter(col("df") <= dfCap).select("doc_id", "t")
-    val ca = pruned.toDF("a_id", "t")
-    val cb = pruned.toDF("b_id", "t")
-    val cand = ca.join(cb.hint("shuffle_hash"), Seq("t"))
+    val pruned = weighted.filter(col("df") <= dfCap).select("doc_id", "t", "w")
+    val ca = pruned.toDF("a_id", "t", "a_w")
+    val cb = pruned.toDF("b_id", "t", "b_w")
+    // The index join yields each pair once per SHARED capped term — so
+    // instead of distinct(), the same shuffle folds the capped partial
+    // dot Σ a_w·b_w, which powers a Cauchy–Schwarz upper bound on the
+    // FULL cosine: dot_total ≤ dot_capped + √(a_t2·b_t2) where t2 is
+    // the doc's above-cap tail norm². Pairs whose bound cannot reach
+    // the 0.5 threshold are pruned BEFORE the full-vector join — that
+    // join ships both docs' complete (term, weight) arrays per pair,
+    // which is the dominant shuffle (candidates × vector length), so
+    // shrinking its input is what moves the 100 TB cost. The bound is
+    // exact integer arithmetic + IEEE sqrt; the 0.4999 slack (vs the
+    // 0.5 emit threshold) dwarfs double rounding by 12 orders of
+    // magnitude, so no qualifying pair can be lost and the emitted set
+    // is provably identical (the oracle replays the unpruned form).
+    val candDot = ca.join(cb.hint("shuffle_hash"), Seq("t"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("a_w") * col("b_w")).as("dot_c"))
+    // per-doc scalar pair (full norm², above-cap tail norm²): 24-byte
+    // rows keyed by doc_id — AQE broadcasts it at test scale and falls
+    // back to a cheap shuffle join when the corpus outgrows the
+    // threshold (it grows with doc count, so a forced broadcast would
+    // be the scale bug)
+    val scal = weighted.groupBy("doc_id").agg(
+      sum(col("w") * col("w")).as("n2"),
+      sum(when(col("df") > dfCap, col("w") * col("w")).otherwise(lit(0L))).as("t2"))
+    // t2·t2 / n2·n2 products overflow BIGINT (per-doc norm² reaches
+    // ~1e10 at sf0.1, ~1e13 at crawl scale) — bound arithmetic in
+    // doubles, which is what the sqrt needs anyway
+    val cand = candDot
+      .join(scal.toDF("a_id", "a_n2", "a_t2"), Seq("a_id"))
+      .join(scal.toDF("b_id", "b_n2", "b_t2"), Seq("b_id"))
+      .filter(col("dot_c").cast("double") +
+        sqrt(col("a_t2").cast("double") * col("b_t2").cast("double")) >=
+        lit(0.4999) * sqrt(col("a_n2").cast("double") * col("b_n2").cast("double")))
+      .select("a_id", "b_id")
     // exact re-verify through per-doc SORTED (term, weight) arrays and
     // the codegen'd two-pointer sorted_dot — per-pair cost O(|a|+|b|)
     // inside ONE projection. The row-explosion alternative (candidates

@@ -45,8 +45,14 @@ object CorpusScaleSmoke {
     }
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // local-iteration knobs, mirroring Bench: SPARK_GRAFT_ONLY=<regex>
+    // runs a query subset; SPARK_GRAFT_REUSE=1 skips replication when
+    // the replicated corpus from an earlier run is still on disk
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+      new java.io.File(s"$out/documents.parquet").exists()
 
-    time("replicate") {
+    if (!reuse) time("replicate") {
       val docs = graft.sources.Tables.documents(spark, src)
       val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       (0 until docReps).map { r =>
@@ -139,7 +145,8 @@ object CorpusScaleSmoke {
         // corpus-scale path whose Σn_c² cell work should stay ~linear;
         // capped tfidf/containment twins ride the df-pruned index
         "vec_knn_graph", "vec_knn_graph_ann",
-        "text_tfidf_capped", "text_containment_capped")) {
+        "text_tfidf_capped", "text_containment_capped")
+        .filter(q => only.forall(_.findFirstIn(q).isDefined))) {
       time(q)(force(graft.SparkEntry.queries(q)(spark, out)))
     }
     spark.stop()
