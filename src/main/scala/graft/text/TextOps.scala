@@ -889,8 +889,8 @@ object TextOps {
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // ONE shared substrate for all five methods: the original
-    // formulation called the five production entry points, so the
+    // ONE shared substrate for all six methods: the original
+    // formulation called the production entry points directly, so the
     // corpus was re-scanned and re-shingled/re-hashed per method (6
     // scans, 4 shingle passes) — measured 11 s serial / 7–34 s under
     // its own 5-way concurrency at sf0.1. Persisting docs → shingles →

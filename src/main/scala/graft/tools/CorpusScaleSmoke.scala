@@ -137,7 +137,7 @@ object CorpusScaleSmoke {
         // flat and the prefix fan-out should scale LINEARLY with the
         // corpus (the signal: exactness without the full index's
         // hot-shingle blowup); dedup_eval now rides one shared
-        // persisted substrate across its five method pipelines
+        // persisted substrate across its six method pipelines
         "dedup_prefix_join", "dedup_eval",
         // round-6 top-of-bench additions: the exact kNN graph carries
         // its documented Θ(n²) block-join contract (3× vectors ⇒ ~9×
