@@ -306,8 +306,35 @@ object TextOps {
     val pruned = ex.join(rare, Seq("sh"))
     val a = pruned.toDF("sh", "a_id", "a_n")
     val b = pruned.toDF("sh", "b_id", "b_n")
-    a.join(b.hint("shuffle_hash"), Seq("sh")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // The capped index join yields each pair once per shared CAPPED
+    // shingle — so the same shuffle that found the candidate (the
+    // groupBy replaces the old distinct(), same keys) folds the capped
+    // intersection count, which upper-bounds the FULL intersection:
+    // inter ≤ inter_c + min(a_tail, b_tail), tail = the doc's
+    // above-cap shingle count. Jaccard is monotone in inter at fixed
+    // sizes, so pairs whose bound cannot reach the 0.5 emit threshold
+    // are pruned BEFORE the full-array verify join (the dominant
+    // shuffle: candidates × both docs' complete shingle arrays). The
+    // length filter J ≤ min(n)/max(n) drops size-mismatched pairs even
+    // earlier — inside the index join, before the fold's shuffle. Both
+    // bounds are pure integer counting; the 0.4999 slack (vs 0.5)
+    // covers the verify's round(·, 6) edge, so the emitted set is
+    // provably identical to the unpruned form (which is what the
+    // oracle replays).
+    val cand = a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_n"), col("b_n")) >=
+        greatest(col("a_n"), col("b_n")) * 0.4999)
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter_c"))
+    val rareN = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    cand
+      .join(rareN.toDF("a_id", "a_rare"), Seq("a_id"))
+      .join(rareN.toDF("b_id", "b_rare"), Seq("b_id"))
+      .withColumn("ub", col("inter_c") +
+        least(col("a_n") - col("a_rare"), col("b_n") - col("b_rare")))
+      .filter(col("ub") / (col("a_n") + col("b_n") - col("ub")) >= 0.4999)
+      .select("a_id", "b_id")
   }
 
   /** EXACT Jaccard ≥ 0.5 pairs via PREFIX FILTERING (the
@@ -349,11 +376,22 @@ object TextOps {
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
     // t = 0.5 ⇒ prefix length |x| − ⌈|x|/2⌉ + 1 = ⌊|x|/2⌋ + 1
     val prefix = ranked.filter(col("rk") <= expr("n_sh div 2 + 1"))
-      .select("doc_id", "sh")
-    val a = prefix.toDF("a_id", "sh")
-    val b = prefix.toDF("b_id", "sh")
+      .select("doc_id", "sh", "n_sh")
+    val a = prefix.toDF("a_id", "sh", "a_n")
+    val b = prefix.toDF("b_id", "sh", "b_n")
+    // PPJoin's length filter: J ≤ min(|x|,|y|)/max(|x|,|y|), so
+    // size-mismatched pairs can never verify at 0.5 and are dropped
+    // inside the index join, before the distinct's shuffle AND the
+    // full-array verify join (0.4999 slack covers the verify's
+    // round(·, 6) edge — the emitted set is provably unchanged). The
+    // stronger fold-a-partial-count bound used by the df-cap twin
+    // does NOT transfer here: a shared shingle outside both prefixes
+    // is only bounded by a_suf + b_suf ≈ (|x|+|y|)/2, which never
+    // prunes at t = 0.5, so the length filter is the whole win.
     a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
+      .filter(least(col("a_n"), col("b_n")) >=
+        greatest(col("a_n"), col("b_n")) * 0.4999)
       .select("a_id", "b_id").distinct()
   }
 
