@@ -373,12 +373,18 @@ object VectorOps {
             centroids, probes))))
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
+    // cosine BEFORE the met-via-≤probes-cells dedup: the duplicate rows
+    // of a pair carry the same qe/ce, so cos is identical whichever
+    // survives — but deduping first would shuffle both full embedding
+    // arrays per candidate row, while deduping after ships 3 scalars.
+    // The extra cost is one codegen'd dot per duplicate (≤probes−1),
+    // in-memory compute traded for the dominant exchange's bytes.
     val scored = probed.join(home, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id") // met via ≤probes cells
       .withColumn("cos",
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6))
       .select("query_id", "neighbor_id", "cos")
+      .dropDuplicates("query_id", "neighbor_id")
     val topk = graft.plans.TopK.perKey(scored, k, Seq("query_id"),
         "cos", "neighbor_id")
       .withColumn("rank", row_number().over(
