@@ -29,7 +29,7 @@ object TextOps {
     * as ONE small file split, so without this every regex-heavy per-row
     * scan below runs single-threaded; on a real cluster the same line
     * turns one hot input split into `defaultParallelism` tasks. */
-  private[text] def docsRepartitioned(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docsRepartitioned(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
@@ -51,7 +51,7 @@ object TextOps {
     * cap on shingles bounds the join fan-out. */
   /** (doc_id, shingles) with the codegen'd shingler, repartitioned so
     * the compute parallelizes even off a single small file split. */
-  private def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingledDocs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     shingledFrom(docsRepartitioned(spark, dir))
   }
@@ -60,7 +60,7 @@ object TextOps {
     * `Curation.curate`) run the near-dup machinery over a FILTERED doc
     * set instead of the whole table. Caller must have registered
     * GraftFunctions on the session. */
-  private[text] def shingledFrom(docs: DataFrame): DataFrame =
+  private[graft] def shingledFrom(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr("word_shingles3(text)").as("shingles"))
       .filter(size(col("shingles")) > 0)
 
@@ -76,7 +76,7 @@ object TextOps {
   /** (doc_id, hs) from a pre-shingled frame — parameterized so
     * `dedupEval` can derive it from ONE persisted shingle table instead
     * of re-scanning/re-shingling per method. */
-  private def hashedFrom(shingled: DataFrame): DataFrame =
+  private[graft] def hashedFrom(shingled: DataFrame): DataFrame =
     shingled
       .select(col("doc_id"),
         // sorted ONCE per doc so every downstream verify-join can use
@@ -92,7 +92,7 @@ object TextOps {
     * candidates were found. No broadcast hint: the shingled corpus
     * scales with the data — the planner broadcasts while it fits,
     * shuffle-joins beyond that. */
-  private def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame =
+  private[graft] def verifyJaccard(cand: DataFrame, hashed: DataFrame): DataFrame =
     cand
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
@@ -119,7 +119,7 @@ object TextOps {
     * codegen'd on the exploded column, outside any interpreted lambda).
     * Factored so `dedupEval` can persist ONE index across the truth
     * and df-capped pipelines. */
-  private def invertedIndex(shingled: DataFrame): DataFrame =
+  private[graft] def invertedIndex(shingled: DataFrame): DataFrame =
     shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh_str"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
@@ -299,32 +299,48 @@ object TextOps {
 
   /** Capped candidates over a prebuilt index + document-frequency
     * table — `dedupEval` computes both ONCE and probes them at two cap
-    * levels. */
+    * levels. Production pins the variant that won the repeated-measures
+    * A/B (tools/PairJoinAB, SURVEY §6). */
   private def cappedCandidatesFromIndex(ex: DataFrame, dfTab: DataFrame,
-      dfCap: Long): DataFrame = {
+      dfCap: Long): DataFrame =
+    cappedCandidatesVariant(ex, dfTab, dfCap, "foldlen")
+
+  /** The capped candidate join in three provably-equivalent variants —
+    * every variant feeds the same exact full-array verify, so emitted
+    * pair sets are identical; they differ only in how much work is
+    * pruned before the verify join's shuffle. Kept variant-selectable
+    * for tools/PairJoinAB, which measures them back-to-back in one JVM
+    * (single cold passes at 30× swung 3× run-to-run — only alternating
+    * repeated measures can rank them honestly).
+    *
+    *  - "off": the plain df-capped self-join, distinct pairs.
+    *  - "fold": the index join yields each pair once per shared CAPPED
+    *    shingle, so a groupBy (same keys as the distinct) folds the
+    *    capped intersection count, which upper-bounds the FULL
+    *    intersection — inter ≤ inter_c + min(a_tail, b_tail), tail =
+    *    the doc's above-cap shingle count — and pairs whose bound
+    *    cannot reach the 0.5 emit threshold are dropped before the
+    *    full-array verify join. Integer counting; 0.4999 slack covers
+    *    the verify's round(·, 6) edge.
+    *  - "foldlen": "fold" plus PPJoin's length filter
+    *    J ≤ min(n)/max(n) applied inside the index join, ahead of the
+    *    fold's shuffle. */
+  private[graft] def cappedCandidatesVariant(ex: DataFrame, dfTab: DataFrame,
+      dfCap: Long, mode: String): DataFrame = {
     val rare = dfTab.filter(col("df") <= dfCap).select("sh")
     val pruned = ex.join(rare, Seq("sh"))
     val a = pruned.toDF("sh", "a_id", "a_n")
     val b = pruned.toDF("sh", "b_id", "b_n")
-    // The capped index join yields each pair once per shared CAPPED
-    // shingle — so the same shuffle that found the candidate (the
-    // groupBy replaces the old distinct(), same keys) folds the capped
-    // intersection count, which upper-bounds the FULL intersection:
-    // inter ≤ inter_c + min(a_tail, b_tail), tail = the doc's
-    // above-cap shingle count. Jaccard is monotone in inter at fixed
-    // sizes, so pairs whose bound cannot reach the 0.5 emit threshold
-    // are pruned BEFORE the full-array verify join (the dominant
-    // shuffle: candidates × both docs' complete shingle arrays). The
-    // length filter J ≤ min(n)/max(n) drops size-mismatched pairs even
-    // earlier — inside the index join, before the fold's shuffle. Both
-    // bounds are pure integer counting; the 0.4999 slack (vs 0.5)
-    // covers the verify's round(·, 6) edge, so the emitted set is
-    // provably identical to the unpruned form (which is what the
-    // oracle replays).
-    val cand = a.join(b.hint("shuffle_hash"), Seq("sh"))
+    val joined = a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .filter(least(col("a_n"), col("b_n")) >=
-        greatest(col("a_n"), col("b_n")) * 0.4999)
+    if (mode == "off")
+      return joined.select("a_id", "b_id").distinct()
+    val lenFiltered =
+      if (mode == "foldlen")
+        joined.filter(least(col("a_n"), col("b_n")) >=
+          greatest(col("a_n"), col("b_n")) * 0.4999)
+      else joined
+    val cand = lenFiltered
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("inter_c"))
     val rareN = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
@@ -367,8 +383,24 @@ object TextOps {
 
   /** Prefix-filter candidates over a prebuilt index + df table —
     * shared with `dedupEval`, which scores this strategy off its
-    * persisted substrate. */
-  private def prefixCandidatesFromIndex(ex: DataFrame, dfTab: DataFrame): DataFrame = {
+    * persisted substrate. Production pins the variant that won the
+    * repeated-measures A/B (tools/PairJoinAB, SURVEY §6). */
+  private def prefixCandidatesFromIndex(ex: DataFrame, dfTab: DataFrame): DataFrame =
+    prefixCandidatesVariant(ex, dfTab, "len")
+
+  /** The prefix candidate join in two provably-equivalent variants
+    * (same exact verify downstream — identical emitted sets), kept
+    * variant-selectable for tools/PairJoinAB:
+    *  - "off": the plain prefix self-join, distinct pairs.
+    *  - "len": PPJoin's length filter J ≤ min(|x|,|y|)/max(|x|,|y|)
+    *    inside the index join — size-mismatched pairs can never verify
+    *    at 0.5 (0.4999 slack covers the verify's round(·, 6) edge).
+    * The fold-a-partial-count bound used by the df-cap twin does NOT
+    * transfer here: a shared shingle outside both prefixes is only
+    * bounded by a_suf + b_suf ≈ (|x|+|y|)/2, which never prunes at
+    * t = 0.5, so the length filter is the only candidate knob. */
+  private[graft] def prefixCandidatesVariant(ex: DataFrame, dfTab: DataFrame,
+      mode: String): DataFrame = {
     // per-doc rarity rank under the GLOBAL (df, sh) total order — both
     // sides of the join must use the same order for the lemma to hold
     val ranked = ex.join(dfTab, Seq("sh"))
@@ -379,20 +411,14 @@ object TextOps {
       .select("doc_id", "sh", "n_sh")
     val a = prefix.toDF("a_id", "sh", "a_n")
     val b = prefix.toDF("b_id", "sh", "b_n")
-    // PPJoin's length filter: J ≤ min(|x|,|y|)/max(|x|,|y|), so
-    // size-mismatched pairs can never verify at 0.5 and are dropped
-    // inside the index join, before the distinct's shuffle AND the
-    // full-array verify join (0.4999 slack covers the verify's
-    // round(·, 6) edge — the emitted set is provably unchanged). The
-    // stronger fold-a-partial-count bound used by the df-cap twin
-    // does NOT transfer here: a shared shingle outside both prefixes
-    // is only bounded by a_suf + b_suf ≈ (|x|+|y|)/2, which never
-    // prunes at t = 0.5, so the length filter is the whole win.
-    a.join(b.hint("shuffle_hash"), Seq("sh"))
+    val joined = a.join(b.hint("shuffle_hash"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .filter(least(col("a_n"), col("b_n")) >=
-        greatest(col("a_n"), col("b_n")) * 0.4999)
-      .select("a_id", "b_id").distinct()
+    val filtered =
+      if (mode == "len")
+        joined.filter(least(col("a_n"), col("b_n")) >=
+          greatest(col("a_n"), col("b_n")) * 0.4999)
+      else joined
+    filtered.select("a_id", "b_id").distinct()
   }
 
   /** Near-duplicate clustering: connected components over the exact
