@@ -64,21 +64,40 @@ object Bench {
       // inside THIS query's measurement (multi-second swings on the
       // alphabetically-late queries)
       System.gc()
-      val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
-          System.err.println(s"[bench] FAILED $name")
-          e.printStackTrace()
+      def timedPass(): Double = {
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)) } catch {
+          case e: Throwable =>
+            if (!errors.contains(name)) {
+              errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+              System.err.println(s"[bench] FAILED $name")
+              e.printStackTrace()
+            }
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries are standalone by contract: sweep any persisted /
+        // localCheckpoint blocks an operator left behind (iterative ops
+        // checkpoint lineage; the blocks otherwise linger until the JVM
+        // gets around to GC'ing the DataFrame, pressuring later queries'
+        // heap — measured as multi-second run-to-run swings on the
+        // alphabetically-late queries)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries are standalone by contract: sweep any persisted /
-      // localCheckpoint blocks an operator left behind (iterative ops
-      // checkpoint lineage; the blocks otherwise linger until the JVM
-      // gets around to GC'ing the DataFrame, pressuring later queries'
-      // heap — measured as multi-second run-to-run swings on the
-      // alphabetically-late queries)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val dt0 = timedPass()
+      // this machine's measurement tail is heavy — repeated-measures
+      // A/Bs recorded single passes of the SAME plan swinging 3×
+      // (12.7/33.9/94.0 s; the r5 "text_tfidf +61%" was one such tail
+      // draw) — so the slow tail, where an absolute tail-second delta
+      // can fake a cross-round regression, reports a median of three
+      // timed passes. Sub-2 s queries stay single-run: their absolute
+      // tail risk is bounded by the threshold, and tripling 200+ fast
+      // queries would cost more wall than the whole slow tail.
+      val dt =
+        if (dt0 > 2.0 && !errors.contains(name)) {
+          val all = (Seq(dt0) ++ Seq.fill(2) { System.gc(); timedPass() }).sorted
+          all(1)
+        } else dt0
       name -> dt
     }
     // one shared escaper (JsonOut) for BOTH maps — the queries map used
