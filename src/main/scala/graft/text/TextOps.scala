@@ -959,9 +959,10 @@ object TextOps {
     // scans, 4 shingle passes) — measured 11 s serial / 7–34 s under
     // its own 5-way concurrency at sf0.1. Persisting docs → shingles →
     // sorted-hash arrays once cuts that to one pass each; every method
-    // below is the SAME pair pipeline as its production twin
-    // (candidate generator + shared verifyJaccard), so the report
-    // values are unchanged.
+    // below scores the SAME candidate generator as its production twin
+    // (the jaccard-verified four via the candidates ∩ truth identity —
+    // see scoreVerified; simhash/winnow through their full pipelines),
+    // so the report values are unchanged.
     val docs = docsRepartitioned(spark, dir).persist()
     val shingled = shingledFrom(docs).persist()
     val hashed = hashedFrom(shingled).persist()
@@ -983,6 +984,20 @@ object TextOps {
         .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
       (method, row.getLong(0), row.getLong(1))
     }
+    // The four jaccard-VERIFIED strategies reduce further: their
+    // production verify applies the exact predicate that DEFINES the
+    // truth set, so verified-output ∩ truth ≡ candidates ∩ truth — the
+    // same reduction the DuckDB oracle uses. Scoring the candidate set
+    // against the persisted truth pairs (distinct × distinct inner
+    // join) publishes provably identical numbers (n = h, precision 1
+    // by construction, recall = h/|truth|) while skipping four
+    // full-array verify joins — the report's dominant cost after the
+    // substrate. The production entry points keep their verifies; only
+    // the report's SCORING exploits the identity.
+    def scoreVerified(method: String, cand: DataFrame): (String, Long, Long) = {
+      val c = cand.select("a_id", "b_id").join(truth, Seq("a_id", "b_id")).count()
+      (method, c, c)
+    }
     // the four method pipelines share no state (truth is materialized
     // above) — submit them from separate threads so their stages
     // interleave on the scheduler: the serial formulation left most
@@ -998,22 +1013,24 @@ object TextOps {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
-      val fs = Seq(
+      val verified = Seq(
         "minhash_lsh_32x4" -> (() =>
-          verifyJaccard(bandedPairsConf(minhashSigsFrom(shingled), 32, 4), hashed)),
+          bandedPairsConf(minhashSigsFrom(shingled), 32, 4)),
         "jaccard_dfcap_64" -> (() =>
-          verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 64L), hashed)),
+          cappedCandidatesFromIndex(ex, dfTab, 64L)),
         "jaccard_dfcap_8" -> (() =>
-          verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, 8L), hashed)),
+          cappedCandidatesFromIndex(ex, dfTab, 8L)),
         // exact by the prefix-filter lemma: its 1.0/1.0 row is the
         // report's built-in self-check
         "jaccard_prefix" -> (() =>
-          verifyJaccard(prefixCandidatesFromIndex(ex, dfTab), hashed)),
+          prefixCandidatesFromIndex(ex, dfTab)))
+        .map { case (m, f) => scala.concurrent.Future(scoreVerified(m, f())) }
+      val crossMetric = Seq(
         "simhash64_h3" -> (() => simhashPairsFromSigs(simhashSigsFrom(docs))),
         "winnow_k3w4" -> (() => winnowPairsFromFps(winnowFpsFrom(docs))))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.Future.sequence(verified ++ crossMetric),
         scala.concurrent.duration.Duration(20, "min"))
     } finally {
       // shutdownNow, not shutdown: on an Await timeout the in-flight
