@@ -115,6 +115,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ANN graph dedups on the scalar cosine, never the embedding arrays") {
+    // the met-via-≤probes-cells dropDuplicates must run AFTER the dot
+    // product: its aggregate then carries first(cos) — three scalars
+    // through the exchange — instead of first(qe)/first(ce), which
+    // would ship both full embedding arrays per candidate row (measured
+    // 10.2× vs ~3× on the 3×-replica scale smoke)
+    val plan = executed(graft.vector.VectorOps.vecKnnGraphAnn(spark, sfDir))
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(l => l.contains("first(cos")),
+      s"pair dedup no longer aggregates the scalar cosine:\n${aggLines.mkString("\n").take(1500)}")
+    assert(!aggLines.exists(l => l.contains("first(qe") || l.contains("first(ce")),
+      s"pair dedup ships embedding arrays through its exchange:\n${aggLines.mkString("\n").take(1500)}")
+  }
+
+  test("capped jaccard candidates fold the partial-intersection bound in the join shuffle") {
+    val plan = executed(graft.text.TextOps.jaccardPairsCapped(spark, sfDir, 64L))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"capped candidate join lost its shuffled-hash hint:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"capped join degenerated to a product join:\n${plan.take(1500)}")
+    // the fold that powers the prune-before-verify bound: a count
+    // aggregate keyed on the pair (the old distinct() had no function)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("count(1)") && l.contains("a_id")),
+      s"capped candidates lost the inter_c fold (prune-before-verify):\n${plan.take(2000)}")
+  }
+
   test("seq_pack's corpus-wide window is bucket-partitioned, not single-partition") {
     val plan = executed(graft.text.CorpusOps.seqPack(spark, sfDir))
     assert(plan.contains("hashpartitioning(bucket"),
