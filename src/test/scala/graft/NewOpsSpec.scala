@@ -140,6 +140,48 @@ class NewOpsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("candidate-variant equivalence: every prune variant emits identical verified pairs on random skewed corpora") {
+    // the prune bounds claim PROVABLE equivalence (admissible bounds +
+    // 0.4999 slack vs the verify's round(·,6) ≥ 0.5) — this pins the
+    // claim on seeded random corpora with hot-word skew (caps engage)
+    // and varied doc lengths (the length filter engages), not just the
+    // fixture corpus
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      val docs = (1L to 50L).map { id =>
+        val n = 3 + rnd.nextInt(25)
+        val words = Seq.fill(n)(vocab(
+          math.min(vocab.size - 1, (math.pow(rnd.nextDouble(), 2) * vocab.size).toInt)))
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val shingled = TextOps.shingledFrom(docs)
+      val hashed = TextOps.hashedFrom(shingled)
+      val ex = TextOps.invertedIndex(shingled)
+      val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      def pairs(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        TextOps.verifyJaccard(cand, hashed).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      for (cap <- Seq(2L, 8L, Long.MaxValue)) {
+        val off = pairs(TextOps.cappedCandidatesVariant(ex, dfTab, cap, "off"))
+        for (m <- Seq("fold", "foldlen"))
+          assert(pairs(TextOps.cappedCandidatesVariant(ex, dfTab, cap, m)) == off,
+            s"capped variant $m diverged at cap=$cap seed=$seed")
+      }
+      val poff = pairs(TextOps.prefixCandidatesVariant(ex, dfTab, "off"))
+      assert(pairs(TextOps.prefixCandidatesVariant(ex, dfTab, "len")) == poff,
+        s"prefix len variant diverged at seed=$seed")
+      // and the prefix lemma holds on random corpora too: prefix
+      // candidates recover the FULL verified pair set
+      assert(poff == pairs(ex.select(col("doc_id").as("a_id"), col("sh"))
+          .join(ex.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+          .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()),
+        s"prefix candidates missed exact pairs at seed=$seed")
+    }
+  }
+
   test("df-capped jaccard equals the exact operator uncapped, subsets it capped") {
     val exact = TextOps.dedupNgramJaccard(spark, sfDir)
     val uncapped = TextOps.jaccardPairsCapped(spark, sfDir, Long.MaxValue)
