@@ -40,25 +40,51 @@ object SpatialJoin {
       .filter(col("yc").isNotNull)
 
   /** R-ball proximity pairs with exact integer d² (both directions),
-    * the shared primitive under the neighbor report and DBSCAN — the
-    * 3×3 grid equi-join with the distance filter. */
+    * the shared primitive under the neighbor report and DBSCAN.
+    *
+    * HALF-neighborhood grid equi-join: a full 3×3 probe meets every
+    * unordered pair twice (once per orientation) and replicates each
+    * point 9×. Instead, each point probes the five canonical offsets
+    * {(0,0),(1,0),(0,1),(1,1),(−1,1)} — for every unordered adjacent
+    * cell pair exactly ONE of ±δ is canonical, so each candidate pair
+    * meets exactly once (same-cell meets tie-break on a_id < b_id),
+    * with 5× replication and HALF the distance evaluations. The
+    * directional contract both consumers group on is restored by the
+    * post-filter symmetric union, which doubles only the TRUE pairs —
+    * candidates, the dominant cost, stay halved. Output rows are
+    * identical to the full 3×3 form (oracles replay unchanged). */
   private def ballPairs(pts: DataFrame, rCents: Long): DataFrame = {
     val home = pts
       .withColumn("cx", expr(s"xc div $rCents"))
       .withColumn("cy", expr(s"yc div $rCents"))
-    home
+    val offsets = "array(struct(0L, 0L), struct(1L, 0L), struct(0L, 1L), " +
+      "struct(1L, 1L), struct(-1L, 1L))"
+    val probe = home
       .select(col("event_id").as("a_id"), col("xc").as("ax"),
-        col("yc").as("ay"),
-        explode(expr("sequence(cx - 1, cx + 1)")).as("cx"), col("cy"))
-      .select(col("a_id"), col("ax"), col("ay"), col("cx"),
-        explode(expr("sequence(cy - 1, cy + 1)")).as("cy"))
+        col("yc").as("ay"), col("cx").as("acx"), col("cy").as("acy"),
+        explode(expr(offsets)).as("d"))
+      .select(col("a_id"), col("ax"), col("ay"), col("acx"), col("acy"),
+        (col("acx") + col("d.col1")).as("cx"),
+        (col("acy") + col("d.col2")).as("cy"))
+    val und = probe
       .join(home.select(col("event_id").as("b_id"), col("xc").as("bx"),
         col("yc").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
-      .filter(col("a_id") =!= col("b_id"))
+      // same-cell meets see both orientations: keep one. Cross-cell
+      // meets are unique by canonical-offset construction.
+      .filter((col("acx") =!= col("cx")) || (col("acy") =!= col("cy")) ||
+        (col("a_id") < col("b_id")))
       .withColumn("d2",
         expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"))
       .filter(col("d2") <= rCents * rCents)
       .select("a_id", "b_id", "d2")
+    // both orientations from ONE pass over the filtered pairs (a
+    // union of und with its swap would recompute the join twice)
+    und.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("d2")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          col("d2")))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.d2").as("d2"))
   }
 
   def spatialNeighbors(spark: SparkSession, dir: String,
