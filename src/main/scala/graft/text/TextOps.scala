@@ -124,7 +124,7 @@ object TextOps {
         explode(col("shingles")).as("sh_str"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
 
-  private def jaccardPairsFromIndex(ex: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsFromIndex(ex: DataFrame): DataFrame = {
     val a = ex.toDF("a_id", "a_n", "sh")
     val b = ex.toDF("b_id", "b_n", "sh")
     // shuffled-hash, not sort-merge: the exploded index is large and

@@ -59,7 +59,12 @@ object PairJoinAB {
           TextOps.prefixCandidatesVariant(ex, dfTab, "off"), hashed).count()),
       "prefix/len" -> (() =>
         TextOps.verifyJaccard(
-          TextOps.prefixCandidatesVariant(ex, dfTab, "len"), hashed).count()))
+          TextOps.prefixCandidatesVariant(ex, dfTab, "len"), hashed).count()),
+      // the EXACT baseline both strategies are alternatives to — the
+      // full inverted-index join (intersection folded in the join
+      // shuffle, no separate verify); puts the round-4 full-vs-prefix
+      // crossover claim on the same repeated-measures footing
+      "full/index" -> (() => TextOps.jaccardPairsFromIndex(ex).count()))
 
     // warmup: one pass per cell (codegen + page cache), rows printed so
     // a variant emitting a different pair count fails loudly
