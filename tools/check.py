@@ -57,8 +57,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver drops are single files; MakeSf's sf1 tables are
+        # directories of part files — glob those
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
