@@ -269,6 +269,12 @@ object SparkEntry {
     // DuckDB recursive-CTE closure, so cluster identity is oracled
     "q_dbscan_small" -> ((s, d) =>
       graft.ops.SpatialJoin.dbscan(s, d, rCents = 200L, minPts = 4L, sampleMod = 8L)),
+    // density-ADAPTIVE radius (the fixed-R scale-killer's answer): R
+    // derived from one profiling aggregate so per-cell occupancy — and
+    // emitted pairs per point — stay constant at every density. Same
+    // mod-8 plane as the small twin; the oracle replays the derivation.
+    "q_dbscan_auto" -> ((s, d) =>
+      graft.ops.SpatialJoin.dbscanAuto(s, d, targetOcc = 2L, minPts = 4L, sampleMod = 8L)),
     "q14_promo" -> ((s, d) => Analytics.promoShare(s, d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(s, d)),
     "q7_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
@@ -1032,6 +1038,95 @@ object SparkEntry {
        |ORDER BY p.event_id""".stripMargin
   }
 
+  /** the density-ADAPTIVE DBSCAN twin, oracled end to end INCLUDING
+    * the radius derivation: the bbox seed R₀ = ⌊√(τ·area/n)⌋ and both
+    * Σocc²-second-moment fixed-point refinements are replayed in SQL
+    * from the same profiling aggregates (FP sqrt + the same one-step
+    * integer fixup), then the whole grid/clique-collapse/closure
+    * pipeline runs against the derived scalar — so the hash pins the
+    * POLICY, not a constant. Mod-8 plane (like q_dbscan_small) keeps
+    * the oracle's recursive closure bounded at every SF. */
+  private val qDbscanAutoOracleSql: String = {
+    val targetOcc = 2L
+    def tdiv(x: String, d: String) =
+      s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
+    // integer sqrt of a 1-row CTE `src(q)`: FP sqrt + one-step fixup,
+    // emitted as its own CTE so aggregates in q never sit inside a
+    // FROM-less scalar subquery (DuckDB evaluates those on one
+    // synthetic row, silently corrupting count(*))
+    def isqCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT GREATEST(1, CASE WHEN (t+1)*(t+1) <= q THEN t+1 WHEN t*t > q THEN t-1 ELSE t END) AS r
+         |  FROM (SELECT q, CAST(floor(sqrt(CAST(q AS DOUBLE))) AS BIGINT) AS t FROM $src))""".stripMargin
+    def refine(prev: String, next: String) =
+      s"""v_$next AS MATERIALIZED (
+         |  SELECT sum(occ*occ) AS s2 FROM (
+         |    SELECT count(*) AS occ FROM p, $prev
+         |    GROUP BY ${tdiv("xc", s"$prev.r")}, ${tdiv("yc", s"$prev.r")})),
+         |q_$next AS MATERIALIZED (
+         |  SELECT GREATEST(1, ($targetOcc * nn.n * $prev.r * $prev.r) // v_$next.s2) AS q
+         |  FROM $prev, v_$next, nn),
+         |${isqCte(next, s"q_$next")}""".stripMargin
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT event_id, xc, yc FROM (
+       |    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
+       |     TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) * 100 AS yc
+       |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL AND event_id % 8 = 0),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM p),
+       |q_rr0 AS MATERIALIZED (
+       |  SELECT GREATEST(1, ($targetOcc * (max(xc)-min(xc)) * (max(yc)-min(yc))) // count(*)) AS q FROM p),
+       |${isqCte("rr0", "q_rr0")},
+       |${refine("rr0", "rr1")},
+       |${refine("rr1", "rr2")},
+       |rr AS MATERIALIZED (
+       |  SELECT r, r * r AS r2, GREATEST(1, CAST(floor(r / sqrt(2.0)) AS BIGINT)) AS s FROM rr2),
+       |pc AS MATERIALIZED (
+       |  SELECT event_id, xc, yc, ${tdiv("xc", "rr.r")} AS cx, ${tdiv("yc", "rr.r")} AS cy FROM p, rr),
+       |pairs AS MATERIALIZED (
+       |  SELECT a0.event_id AS a_id, b.event_id AS b_id
+       |  FROM (SELECT t1.event_id, t1.xc, t1.yc, unnest([t1.cx-1, t1.cx, t1.cx+1]) AS jx, t1.cy AS cy0 FROM pc t1) a1,
+       |  LATERAL (SELECT a1.event_id, a1.xc, a1.yc, a1.jx, unnest([a1.cy0-1, a1.cy0, a1.cy0+1]) AS jy) a0,
+       |  pc b
+       |  WHERE b.cx = a0.jx AND b.cy = a0.jy AND a0.event_id <> b.event_id
+       |    AND (a0.xc - b.xc)*(a0.xc - b.xc) + (a0.yc - b.yc)*(a0.yc - b.yc) <= (SELECT r2 FROM rr)),
+       |core AS MATERIALIZED (SELECT a_id AS id FROM pairs GROUP BY a_id HAVING COUNT(*) >= 4),
+       |csup AS MATERIALIZED (
+       |  SELECT c.id, ${tdiv("p.xc", "rr.s")} AS sx, ${tdiv("p.yc", "rr.s")} AS sy
+       |  FROM core c JOIN p ON p.event_id = c.id, rr),
+       |supof AS MATERIALIZED (
+       |  SELECT cs.id, m.sup FROM csup cs JOIN (
+       |    SELECT sx, sy, min(id) AS sup FROM csup GROUP BY sx, sy) m ON m.sx = cs.sx AND m.sy = cs.sy),
+       |sedge AS MATERIALIZED (
+       |  SELECT DISTINCT least(sa.sup, sb.sup) AS a, greatest(sa.sup, sb.sup) AS b
+       |  FROM pairs pr JOIN supof sa ON sa.id = pr.a_id JOIN supof sb ON sb.id = pr.b_id
+       |  WHERE sa.sup <> sb.sup),
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM sedge UNION ALL SELECT b, a FROM sedge),
+       |closure(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT c.u, e.v FROM closure c JOIN sym e ON e.u = c.v WHERE e.v <> c.u),
+       |suplbl AS MATERIALIZED (
+       |  SELECT s0.sup AS v, least(s0.sup, coalesce(min(c.v), s0.sup)) AS lbl
+       |  FROM (SELECT DISTINCT sup FROM supof) s0 LEFT JOIN closure c ON c.u = s0.sup
+       |  GROUP BY s0.sup),
+       |corelbl AS MATERIALIZED (
+       |  SELECT so.id, coalesce(l.lbl, so.sup) AS cluster_id
+       |  FROM supof so LEFT JOIN suplbl l ON l.v = so.sup),
+       |border AS MATERIALIZED (
+       |  SELECT pr.a_id AS id, MIN(cl.cluster_id) AS cluster_id
+       |  FROM pairs pr JOIN corelbl cl ON cl.id = pr.b_id
+       |  WHERE pr.a_id NOT IN (SELECT id FROM core)
+       |  GROUP BY pr.a_id)
+       |SELECT p.event_id,
+       | CASE WHEN cl.id IS NOT NULL THEN 'core'
+       |      WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind,
+       | COALESCE(cl.cluster_id, bd.cluster_id) AS cluster_id,
+       | (SELECT r FROM rr) AS r_cents
+       |FROM p LEFT JOIN corelbl cl ON cl.id = p.event_id
+       |LEFT JOIN border bd ON bd.id = p.event_id
+       |ORDER BY p.event_id""".stripMargin
+  }
+
   /** the BPE learner+encoder replayed: 8 unrolled merge rounds, each
     * an adjacent-pair count over the running symbol table, the argmax
     * with (count desc, a, b) lexical tie-break, and greedy
@@ -1249,6 +1344,7 @@ object SparkEntry {
     "dedup_eval" -> dedupEvalOracleSql,
     "text_bpe_encode" -> textBpeEncodeOracleSql,
     "q_dbscan" -> qDbscanOracleSql,
+    "q_dbscan_auto" -> qDbscanAutoOracleSql,
     "dedup_banding_eval" -> dedupBandingEvalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash128" -> dedupSimhash128OracleSql,

@@ -100,9 +100,20 @@ object MakeSf {
 
     val maxUser = graft.sources.Tables.events(spark, src)
       .agg(max($"user_id")).head().getLong(0) + 1L
+    // `value` carries the 2-D spatial plane's x-coordinate (centi-unit
+    // resolution): replicas get a deterministic ±0.50 jitter at the
+    // same 2-decimal granularity the driver generates, because a real
+    // sf1.0 draw would sample fresh continuous values — 10 stacked
+    // points at identical (value, k) is a replication artifact that
+    // fakes zero-distance neighbor mass in every spatial operator.
+    // abs() keeps the value domain non-negative at the 0 boundary.
     write(
       graft.sources.Tables.events(spark, src)
         .withColumn("rep", repCol)
+        .withColumn("value", when($"rep" === 0, $"value").otherwise(
+          round(abs($"value" +
+            (pmod($"event_id" * 2654435761L + $"rep" * 40503L, lit(101L)) - 50L)
+              .cast("double") / 100.0), 2)))
         .withColumn("event_id", $"event_id" + $"rep".cast("long") * lit(nE))
         .withColumn("user_id", $"user_id" + $"rep".cast("long") * lit(maxUser))
         .drop("rep"),

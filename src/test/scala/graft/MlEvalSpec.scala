@@ -511,4 +511,43 @@ class MlEvalSpec extends SparkSpec {
     assert(Set("core", "border", "noise").subsetOf(exp.map(_._2).toSet))
     assert(label.values.groupBy(identity).exists(_._2.size > 1))
   }
+
+  test("q_dbscan_auto derives R by the occupancy fixed-point policy and matches fixed-R dbscan at that R") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("xc"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) * 100").as("yc"))
+      .filter(col("yc").isNotNull)
+    // sequential replication of the derivation: bbox seed + two
+    // second-moment fixed-point refinements, all integer arithmetic
+    val rows = pts.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    def isqrt(q: Long): Long = {
+      var t = math.floor(math.sqrt(q.toDouble)).toLong
+      if ((t + 1) * (t + 1) <= q) t += 1 else if (t * t > q) t -= 1
+      math.max(1L, t)
+    }
+    val tau = 2L
+    val area = (rows.map(_._1).max - rows.map(_._1).min) *
+      (rows.map(_._2).max - rows.map(_._2).min)
+    var r = isqrt(math.max(1L, tau * area / n))
+    for (_ <- 0 until 2) {
+      val s2 = rows.groupBy { case (x, y) => (x / r, y / r) }
+        .values.map(g => g.size.toLong * g.size).sum
+      r = isqrt(math.max(1L, tau * n * r * r / s2))
+    }
+    assert(graft.ops.SpatialJoin.autoR(pts, targetOcc = tau) == r)
+    // the auto entry IS fixed-R dbscan at the derived radius, plus the
+    // r_cents stamp — so the whole clustering path needs no re-proof
+    val auto = graft.ops.SpatialJoin.dbscanAuto(spark, sfDir, targetOcc = tau).collect()
+    assert(auto.forall(_.getLong(3) == r))
+    val fixed = graft.ops.SpatialJoin.dbscan(spark, sfDir, rCents = r).collect()
+    assert(auto.map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSeq ==
+      fixed.map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSeq)
+    // non-vacuous at the derived density: cores exist
+    assert(auto.exists(_.getString(1) == "core"))
+  }
 }
