@@ -3428,9 +3428,10 @@ object SparkEntry {
         | AS BIGINT) AS emb_checksum
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    // both towers recomputed in closed form: 8 row sums ++ 8 column
-    // sums of the planted block signature (media from the payload
-    // sha256, prompt rendered through the same planted-image encoder)
+    // both towers recomputed in closed form: media = 8 row sums ++ 8
+    // column sums of the planted block signature (payload sha256);
+    // text = the hashed-BoW projection (md5-prefix 1024-bucket feature
+    // hash per prompt word, fixed milli-weight matrix to 16 dims)
     "mm_retrieval" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h
@@ -3442,17 +3443,18 @@ object SparkEntry {
         |   list_transform(generate_series(0, 7), i ->
         |     255 * list_sum(list_transform(generate_series(0, 7), j -> (h >> (j * 8 + i)) & 1))) AS emb
         |  FROM m),
-        |qs AS (
-        |  SELECT query, CAST(('0x' || substr(sha256(query), 1, 15)) AS BIGINT) AS h
+        |qw AS (
+        |  SELECT query, unnest(list_filter(string_split(
+        |    regexp_replace(lower(query), '[^a-z ]', '', 'g'), ' '), x -> x <> '')) AS w
         |  FROM (VALUES ('transit delay report'), ('vehicle speed trace'),
         |        ('route schedule table')) v(query)),
+        |qb AS (
+        |  SELECT query, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM qw),
         |qe AS (
-        |  SELECT query,
-        |   list_transform(generate_series(0, 7), j ->
-        |     255 * list_sum(list_transform(generate_series(0, 7), i -> (h >> (j * 8 + i)) & 1))) ||
-        |   list_transform(generate_series(0, 7), i ->
-        |     255 * list_sum(list_transform(generate_series(0, 7), j -> (h >> (j * 8 + i)) & 1))) AS emb
-        |  FROM qs),
+        |  SELECT query, list_transform(generate_series(0, 15), k ->
+        |    list_sum(list_transform(bl, b -> (b * 31 + k) * 2654435761 % 2001 - 1000))) AS emb
+        |  FROM (SELECT query, list(bucket) AS bl FROM qb GROUP BY query)),
         |scored AS (
         |  SELECT qe.query, me.doc_id,
         |   CAST(list_sum(list_transform(generate_series(1, 16),

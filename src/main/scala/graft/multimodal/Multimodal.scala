@@ -19,12 +19,10 @@ import org.apache.spark.sql.functions._
   * solid 0/255 per one bit of a closed-form planted signature — which
   * makes every pixel statistic the operators emit recomputable by the
   * DuckDB oracle in closed form while the Spark side earns it from
-  * the decoded raster. The video path demuxes a length-prefixed PNG
-  * container and decodes every frame the same way — the residual stub
-  * is only the container FORMAT being ours (the JDK ships no MP4
-  * demuxer) — and the text tower of `mm_retrieval` renders the prompt
-  * through the same planted-image encoder (a real CLIP text tower has
-  * no pixels to decode).
+  * the decoded raster. The video path is an ANIMATED GIF per document
+  * — a public container format the JDK writes and demuxes natively —
+  * with frame count, rasters, and per-frame delay all read back from
+  * the byte stream.
   *
   * Cluster shape: all codec work happens executor-side in
   * `mapPartitions` — one `ImageIO` configuration per partition, bytes
@@ -74,12 +72,20 @@ object Multimodal {
     java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, >= 0
   }
 
-  /** Encode the planted block image: a w×h grayscale PNG whose 8×8
+  /** `ImageIO`'s disk-cache flag is JVM-global; disable it at class
+    * load ON EVERY JVM THAT TOUCHES A CODEC PATH (the helpers below all
+    * live here, so executor-side classloading of any decode/encode call
+    * flips it before first use) — rather than per-operator
+    * `mapPartitions` calls whose coverage depends on which operator
+    * happens to run first in a task. */
+  private val noImageioCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Build the planted block raster: a w×h grayscale image whose 8×8
     * block (bx, by) is solid 255 iff bit by·8+bx of `sig` is set.
     * Block assignment bx = ⌊8x/w⌋ (likewise by), so any w,h ≥ 16 give
     * every block at least one full pixel row/column — which is what
     * makes the center-sample downsample in `gridOf` provably exact. */
-  private[graft] def encodePng(sig: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def blockImage(sig: Long, w: Int, h: Int): BufferedImage = {
     require(w >= 16 && h >= 16, s"block fixtures need dims >= 16, got ${w}x$h")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -95,17 +101,108 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode the planted block image as PNG bytes. */
+  private[graft] def encodePng(sig: Long, w: Int, h: Int): Array[Byte] = {
+    noImageioCache
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.write(blockImage(sig, w, h), "png", baos)
     baos.toByteArray
   }
 
   /** Real decode: `ImageIO.read` over the payload bytes (PNG here; the
     * same call handles JPEG/BMP/GIF). Executor-side only. */
   private[graft] def readImage(bytes: Array[Byte]): BufferedImage = {
+    noImageioCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "undecodable media payload")
     img
+  }
+
+  /** Palette/RGB frames (GIF decodes as TYPE_BYTE_INDEXED) to the
+    * grayscale raster the pixel helpers read. Pure 0/255 pixels convert
+    * exactly, so block fixtures survive the round-trip bit-for-bit. */
+  private[graft] def toGray(img: BufferedImage): BufferedImage =
+    if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+    else {
+      val out = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_BYTE_GRAY)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      out
+    }
+
+  /** Encode frames as ONE animated GIF — a real, public, demuxable
+    * container format the JDK both writes and reads natively — with
+    * the frame delay carried in each frame's GraphicControlExtension
+    * (centiseconds), where a real player reads it. */
+  private[graft] def encodeGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] = {
+    noImageioCache
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gces = root.getElementsByTagName("GraphicControlExtension")
+      val gce =
+        if (gces.getLength > 0)
+          gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n)
+          n
+        }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** REAL GIF demux: frame count from the container's image sequence,
+    * per-frame rasters via the JDK GIF reader (palette → gray), the
+    * per-frame delay (ms) from the GraphicControlExtension metadata —
+    * all three earned from the byte stream, none planted. */
+  private[graft] def readGifFrames(bytes: Array[Byte]): Seq[(BufferedImage, Long)] = {
+    noImageioCache
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis, false)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map { i =>
+      val img = toGray(reader.read(i))
+      val meta = reader.getImageMetadata(i)
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gces = root.getElementsByTagName("GraphicControlExtension")
+      val delayMs =
+        if (gces.getLength > 0)
+          gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .getAttribute("delayTime").toLong * 10L
+        else 0L
+      (img, delayMs)
+    }
+    reader.dispose()
+    iis.close()
+    out
   }
 
   /** Nearest-neighbor 8×8 downsample by CENTER sampling: grid cell
@@ -198,7 +295,6 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
         val md = MessageDigest.getInstance("SHA-256")
         rows.map { r =>
           val h = sha60(md, r.media)
@@ -232,7 +328,6 @@ object Multimodal {
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { ids =>
-        javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
           MediaRow(id, encodePng(phashSig(id),
             (16 + (id * 7) % 48).toInt, (16 + (id * 13) % 48).toInt))
@@ -304,8 +399,8 @@ object Multimodal {
     import spark.implicits._
     mediaImages(spark, dir)
       .mapPartitions { rows =>
-        // per-partition "model load" — here the ImageIO configuration
-        javax.imageio.ImageIO.setUseCache(false)
+        // per-partition "model load" stage would run here; the ImageIO
+        // configuration itself is class-load global (noImageioCache)
         rows.grouped(batchSize).flatMap { batch =>
           // the batched "forward pass"
           batch.map { r =>
@@ -373,59 +468,43 @@ object Multimodal {
     }
   }
 
-  /** The container fixture: frames as length-prefixed PNGs (4-byte
-    * big-endian length + image bytes) — a toy but REAL container
-    * format the demuxer below actually parses; the residual stub is
-    * only that the format is ours (no ffmpeg/MP4 demuxer ships with
-    * the JDK). One container per document, frame images encoded from
-    * the planted per-frame signatures. */
+  /** The container fixture: one ANIMATED GIF per document — a real
+    * public format the JDK demuxes natively (no ffmpeg needed), frames
+    * encoded from the planted per-frame signatures at 25 fps (delay 4
+    * centiseconds in each frame's GraphicControlExtension). This
+    * retires the repo's former length-prefixed toy container: the
+    * video path is now a public demuxable format end to end. */
   private[multimodal] def videoContainers(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
         val md = MessageDigest.getInstance("SHA-256")
         rows.map { r =>
           val h1 = sha60(md, r.media)
           val w = (16 + h1 % 17).toInt
           val ht = (16 + (h1 >> 8) % 17).toInt
-          val frames = frameSigs(h1).map(sig => encodePng(sig, w, ht))
-          val out = new java.io.ByteArrayOutputStream()
-          val dos = new java.io.DataOutputStream(out)
-          frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
-          MediaRow(r.doc_id, out.toByteArray)
+          val frames = frameSigs(h1).map(sig => blockImage(sig, w, ht))
+          MediaRow(r.doc_id, encodeGif(frames, delayCs = 4))
         }
       }
   }
 
-  /** REAL demux of the length-prefixed container: frame byte ranges
-    * out, in stored order. */
-  private[graft] def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    while (buf.remaining() >= 4) {
-      val len = buf.getInt()
-      val f = new Array[Byte](len)
-      buf.get(f)
-      out += f
-    }
-    out.toSeq
-  }
-
-  /** REAL frame sampling: demux the container, decode nothing yet —
-    * emit one row per sampled frame (every other frame, capped at 4)
-    * with the 25 fps timestamp; the explode shape a video pipeline
-    * hands to per-frame featurizers, with the frame COUNT read from
-    * the actual container instead of planted metadata. */
+  /** REAL frame sampling: demux the GIF, decode nothing beyond the
+    * sequence — emit one row per sampled frame (every other frame,
+    * capped at 4) with the timestamp from the container's OWN per-frame
+    * delay metadata; the explode shape a video pipeline hands to
+    * per-frame featurizers, with frame count AND timing read from the
+    * actual container instead of planted metadata. */
   def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     videoContainers(spark, dir)
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val n = demuxFrames(r.media).size
-          (0 until n by 2).take(4).map(i => FrameRow(r.doc_id, i, i * 40L))
+          val frames = readGifFrames(r.media)
+          (0 until frames.size by 2).take(4)
+            .map(i => FrameRow(r.doc_id, i, i * frames(i)._2))
         }
       }
       .toDF()
@@ -433,20 +512,18 @@ object Multimodal {
   }
 
   /** REAL scene-change detection — the video-pipeline shot
-    * segmentation step, now running on decoded pixels end-to-end:
-    * demux the length-prefixed container, decode every frame with
-    * ImageIO, compute each frame's 60-bit average hash from its
-    * raster, then compare consecutive signatures and declare a cut
-    * where the Hamming distance jumps. The FIXTURE plants the
-    * structure a real video has — frames within a scene share a
-    * rotated base signature (≤ 1 noise bit per frame), transitions
-    * rotate the base (~30 bits apart) — and the block-image
-    * construction makes the decoded aHash provably equal the planted
-    * signature, so the DuckDB oracle recomputes every signature,
-    * distance, and cut decision in closed form while the pipeline
-    * EARNS them from pixels. Residual stub: the container format is
-    * ours (the JDK ships no MP4 demuxer); everything after the byte
-    * ranges is real.
+    * segmentation step, running on a public container and decoded
+    * pixels end-to-end: demux the animated GIF with the JDK's GIF
+    * reader, convert each palette frame to its grayscale raster,
+    * compute each frame's 60-bit average hash from actual pixels, then
+    * compare consecutive signatures and declare a cut where the
+    * Hamming distance jumps. The FIXTURE plants the structure a real
+    * video has — frames within a scene share a rotated base signature
+    * (≤ 1 noise bit per frame), transitions rotate the base (~30 bits
+    * apart) — and the block-image construction makes the decoded aHash
+    * provably equal the planted signature, so the DuckDB oracle
+    * recomputes every signature, distance, and cut decision in closed
+    * form while the pipeline EARNS them from pixels.
     *
     * Plan shape: the demux+decode explode is linear (≤ 16 rows per
     * doc, decoded executor-side), the consecutive compare is ONE lag
@@ -458,10 +535,9 @@ object Multimodal {
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val frames = videoContainers(spark, dir)
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { r =>
-          demuxFrames(r.media).zipWithIndex.map { case (png, i) =>
-            (r.doc_id, i, ahash60(gridOf(readImage(png))))
+          readGifFrames(r.media).zipWithIndex.map { case ((img, _), i) =>
+            (r.doc_id, i, ahash60(gridOf(img)))
           }
         }
       }
@@ -520,13 +596,40 @@ object Multimodal {
 
   final case class MediaEmbRow(doc_id: Long, emb: Seq[Long])
 
+  /** The TEXT tower: a hashed bag-of-words encoder into the 16-slot
+    * shared integer space — each word feature-hashes to one of 1024
+    * buckets (the same md5-prefix hash `text_classifier` uses), and a
+    * fixed pseudorandom milli-weight matrix projects bucket counts to
+    * the 16 shared dimensions. Still a stand-in for a transformer, but
+    * it is a genuine TEXT function (two prompts differing in one word
+    * embed differently through that word's bucket row), where the
+    * previous design rendered prompts through the image encoder.
+    * Deterministic and closed-form, so the DuckDB oracle recomputes
+    * prompt embeddings from the query strings themselves. */
+  private[multimodal] def textEmbed(prompt: String): Array[Long] = {
+    val md = MessageDigest.getInstance("MD5")
+    val emb = new Array[Long](16)
+    prompt.toLowerCase.replaceAll("[^a-z ]", "").split(" ")
+      .filter(_.nonEmpty).foreach { w =>
+        md.reset()
+        val hex = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
+        var k = 0
+        while (k < 16) {
+          emb(k) += (bucket * 31 + k) * 2654435761L % 2001L - 1000L
+          k += 1
+        }
+      }
+    emb
+  }
+
   /** Cross-modal retrieval: text prompts against a media corpus through
     * a SHARED embedding space — the CLIP-style serving join. The media
     * tower is the real-pixel encoder (`pixelEmbed` over the decoded
     * raster, one codec config per partition — the model-serving shape);
-    * the TEXT tower is the declared stub: the prompt renders through
-    * the same planted-image encoder (a real deployment swaps in the
-    * CLIP text transformer — there are no pixels in a prompt). The
+    * the text tower is the hashed bag-of-words projection above (the
+    * declared transformer stand-in — it scores prompt TEXT). The
     * prompt side is a BOUNDED query set embedded on the driver and
     * broadcast, so the corpus is scanned exactly once whatever its
     * size, scoring integer dot products (exact, engine-portable) and
@@ -541,14 +644,9 @@ object Multimodal {
         rows.map(r => MediaEmbRow(r.doc_id, pixelEmbed(readImage(r.media)).toSeq))
       }
       .toDF("doc_id", "emb")
-    val mdq = MessageDigest.getInstance("SHA-256")
     val prompts = Seq("transit delay report", "vehicle speed trace",
       "route schedule table")
-    val q = prompts.map { p =>
-        val h = sha60(mdq, p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val img = readImage(encodePng(h, (16 + h % 48).toInt, (16 + (h >> 8) % 48).toInt))
-        (p, pixelEmbed(img).toSeq)
-      }
+    val q = prompts.map(p => (p, textEmbed(p).toSeq))
       .toDF("query", "q_emb")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query").orderBy(col("score").desc, col("doc_id"))

@@ -173,18 +173,54 @@ class MultimodalSpec extends SparkSpec {
     val corpus = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> embed(r.getString(1).getBytes("UTF-8")))
+    // text-tower reference: md5-prefix 1024-bucket feature hash per
+    // word, fixed milli-weight projection to the 16 shared dims —
+    // written independently of Multimodal.textEmbed
+    def bowEmbed(p: String): Seq[Long] = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      p.split(" ").filter(_.nonEmpty).foldLeft(Seq.fill(16)(0L)) { (acc, w) =>
+        md5.reset()
+        val hex = md5.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val b = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
+        acc.zipWithIndex.map { case (v, k) =>
+          v + ((b * 31 + k) * 2654435761L) % 2001L - 1000L
+        }
+      }
+    }
     val want = Seq("transit delay report", "vehicle speed trace", "route schedule table")
       .flatMap { p =>
-        val qe = embed(p.getBytes("UTF-8"))
+        val qe = bowEmbed(p)
         corpus.map { case (id, e) =>
           (p, id, (0 until 16).map(i => e(i) * qe(i)).sum) }
           .sortBy { case (_, id, s) => (-s, id) }.take(3).zipWithIndex
           .map { case ((q, id, s), i) => (q, i + 1L, id, s) }
       }.sortBy { case (q, r, _, _) => (q, r) }
+    // the tower is a TEXT function: prompts differing in one word embed
+    // differently
+    assert(bowEmbed("transit delay report") != bowEmbed("transit delay table"))
     val got = Multimodal.crossModalSearch(spark, sfDir).collect()
       .map(r => (r.getAs[String]("query"), r.getAs[Long]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
     assert(got == want, "cross-modal top-3 diverged from the sequential reference")
+  }
+
+  test("animated GIF container round-trips frames, rasters, and delay metadata") {
+    val sigs = Seq(0x0123456789ABCDEL, 0xFEDCBA987654321L & ((1L << 60) - 1), 0L, (1L << 60) - 1)
+    val frames = sigs.map(Multimodal.blockImage(_, 23, 31))
+    val gif = Multimodal.encodeGif(frames, delayCs = 4)
+    // it IS a GIF byte stream (public format magic), one per container
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val back = Multimodal.readGifFrames(gif)
+    assert(back.size == sigs.size)
+    back.zip(sigs).foreach { case ((img, delayMs), sig) =>
+      assert(delayMs == 40L) // read from GraphicControlExtension, not planted
+      assert(img.getWidth == 23 && img.getHeight == 31)
+      // palette -> gray decode reproduces every planted pixel exactly
+      val want = Multimodal.blockImage(sig, 23, 31)
+      for (y <- 0 until 31; x <- 0 until 23)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          want.getRaster.getSample(x, y, 0), s"pixel ($x,$y) of sig $sig")
+    }
   }
 
   test("scene changes: detection recovers the planted scene structure") {
