@@ -5,6 +5,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -23,21 +26,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - batch: every record of every snapshot (one input partition per
   *    file — at cluster scale the natural unit of list/read
   *    parallelism, same as the file sources).
-  *  - micro-batch (Structured Streaming): the offset is the COUNT of
-  *    snapshot files consumed in lexicographic order. Snapshots are
-  *    append-only and named monotonically by the poller (the
-  *    `data_gather.py` contract: one timestamped file per poll), so
-  *    the sorted prefix is stable — each micro-batch reads exactly the
-  *    newly landed files, a checkpointed restart resumes from the
-  *    recorded prefix length, and replays re-read the same files
-  *    byte-for-byte (exactly-once at file granularity, the same
-  *    discipline as Spark's own FileStreamSource but with a constant
-  *    offset instead of a per-file seen-map).
+  *  - micro-batch (Structured Streaming): the offset is the NAME of the
+  *    last snapshot consumed (names ordered lexicographically). Each
+  *    micro-batch reads exactly the files named AFTER the recorded
+  *    name, a checkpointed restart resumes from that name, and replays
+  *    re-read the same files byte-for-byte (exactly-once at file
+  *    granularity). Keying the offset on a name — not a count of the
+  *    sorted listing — makes it immune to CONSUMED snapshots being
+  *    compacted or archived away: deleting a consumed file cannot shift
+  *    which unconsumed files a slice sees.
+  *
+  * ORDERING CONTRACT: snapshot names must be monotonic under
+  * lexicographic order — zero-padded sequence numbers or timestamp
+  * names, which is what `data_gather.py`-style pollers produce. A
+  * non-padded `poll-10` landing after `poll-9` sorts BEFORE it and
+  * would be skipped; that is a poller misconfiguration this source
+  * rejects by contract rather than papering over.
+  *
+  * All listing and reads go through the Hadoop FileSystem API
+  * (`Path.getFileSystem`), so the landing zone can be local, HDFS, or
+  * an object store — the driver lists with the session's Hadoop conf,
+  * executors open their split with the default conf (the standard
+  * file-source arrangement).
   *
   * Scale notes: `latestOffset` is one directory listing (the poller
-  * writes O(1) files per interval — listing cost does not grow with
-  * corpus size if snapshots are compacted/archived downstream, the
-  * standard landing-zone hygiene); record parsing happens in the
+  * writes O(1) files per interval, and consumed snapshots may be
+  * compacted away — see above); record parsing happens in the
   * partition reader executor-side via Jackson (already on Spark's
   * classpath); nothing is buffered on the driver but the file list of
   * the current batch. A production build would add column pruning in
@@ -71,14 +85,23 @@ object FeedTable {
     StructField("lon", DoubleType, nullable = false),
     StructField("speed", DoubleType, nullable = false)))
 
-  /** Sorted snapshot list — THE ordering contract: the streaming
-    * offset is a prefix length of this sequence, so it must be stable
-    * under appends (lexicographic names from a monotonic poller). */
-  def listSnapshots(path: String): Seq[java.io.File] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".jsonl"))
-      .sortBy(_.getName).toSeq
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Sorted (name, fully-qualified path) snapshot list via the Hadoop
+    * FileSystem API — THE ordering contract: streaming offsets are
+    * names in this sequence, so names must be lexicographically
+    * monotonic (zero-padded/timestamped poller output). */
+  def listSnapshots(path: String): Seq[(String, String)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
+      .map(s => (s.getPath.getName, s.getPath.toString))
+      .sortBy(_._1)
   }
 }
 
@@ -106,27 +129,34 @@ case class FeedFilePartition(filePath: String) extends InputPartition
 class FeedBatch(path: String) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     FeedTable.listSnapshots(path)
-      .map(f => FeedFilePartition(f.getAbsolutePath): InputPartition).toArray
+      .map { case (_, p) => FeedFilePartition(p): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory = FeedReaderFactory
 }
 
-/** Streaming offset: how many snapshot files (in sorted order) have
-  * been consumed. Serialized as the bare integer. */
-case class FeedOffset(nFiles: Int) extends Offset {
-  override def json(): String = nFiles.toString
+/** Streaming offset: the NAME of the last snapshot consumed ("" before
+  * any). Serialized as a JSON string so arbitrary name bytes survive
+  * the checkpoint round-trip. */
+case class FeedOffset(lastName: String) extends Offset {
+  override def json(): String = FeedOffset.mapper.writeValueAsString(lastName)
+}
+object FeedOffset {
+  private[feed] val mapper = new ObjectMapper()
 }
 
 class FeedMicroBatchStream(path: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = FeedOffset(0)
-  override def latestOffset(): Offset =
-    FeedOffset(FeedTable.listSnapshots(path).size)
+  override def initialOffset(): Offset = FeedOffset("")
+  override def latestOffset(): Offset = {
+    val names = FeedTable.listSnapshots(path)
+    FeedOffset(if (names.isEmpty) "" else names.last._1)
+  }
   override def deserializeOffset(json: String): Offset =
-    FeedOffset(json.trim.toInt)
+    FeedOffset(FeedOffset.mapper.readValue(json, classOf[String]))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[FeedOffset].nFiles,
-      end.asInstanceOf[FeedOffset].nFiles)
-    FeedTable.listSnapshots(path).slice(s, e)
-      .map(f => FeedFilePartition(f.getAbsolutePath): InputPartition).toArray
+    val (s, e) = (start.asInstanceOf[FeedOffset].lastName,
+      end.asInstanceOf[FeedOffset].lastName)
+    FeedTable.listSnapshots(path)
+      .filter { case (n, _) => n > s && n <= e }
+      .map { case (_, p) => FeedFilePartition(p): InputPartition }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = FeedReaderFactory
   override def commit(end: Offset): Unit = ()
@@ -138,18 +168,24 @@ object FeedReaderFactory extends PartitionReaderFactory {
     new FeedFileReader(partition.asInstanceOf[FeedFilePartition].filePath)
 }
 
-/** Executor-side JSONL reader: one Jackson parse per line, primitive
-  * InternalRows out — no driver involvement past the file path. */
+/** Executor-side JSONL reader through the Hadoop FileSystem (local,
+  * HDFS, or object store — whatever scheme the split path carries):
+  * one Jackson parse per line, primitive InternalRows out — no driver
+  * involvement past the file path. */
 class FeedFileReader(filePath: String) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(filePath, "UTF-8")
-  private val it = lines.getLines().filter(_.trim.nonEmpty)
+  private val p = new Path(filePath)
+  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!it.hasNext) false
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && line.trim.isEmpty) line = reader.readLine()
+    if (line == null) false
     else {
-      val node = mapper.readTree(it.next())
+      val node = mapper.readTree(line)
       current = InternalRow(
         node.get("seq").asLong(), node.get("vehicle_id").asLong(),
         node.get("route_id").asLong(), node.get("ts_ms").asLong(),
@@ -157,6 +193,7 @@ class FeedFileReader(filePath: String) extends PartitionReader[InternalRow] {
         node.get("speed").asDouble())
       true
     }
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = reader.close()
 }

@@ -46,14 +46,24 @@ object StreamSoak {
       .writeStream.format("noop").outputMode("update").start()
 
     val t0 = System.nanoTime()
+    // cumulative input per query, accumulated from each NEW progress
+    // event (by batchId) — recentProgress is a bounded ring buffer
+    // (~100 entries), so re-summing it under-reports long soaks
+    val inputTotal = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val lastBatch = scala.collection.mutable.Map[String, Long]().withDefaultValue(-1L)
     while ((System.nanoTime() - t0) / 1e9 < seconds) {
       Thread.sleep(10000)
       for ((name, q) <- Seq("anomaly" -> anomQ, "hh" -> hhQ)) {
+        q.recentProgress.filter(_.batchId > lastBatch(name))
+          .sortBy(_.batchId).foreach { pr =>
+            inputTotal(name) += pr.numInputRows
+            lastBatch(name) = pr.batchId
+          }
         val p = q.lastProgress
         if (p != null && p.stateOperators.nonEmpty) {
           val so = p.stateOperators.head
           println(f"[soak] ${(System.nanoTime() - t0) / 1e9}%.0fs $name " +
-            f"input_total=${q.recentProgress.map(_.numInputRows).sum} " +
+            f"input_total=${inputTotal(name)} " +
             f"state_rows=${so.numRowsTotal} state_bytes=${so.memoryUsedBytes}")
         }
       }

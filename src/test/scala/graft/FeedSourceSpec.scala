@@ -60,6 +60,33 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compacting a CONSUMED snapshot cannot skip or replay unconsumed files") {
+    // the name-keyed offset contract: after poll-0001/0002 are
+    // consumed, archiving poll-0001 away must not shift what the next
+    // slice sees — poll-0003 arrives exactly once, nothing is re-read
+    val dir = Files.createTempDirectory("feed_compact").toFile
+    val ckpt = Files.createTempDirectory("feed_compact_ckpt").toFile
+    writeSnapshot(dir, "poll-0001.jsonl", 0 until 10)
+    writeSnapshot(dir, "poll-0002.jsonl", 10 until 18)
+    val q = spark.readStream.format(Fmt).option("path", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName("feed_compact_mem")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_compact_mem").count() == 18)
+      // landing-zone hygiene: the consumed head snapshot is archived
+      assert(new java.io.File(dir, "poll-0001.jsonl").delete())
+      writeSnapshot(dir, "poll-0003.jsonl", 18 until 25)
+      q.processAllAvailable()
+      val got = spark.table("feed_compact_mem")
+      assert(got.count() == 25,
+        "compaction of a consumed snapshot shifted the offset window")
+      assert(got.select("seq").distinct().count() == 25,
+        "a re-read file would duplicate seqs")
+    } finally q.stop()
+  }
+
   test("restart from the checkpoint resumes at the recorded offset") {
     val dir = Files.createTempDirectory("feed_restart").toFile
     val ckpt = Files.createTempDirectory("feed_ckpt2").toFile

@@ -316,6 +316,58 @@ class VectorOpsSpec extends SparkSpec {
     assert(basis.indices.forall(i => basis(i).sameElements(basis2(i))))
   }
 
+  test("pca eigenpairs verified by an independent covariance + deflated power iteration") {
+    // SECOND implementation of the vec_pca core, sharing NO code with
+    // pcaBasis/jacobiEigen: the covariance is rebuilt with plain loops
+    // from the collected embeddings (same micro-unit quantization —
+    // that rounding is part of the operator contract), the Jacobi
+    // output must satisfy the eigen-equation on it, and a deflated
+    // power iteration independently recovers the top eigenpairs. This
+    // closes the loop the SQL oracle structurally can't (vec_pca is
+    // rows-only: DuckDB has no eigensolver).
+    val xs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(v => math.floor(v.toDouble * 1e6 + 0.5) / 1e6))
+    val n = xs.length
+    val d = xs.head.length
+    val mu = Array.tabulate(d)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      xs.map(x => x(i) * x(j)).sum / n - mu(i) * mu(j)
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val (evals, basis, mu2) = VectorOps.pcaBasis(spark, sfDir, 4)
+    mu.zip(mu2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // 1. eigen-equation residual: C v = λ v on the INDEPENDENT C
+    basis.zip(evals).foreach { case (v, ev) =>
+      val cv = matvec(v)
+      v.indices.foreach { i =>
+        assert(math.abs(cv(i) - ev * v(i)) < 1e-8,
+          s"eigen-equation residual at dim $i: ${cv(i)} vs ${ev * v(i)}")
+      }
+    }
+    // 2. deflated power iteration (the second eigensolver): top-2
+    // eigenpairs from repeated matvec + Rayleigh quotient
+    var c = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    def pmatvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    (0 until 2).foreach { comp =>
+      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+      (0 until 3000).foreach { _ =>
+        val w = pmatvec(v)
+        val nw = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / nw)
+      }
+      val lam = v.zip(pmatvec(v)).map { case (a, b) => a * b }.sum
+      assert(math.abs(lam - evals(comp)) <= 1e-7 * math.max(1.0, evals(comp)),
+        s"power-iteration eigenvalue $comp: $lam vs ${evals(comp)}")
+      val align = math.abs(v.zip(basis(comp)).map { case (a, b) => a * b }.sum)
+      assert(align > 1.0 - 1e-7, s"eigenvector $comp misaligned: $align")
+      // deflate: C ← C − λ v vᵀ
+      c = Array.tabulate(d, d)((i, j) => c(i)(j) - lam * v(i) * v(j))
+    }
+  }
+
   test("pca projections carry per-component variance equal to the eigenvalue") {
     import org.apache.spark.sql.functions._
     val p = VectorOps.vecPca(spark, sfDir).cache()
