@@ -867,7 +867,8 @@ object Analytics {
       .agg(count(lit(1)).as("n_cells"),
         sum("a").as("actual_cents"),
         sum(abs(col("a") - col("f"))).as("abs_err_cents"))
-      .withColumn("wape_ppm", expr("abs_err_cents * 1000000 div actual_cents"))
+      .withColumn("wape_ppm",
+        expr("CAST(CAST(abs_err_cents AS DECIMAL(38,0)) * 1000000 div actual_cents AS BIGINT)"))
       .orderBy("event_type")
   }
 
@@ -887,7 +888,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("rev_cents"))
       .withColumn("prev_cents", lag("rev_cents", 1).over(byWeek))
       .withColumn("wow_change_ppm",
-        expr("(rev_cents - prev_cents) * 1000000 div prev_cents"))
+        expr("CAST(CAST(rev_cents - prev_cents AS DECIMAL(38,0)) * 1000000 div prev_cents AS BIGINT)"))
       .select("event_type", "week_start", "n_events", "rev_cents",
         "prev_cents", "wow_change_ppm")
       .orderBy("event_type", "week_start")
@@ -2344,7 +2345,7 @@ object Analytics {
       .agg(sum(when(col("is_promo"), col("rev_cp")).otherwise(0L)).as("promo_rev_cp"),
         sum(col("rev_cp")).as("total_rev_cp"))
       .withColumn("promo_ppm",
-        expr("promo_rev_cp * 1000000 div nullif(total_rev_cp, 0)"))
+        expr("CAST(CAST(promo_rev_cp AS DECIMAL(38,0)) * 1000000 div nullif(total_rev_cp, 0) AS BIGINT)"))
 
   /** Returned-revenue customers (TPC-H Q10 shape): top 20 customers by
     * revenue on returned lineitems in a quarter. The fact filters
@@ -2448,7 +2449,8 @@ object Analytics {
         count(lit(1)).as("k_top"),
         sum("vc").as("sum_top_c"),
         max("sum_all_c").as("sum_all_c"))
-      .withColumn("share_ppm", expr("sum_top_c * 1000000 div nullif(sum_all_c, 0)"))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(sum_top_c AS DECIMAL(38,0)) * 1000000 div nullif(sum_all_c, 0) AS BIGINT)"))
       .select("event_type", "n_events", "k_top", "sum_top_c", "share_ppm")
       .orderBy("event_type")
   }

@@ -59,6 +59,74 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(q.getAs[Double]("p99") - 0.99 * n) <= 0.02 * n)
   }
 
+  test("KLL forced-compaction rank-error property sweep across distributions and quantiles") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // the estimation-regime property, swept: for n >> k, every returned
+    // quantile's TRUE RANK (not value) is within the ±2% envelope — on
+    // uniform, skewed, heavy-tied, sorted, reverse-sorted, and clumped
+    // inputs (compaction is randomized; rank error is the contract the
+    // KLL paper states, so rank is what the sweep measures)
+    val n = 200000
+    val dists: Seq[(String, Int => Double)] = Seq(
+      ("uniform", i => i.toDouble),
+      ("squared-skew", i => i.toDouble * i),
+      ("heavy-ties", i => (i % 37).toDouble),
+      ("sorted-clumps", i => (i / 1000).toDouble),
+      ("reverse", i => (n - i).toDouble),
+      ("alternating", i => if (i % 2 == 0) i.toDouble else (n - i).toDouble))
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    for ((dname, f) <- dists) {
+      val vals = (0 until n).map(f)
+      val sorted = vals.sorted
+      val qCols = qs.zipWithIndex.map { case (q, i) =>
+        expr(s"kll_quantile(kll_agg(v), ${q}d)").as(s"q$i") }
+      val row = vals.toDF("v").agg(qCols.head, qCols.tail: _*).head
+      for ((q, i) <- qs.zipWithIndex) {
+        val est = row.getDouble(i)
+        // true rank range of the returned value (ties span a range)
+        val lo = sorted.search(est)(Ordering.Double.TotalOrdering) match {
+          case scala.collection.Searching.Found(j) => j
+          case scala.collection.Searching.InsertionPoint(j) => j
+        }
+        var hi = lo
+        while (hi < n && sorted(hi) <= est) hi += 1
+        val target = q * n
+        val err = if (target < lo) (lo - target) / n
+          else if (target > hi) (target - hi) / n else 0.0
+        assert(err <= 0.02,
+          s"$dname q=$q: value $est has rank [$lo,$hi], target $target (rank err $err)")
+      }
+    }
+  }
+
+  test("HLL rollup estimates are partition-layout invariant (register max-merge)") {
+    import spark.implicits._
+    // q_sketch_rollup's HLL path: register state is a per-register MAX
+    // — order- and partitioning-invariant by algebra — so the union
+    // estimate must be bit-identical across layouts; this is the
+    // partition-invariance pin the rows-only oracle can't express
+    def build(parts: Int): Array[org.apache.spark.sql.Row] =
+      spark.range(100000).repartition(parts)
+        .select((col("id") % 5).cast("string").as("g"),
+          (col("id") % 20).as("d"), (col("id") % 9973).as("u"))
+        .groupBy("g", "d").agg(expr("hll_sketch_agg(u, 12)").as("sk"))
+        .groupBy("g")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        .orderBy("g").collect()
+    val a = build(3)
+    val b = build(17)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      assert(x.getLong(1) == y.getLong(1),
+        s"HLL estimate moved with partitioning for group ${x.getString(0)}")
+    }
+    // and approx_count_distinct (q_approx_stats' HLL++): same algebra
+    def acd(parts: Int): Long = spark.range(100000).repartition(parts)
+      .agg(approx_count_distinct(col("id") % 9973).as("c")).head.getLong(0)
+    assert(acd(2) == acd(13), "approx_count_distinct moved with partitioning")
+  }
+
   test("theta set algebra is exact below the nominal budget on constructed overlap") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
