@@ -52,33 +52,69 @@ object NearDupStream {
         col("doc_id"), col("sig"))
   }
 
-  def nearDupStream(ds: Dataset[DocIn], tauPpm: Long = 500000L): Dataset[NearDupHit] = {
+  /** Production state dials (both previously narrated, now code):
+    *
+    *  - `ttlMs > 0`: processing-time TTL per bucket — a bucket idle for
+    *    the TTL is evicted via the GroupStateTimeout callback (the
+    *    standard flatMapGroupsWithState eviction), bounding total state
+    *    by the stream's RECENT key cardinality instead of its history.
+    *    A replay AFTER eviction re-admits (at-least-once semantics, the
+    *    same contract every TTL'd dedup store ships); replays within
+    *    the TTL stay exactly idempotent (set-semantics admission).
+    *  - `maxOccupancy > 0`: per-bucket canonical compaction — keep only
+    *    the K EARLIEST-admitted occupants (the canonical
+    *    representatives; arrivals matching them still report as dups),
+    *    bounding the hot-bucket blowup a boilerplate-heavy stream
+    *    creates: a bucket every boilerplate page hashes into otherwise
+    *    grows with the stream. Admission checks still run against the
+    *    kept set, so pair REPORTS against canonicals are unaffected;
+    *    what's traded away is dup-of-dup pairs among evicted
+    *    non-canonicals — the declared recall contract (the streaming
+    *    analogue of the batch df-capped shingle twins). */
+  def nearDupStream(ds: Dataset[DocIn], tauPpm: Long = 500000L,
+      ttlMs: Long = 0L, maxOccupancy: Int = 0): Dataset[NearDupHit] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bandedSignatures(ds.toDF()).as[BandMsg]
       .groupByKey(m => (m.band_id, m.band_hash))
       .flatMapGroupsWithState[BucketState, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         case ((band, _), msgs, state: GroupState[BucketState]) =>
-          var seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          // deterministic intra-batch order: ids admit low-to-high, so
-          // a batch containing both halves of a pair reports the later
-          // id as the duplicate — same keep-first rule as the batch ops
-          for (m <- msgs.toSeq.sortBy(_.doc_id)) {
-            if (!seen.exists(_._1 == m.doc_id)) {
-              for ((id, sig) <- seen) {
-                var matches = 0
-                var i = 0
-                while (i < 128) { if (sig(i) == m.sig(i)) matches += 1; i += 1 }
-                val ppm = matches * 1000000L / 128L
-                if (ppm >= tauPpm) out += NearDupHit(m.doc_id, id, band, ppm)
+          if (state.hasTimedOut) {
+            // TTL eviction: the bucket's occupants age out together
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            // deterministic intra-batch order: ids admit low-to-high, so
+            // a batch containing both halves of a pair reports the later
+            // id as the duplicate — same keep-first rule as the batch ops
+            for (m <- msgs.toSeq.sortBy(_.doc_id)) {
+              if (!seen.exists(_._1 == m.doc_id)) {
+                for ((id, sig) <- seen) {
+                  var matches = 0
+                  var i = 0
+                  while (i < 128) { if (sig(i) == m.sig(i)) matches += 1; i += 1 }
+                  val ppm = matches * 1000000L / 128L
+                  if (ppm >= tauPpm) out += NearDupHit(m.doc_id, id, band, ppm)
+                }
+                seen = (m.doc_id, m.sig) :: seen
               }
-              seen = (m.doc_id, m.sig) :: seen
             }
+            // canonical compaction: `seen` is newest-first, so the K
+            // earliest-admitted occupants are its tail
+            val kept =
+              if (maxOccupancy > 0 && seen.size > maxOccupancy)
+                seen.takeRight(maxOccupancy)
+              else seen
+            state.update(BucketState(kept))
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(BucketState(seen))
-          out.iterator
       }
   }
 }

@@ -119,4 +119,100 @@ class StateSoakSpec extends SparkSpec {
         s"expected ${afterAdmit + 640L} bucket rows, got $afterMore")
     } finally q.stop()
   }
+
+  test("neardup canonical compaction bounds hot-bucket occupancy under boilerplate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a boilerplate-heavy stream: every doc is the SAME text under a
+    // fresh id — all land in the same 32 buckets, the regime where an
+    // uncompacted bucket grows with the stream
+    val boiler = (0 until 40).map(w => s"boilerplate page footer term$w").mkString(" ")
+    val cap = 4
+    val stream = MemoryStream[DocIn]
+    val q = NearDupStream.nearDupStream(stream.toDS(), maxOccupancy = cap)
+      .writeStream.format("memory").queryName("soak_neardup_cap")
+      .outputMode("append").start()
+    try {
+      // one doc per batch: emissions per batch are exactly
+      // 32 bands × min(cap, docs admitted before it) — the proof the
+      // kept set stays at the cap while dup REPORTS against canonicals
+      // keep flowing for every arrival
+      for (i <- 0L until 12L) {
+        stream.addData(DocIn(i, boiler))
+        q.processAllAvailable()
+        val total = spark.table("soak_neardup_cap").count()
+        val want = (0L to i).map(j => 32L * math.min(cap.toLong, j)).sum
+        assert(total == want,
+          s"after doc $i: $total hits, expected $want (occupancy not capped at $cap)")
+      }
+      // bucket rows never exceed the 32 shared buckets
+      assert(stateRows(q) == 32L, s"expected 32 bucket rows, got ${stateRows(q)}")
+    } finally q.stop()
+  }
+
+  /** With a processing-time timeout ARMED, the query runs timeout-check
+    * batches on its own clock, so `processAllAvailable` is not a
+    * quiescence point — TTL assertions poll progress with a deadline
+    * instead (and a throttled trigger bounds the no-data batch spin). */
+  private def eventually(what: String, deadlineS: Int = 120)(cond: => Boolean): Unit = {
+    val t0 = System.nanoTime()
+    while (!cond) {
+      assert((System.nanoTime() - t0) / 1e9 < deadlineS, s"timed out waiting: $what")
+      Thread.sleep(250L)
+    }
+  }
+
+  test("neardup TTL: replays within the TTL stay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def alpha(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def doc(id: Long) = DocIn(id,
+      (0 until 40).map(w => s"t${alpha(id)}x${alpha(w)}").mkString(" "))
+    val stream = MemoryStream[DocIn]
+    // TTL far beyond the test window: this test pins the set-semantics
+    // half of the contract with the timeout machinery ARMED
+    val q = NearDupStream.nearDupStream(stream.toDS(), ttlMs = 600000L)
+      .writeStream.format("memory").queryName("soak_neardup_ttl_idem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    try {
+      stream.addData((0L until 10L).map(doc): _*)
+      eventually("10 docs admitted")(q.lastProgress != null &&
+        q.lastProgress.stateOperators.nonEmpty && stateRows(q) == 320L)
+      // at-least-once replay within the TTL: set semantics, no growth
+      stream.addData((0L until 10L).map(doc): _*)
+      eventually("replay batch processed") {
+        val p = q.recentProgress
+        p.map(_.numInputRows).sum >= 20L && stateRows(q) == 320L
+      }
+      Thread.sleep(1500L) // a few more timeout-check batches
+      assert(stateRows(q) == 320L, "replay within TTL grew state")
+    } finally q.stop()
+  }
+
+  test("neardup TTL: idle buckets age out, and a post-eviction replay re-admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def alpha(n: Long): String =
+      n.toString.map(c => ('a' + (c - '0')).toChar)
+    def doc(id: Long) = DocIn(id,
+      (0 until 40).map(w => s"e${alpha(id)}x${alpha(w)}").mkString(" "))
+    val stream = MemoryStream[DocIn]
+    val q = NearDupStream.nearDupStream(stream.toDS(), ttlMs = 2000L)
+      .writeStream.format("memory").queryName("soak_neardup_ttl_evict")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    try {
+      stream.addData((0L until 10L).map(doc): _*)
+      eventually("10 docs admitted")(q.lastProgress != null &&
+        q.lastProgress.stateOperators.nonEmpty && stateRows(q) == 320L)
+      // idle past the TTL: the timeout callbacks must evict every bucket
+      eventually("TTL eviction to zero")(stateRows(q) == 0L)
+      // a replay AFTER eviction re-admits cleanly (the documented
+      // at-least-once contract of every TTL'd dedup store)
+      stream.addData(doc(0L))
+      eventually("post-eviction re-admission")(stateRows(q) == 32L)
+    } finally q.stop()
+  }
 }
