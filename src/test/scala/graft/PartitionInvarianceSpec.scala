@@ -56,6 +56,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q_auc", "q_calibration", "vec_knn_classify", "text_textrank",
       "vec_outliers", "dedup_sweep", "text_filter_cascade",
       "q_spatial_join",
+      // round 7: the derived radius (profiling aggregates) and the
+      // clustering it feeds must not move with layout
+      "q_dbscan_auto",
       // eval-curve batch: two-phase descending ranks + running sums,
       // struct argmax over distinct scores, wedge-join + TakeOrdered
       // boundary, centroid arithmetic from partial sums
