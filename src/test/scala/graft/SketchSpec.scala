@@ -127,6 +127,37 @@ class SketchSpec extends SparkSpec {
     assert(acd(2) == acd(13), "approx_count_distinct moved with partitioning")
   }
 
+  test("q_approx_stats honors both estimators' published error envelopes") {
+    // the rows-only entry's strongest gate short of register-level SQL:
+    // approx_count_distinct within HLL++'s default 5% rsd (generously
+    // 3x) of the exact count the SAME row emits, and approx_percentile
+    // within its 1/accuracy = 1/1000 RANK-error contract of the exact
+    // per-type order statistics
+    val got = Analytics.approxStats(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val vals = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val approxU = r.getAs[Long]("approx_users")
+      val exactU = r.getAs[Long]("exact_users")
+      assert(math.abs(approxU - exactU) <= math.max(2.0, 0.15 * exactU),
+        s"$t: approx_users $approxU vs exact $exactU beyond 3x rsd")
+      val sorted = vals(t)
+      val p50 = r.getAs[Double]("approx_p50")
+      val n = sorted.length
+      // rank window: target n/2 with +-n/1000 (min 1) slack
+      val slack = math.max(1, n / 1000)
+      val lo = sorted(math.max(0, n / 2 - slack - 1))
+      val hi = sorted(math.min(n - 1, n / 2 + slack))
+      assert(p50 >= lo && p50 <= hi,
+        s"$t: approx_p50 $p50 outside exact rank window [$lo,$hi]")
+    }
+  }
+
   test("theta set algebra is exact below the nominal budget on constructed overlap") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
