@@ -125,6 +125,18 @@ class SketchSpec extends SparkSpec {
     def acd(parts: Int): Long = spark.range(100000).repartition(parts)
       .agg(approx_count_distinct(col("id") % 9973).as("c")).head.getLong(0)
     assert(acd(2) == acd(13), "approx_count_distinct moved with partitioning")
+    // the SERIALIZED union image too (the q_theta_sketch discipline):
+    // register state is a max — layout cannot move even the bytes
+    def img(parts: Int): Seq[(String, Seq[Byte])] =
+      spark.range(100000).repartition(parts)
+        .select((col("id") % 5).cast("string").as("g"),
+          (col("id") % 20).as("d"), (col("id") % 9973).as("u"))
+        .groupBy("g", "d").agg(expr("hll_sketch_agg(u, 12)").as("sk"))
+        .groupBy("g").agg(expr("hll_union_agg(sk, false)").as("img"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(img(3) == img(17),
+      "HLL union serialized image moved with partitioning")
   }
 
   test("q_approx_stats honors both estimators' published error envelopes") {
