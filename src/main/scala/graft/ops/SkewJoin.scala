@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * side is exploded `buckets`× so every (key, salt) partition holds a
   * 1/buckets slice of the hot key. Correctness is unchanged — each big
   * row still meets each matching small row exactly once.
+  *
+  * MEASURED vs AQE (tools/SkewAB, 20M rows / 90% one hot key / 1M-key
+  * dim, 5 round-robin reps, local[32]): plain 7.46 s, plain+AQE
+  * skew-split 6.51 s, salted(8) 3.75 s, salted(8)+AQE 3.71 s — the
+  * salt spreads both the probe and the join OUTPUT ahead of the
+  * downstream aggregate, where AQE's split covers the sort-merge read
+  * side only; prefer AQE when the hot key isn't knowable at authoring
+  * time (and note a cluster narrows the gap: the salt pays dim-side
+  * ×buckets replication bytes a network would surface).
   */
 object SkewJoin {
 
