@@ -206,7 +206,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("animated GIF container round-trips frames, rasters, and delay metadata") {
     val sigs = Seq(0x0123456789ABCDEL, 0xFEDCBA987654321L & ((1L << 60) - 1), 0L, (1L << 60) - 1)
-    val frames = sigs.map(Multimodal.blockImage(_, 23, 31))
+    // the 1-bit pre-indexed builder (the production GIF fast path)
+    // must carry the same pixel contract as the grayscale one
+    val frames = sigs.map(Multimodal.blockImageBw(_, 23, 31))
     val gif = Multimodal.encodeGif(frames, delayCs = 4)
     // it IS a GIF byte stream (public format magic), one per container
     assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
