@@ -167,14 +167,21 @@ object Multimodal {
     * container format the JDK both writes and reads natively — with
     * the frame delay carried in each frame's GraphicControlExtension
     * (centiseconds), where a real player reads it. */
-  private[graft] def encodeGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] = {
+  private[graft] def encodeGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] =
+    encodeGif(frames, Seq.fill(frames.size)(delayCs))
+
+  /** Variable-delay variant: one GraphicControlExtension delay per
+    * frame (real animations vary frame timing — title cards hold,
+    * action frames don't). */
+  private[graft] def encodeGif(frames: Seq[BufferedImage], delaysCs: Seq[Int]): Array[Byte] = {
+    require(delaysCs.size == frames.size, "one delay per frame")
     noImageioCache
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    frames.foreach { img =>
+    frames.zip(delaysCs).foreach { case (img, delayCs) =>
       val param = writer.getDefaultWriteParam
       val meta = writer.getDefaultImageMetadata(
         new javax.imageio.ImageTypeSpecifier(img), param)
@@ -528,15 +535,20 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     videoContainers(spark, dir)
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val frames = readGifFrames(r.media)
-          (0 until frames.size by 2).take(4)
-            .map(i => FrameRow(r.doc_id, i, i * frames(i)._2))
-        }
-      }
+      .mapPartitions(rows => rows.flatMap(r => sampledFrameRows(r.doc_id, r.media)))
       .toDF()
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** One container's sampled frames: stride 2, cap 4, timestamp = the
+    * prefix sum of the PRECEDING frames' decoded delays (frame i is
+    * presented once every earlier frame's delay has elapsed), so
+    * variable-delay containers get the true presentation time. */
+  private[graft] def sampledFrameRows(docId: Long, media: Array[Byte]): Seq[FrameRow] = {
+    val frames = readGifFrames(media)
+    val startMs = frames.scanLeft(0L)(_ + _._2)
+    (0 until frames.size by 2).take(4)
+      .map(i => FrameRow(docId, i, startMs(i)))
   }
 
   /** REAL scene-change detection — the video-pipeline shot

@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 connector for the reference's ingest entry point —
   * the vehicle-positions gather step (reference `Part1/data_gather.py`
@@ -45,9 +46,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * All listing and reads go through the Hadoop FileSystem API
   * (`Path.getFileSystem`), so the landing zone can be local, HDFS, or
-  * an object store — the driver lists with the session's Hadoop conf,
-  * executors open their split with the default conf (the standard
-  * file-source arrangement).
+  * an object store — the driver lists with the session's Hadoop conf
+  * and serializes that SAME conf into the reader factory, so executors
+  * open their split with the credentials/endpoint the listing used
+  * (the standard file-source arrangement).
   *
   * Scale notes: `latestOffset` is one directory listing (the poller
   * writes O(1) files per interval, and consumed snapshots may be
@@ -85,10 +87,22 @@ object FeedTable {
     StructField("lon", DoubleType, nullable = false),
     StructField("speed", DoubleType, nullable = false)))
 
-  private def hadoopConf(): Configuration =
+  private[feed] def hadoopConf(): Configuration =
     SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+
+  /** ATOMICITY CONTRACT: pollers must land snapshots by writing to a
+    * temp name and renaming into place (`poll-0007.jsonl.tmp` →
+    * `poll-0007.jsonl`, the standard Hadoop discipline — rename is
+    * atomic on HDFS and a metadata PUT on object stores). The listing
+    * enforces the read side of that contract: in-flight `.tmp` files
+    * and hidden `.`/`_` names (Hadoop's own convention for
+    * work-in-progress output) are never read, so a partially written
+    * snapshot appearing mid-listing cannot produce a torn read. */
+  private[feed] def isVisibleSnapshot(name: String): Boolean =
+    name.endsWith(".jsonl") && !name.endsWith(".tmp") &&
+      !name.startsWith(".") && !name.startsWith("_")
 
   /** Sorted (name, fully-qualified path) snapshot list via the Hadoop
     * FileSystem API — THE ordering contract: streaming offsets are
@@ -99,7 +113,7 @@ object FeedTable {
     val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
+      .filter(s => s.isFile && isVisibleSnapshot(s.getPath.getName))
       .map(s => (s.getPath.getName, s.getPath.toString))
       .sortBy(_._1)
   }
@@ -130,7 +144,8 @@ class FeedBatch(path: String) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     FeedTable.listSnapshots(path)
       .map { case (_, p) => FeedFilePartition(p): InputPartition }.toArray
-  override def createReaderFactory(): PartitionReaderFactory = FeedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    FeedReaderFactory(new SerializableConfiguration(FeedTable.hadoopConf()))
 }
 
 /** Streaming offset: the NAME of the last snapshot consumed ("" before
@@ -144,38 +159,61 @@ object FeedOffset {
 }
 
 class FeedMicroBatchStream(path: String) extends MicroBatchStream {
+  /** High-water mark of every offset name this instance has seen —
+    * from the checkpoint (deserializeOffset) or its own listings.
+    * `latestOffset` never returns a name below it, so a transiently
+    * incomplete listing (object-store eventual consistency, full
+    * compaction followed by a file restore) cannot regress the offset
+    * and re-read files the stream already consumed. */
+  @volatile private var maxSeenName: String = ""
+  private def advance(name: String): String = synchronized {
+    if (name > maxSeenName) maxSeenName = name
+    maxSeenName
+  }
+
   override def initialOffset(): Offset = FeedOffset("")
   override def latestOffset(): Offset = {
     val names = FeedTable.listSnapshots(path)
-    FeedOffset(if (names.isEmpty) "" else names.last._1)
+    FeedOffset(advance(if (names.isEmpty) "" else names.last._1))
   }
-  override def deserializeOffset(json: String): Offset =
-    FeedOffset(FeedOffset.mapper.readValue(json, classOf[String]))
+  override def deserializeOffset(json: String): Offset = {
+    val name = FeedOffset.mapper.readValue(json, classOf[String])
+    advance(name)
+    FeedOffset(name)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FeedOffset].lastName,
       end.asInstanceOf[FeedOffset].lastName)
+    advance(e)
     FeedTable.listSnapshots(path)
       .filter { case (n, _) => n > s && n <= e }
       .map { case (_, p) => FeedFilePartition(p): InputPartition }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = FeedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    FeedReaderFactory(new SerializableConfiguration(FeedTable.hadoopConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-object FeedReaderFactory extends PartitionReaderFactory {
+/** Ships the DRIVER's Hadoop conf to executors (Spark's own file
+  * sources do the same) so a landing zone whose credentials/endpoint
+  * live in session conf (`spark.hadoop.fs.s3a.*`) opens executor-side
+  * with the settings it was listed with. */
+case class FeedReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FeedFileReader(partition.asInstanceOf[FeedFilePartition].filePath)
+    new FeedFileReader(partition.asInstanceOf[FeedFilePartition].filePath, conf.value)
 }
 
 /** Executor-side JSONL reader through the Hadoop FileSystem (local,
   * HDFS, or object store — whatever scheme the split path carries):
   * one Jackson parse per line, primitive InternalRows out — no driver
   * involvement past the file path. */
-class FeedFileReader(filePath: String) extends PartitionReader[InternalRow] {
+class FeedFileReader(filePath: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val p = new Path(filePath)
-  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val in = p.getFileSystem(conf).open(p)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _

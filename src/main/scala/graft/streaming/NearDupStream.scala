@@ -60,7 +60,14 @@ object NearDupStream {
     *    by the stream's RECENT key cardinality instead of its history.
     *    A replay AFTER eviction re-admits (at-least-once semantics, the
     *    same contract every TTL'd dedup store ships); replays within
-    *    the TTL stay exactly idempotent (set-semantics admission).
+    *    the TTL stay exactly idempotent for docs STILL IN the kept set
+    *    (set-semantics admission). With `maxOccupancy > 0` that
+    *    qualifier matters: a doc evicted by canonical compaction loses
+    *    its admission record, so its replay re-admits and re-emits hits
+    *    against the canonicals even inside the TTL window — compaction
+    *    trades replay idempotency for evicted non-canonicals alongside
+    *    the recall caveat below. Consumers already dedupe on
+    *    (doc_id, dup_of), which absorbs both re-admission paths.
     *  - `maxOccupancy > 0`: per-bucket canonical compaction — keep only
     *    the K EARLIEST-admitted occupants (the canonical
     *    representatives; arrivals matching them still report as dups),

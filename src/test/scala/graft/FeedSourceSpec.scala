@@ -87,6 +87,70 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a partially written snapshot (.tmp / hidden names) is never read") {
+    // the landing contract: pollers write poll-NNNN.jsonl.tmp then
+    // rename into place. An in-flight .tmp (or a Hadoop-convention
+    // hidden ._/_  name) appearing mid-listing must be invisible to
+    // both batch and streaming reads until the rename completes.
+    val dir = Files.createTempDirectory("feed_tmp").toFile
+    val ckpt = Files.createTempDirectory("feed_tmp_ckpt").toFile
+    writeSnapshot(dir, "poll-0001.jsonl", 0 until 5)
+    writeSnapshot(dir, "poll-0002.jsonl.tmp", 100 until 200) // in-flight
+    writeSnapshot(dir, ".poll-0002.jsonl", 300 until 400)    // hidden
+    writeSnapshot(dir, "_tmp-0002.jsonl", 500 until 600)     // hidden
+    assert(spark.read.format(Fmt).option("path", dir.getAbsolutePath)
+      .load().count() == 5, "batch read must skip in-flight/hidden files")
+    val q = spark.readStream.format(Fmt).option("path", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName("feed_tmp_mem")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_tmp_mem").count() == 5)
+      // the rename completes: the snapshot becomes visible atomically
+      // and flows through exactly once
+      val tmp = new java.io.File(dir, "poll-0002.jsonl.tmp")
+      assert(tmp.renameTo(new java.io.File(dir, "poll-0002.jsonl")))
+      q.processAllAvailable()
+      assert(spark.table("feed_tmp_mem").count() == 105,
+        "renamed-into-place snapshot must arrive exactly once")
+    } finally q.stop()
+  }
+
+  test("latestOffset never regresses below the high-water mark on a transiently empty listing") {
+    // object-store listings can be transiently incomplete; a regressed
+    // offset would re-plan consumed files on the next slice. The
+    // stream instance tracks the max name it has seen and holds the
+    // line: delete ALL files after consumption, then land a new one —
+    // nothing is re-read, the new file arrives exactly once.
+    val dir = Files.createTempDirectory("feed_regress").toFile
+    val ckpt = Files.createTempDirectory("feed_regress_ckpt").toFile
+    writeSnapshot(dir, "poll-0001.jsonl", 0 until 6)
+    writeSnapshot(dir, "poll-0002.jsonl", 6 until 12)
+    val q = spark.readStream.format(Fmt).option("path", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName("feed_regress_mem")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_regress_mem").count() == 12)
+      // full compaction: the directory goes EMPTY (listing would
+      // yield offset "" — strictly below the checkpointed name)
+      assert(new java.io.File(dir, "poll-0001.jsonl").delete())
+      assert(new java.io.File(dir, "poll-0002.jsonl").delete())
+      q.processAllAvailable() // an empty-listing cycle must not regress
+      // a consumed file is RESTORED (object-store list consistency
+      // heals) alongside a genuinely new poll
+      writeSnapshot(dir, "poll-0002.jsonl", 6 until 12)
+      writeSnapshot(dir, "poll-0003.jsonl", 12 until 20)
+      q.processAllAvailable()
+      val got = spark.table("feed_regress_mem")
+      assert(got.count() == 20,
+        "offset regression re-read a consumed snapshot or skipped the new one")
+      assert(got.select("seq").distinct().count() == 20)
+    } finally q.stop()
+  }
+
   test("restart from the checkpoint resumes at the recorded offset") {
     val dir = Files.createTempDirectory("feed_restart").toFile
     val ckpt = Files.createTempDirectory("feed_ckpt2").toFile

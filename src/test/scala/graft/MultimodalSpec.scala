@@ -128,6 +128,22 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("frame_ts_ms") =!= col("frame_idx") * 40).count() == 0)
   }
 
+  test("frame timestamps are the prefix sum of PRECEDING delays on a variable-delay GIF") {
+    // a title-card animation: frame 0 holds 50cs, then fast frames —
+    // timestamps must track the container's own cumulative timeline,
+    // not index * own-delay
+    val delaysCs = Seq(50, 4, 10, 2, 8, 4)
+    val frames = delaysCs.indices.map(i =>
+      Multimodal.blockImageBw(0x0F0FL << (i % 4), 16, 16))
+    val gif = Multimodal.encodeGif(frames, delaysCs)
+    val rows = Multimodal.sampledFrameRows(7L, gif)
+    // sampled idx 0,2,4 with starts 0, 500+40, 500+40+100+20 (ms)
+    assert(rows.map(r => (r.frame_idx, r.frame_ts_ms)) ==
+      Seq((0, 0L), (2, 540L), (4, 660L)))
+    // and the demux read back exactly the per-frame delays we planted
+    assert(Multimodal.readGifFrames(gif).map(_._2) == delaysCs.map(_ * 10L))
+  }
+
   test("media metadata digests match sha2 of the payload") {
     val r = Multimodal.mediaMeta(spark, sfDir).filter(col("doc_id") === 0).collect().head
     assert(r.getAs[String]("digest").matches("[0-9a-f]{64}"))
