@@ -169,6 +169,7 @@ object SparkEntry {
     "vec_gram" -> ((s, d) => VectorOps.vecGram(s, d)),
     "vec_knn_graph" -> ((s, d) => VectorOps.vecKnnGraph(s, d)),
     "vec_knn_graph_ann" -> ((s, d) => VectorOps.vecKnnGraphAnn(s, d)),
+    "vec_knn_graph_ann_auto" -> ((s, d) => VectorOps.vecKnnGraphAnnAuto(s, d)),
     "vec_mrl_eval" -> ((s, d) => VectorOps.mrlEval(s, d)),
     "sample_diverse" -> ((s, d) => VectorOps.sampleDiverse(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
@@ -455,7 +456,41 @@ object SparkEntry {
          |t0 AS MATERIALIZED (
          |  SELECT g.j AS c, smp.e AS cl FROM generate_series(0, ${k - 1}) g(j)
          |  JOIN smp ON smp.rn0 = (g.j * smp.n) // $k)""".stripMargin
-    val rounds = (0 until iters).map { it =>
+    (head +: lloydRoundsSql(iters)).mkString(",\n")
+  }
+
+  /** The VARIABLE-k trainer replay (VectorOps.vecKnnGraphAnnAuto):
+    * identical Lloyd rounds, but the cell count derives IN SQL from
+    * the norm-filtered corpus count — integer-ceiling division clamped
+    * to [1, 4096], the exact `deriveNlist` arithmetic — and the init
+    * CTE draws k rows by filtering a constant 4096-row series against
+    * the derived value. Emits the extra CTE `kk(k)` for the final
+    * select to surface as the oracle-checked `nlist` column. */
+  private def lloydCtesVarKSql(iters: Int, targetOcc: Long): String = {
+    val head =
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |kk AS MATERIALIZED (
+         |  SELECT CAST(greatest(1, least(4096, (count(*) + ${targetOcc - 1}) // $targetOcc)) AS BIGINT) AS k
+         |  FROM ev
+         |  WHERE list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x,y) -> x+y) > 0),
+         |smp AS MATERIALIZED (
+         |  SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn0,
+         |    count(*) OVER () AS n
+         |  FROM (SELECT * FROM ev ORDER BY vec_id LIMIT 4096)),
+         |sp AS MATERIALIZED (
+         |  SELECT vec_id, rn0, unnest(generate_series(1, len(e))) AS pos, unnest(e) AS val FROM smp),
+         |t0 AS MATERIALIZED (
+         |  SELECT g.j AS c, smp.e AS cl FROM generate_series(0, 4095) g(j)
+         |  JOIN kk ON g.j < kk.k
+         |  JOIN smp ON smp.rn0 = (g.j * smp.n) // kk.k)""".stripMargin
+    (head +: lloydRoundsSql(iters)).mkString(",\n")
+  }
+
+  /** One Lloyd round as CTE text (assign → per-cell ordered-fold mean
+    * → carry-forward for empty cells) — k-independent: the round
+    * operates on however many rows t{it} holds. */
+  private def lloydRoundsSql(iters: Int): Seq[String] =
+    (0 until iters).map { it =>
       s"""sa$it AS MATERIALIZED (
          |  SELECT vec_id, rn0, c FROM (
          |    SELECT smp.vec_id, smp.rn0, t$it.c,
@@ -470,8 +505,6 @@ object SparkEntry {
          |t${it + 1} AS MATERIALIZED (
          |  SELECT ti.c, COALESCE(sn.cl, ti.cl) AS cl FROM t$it ti LEFT JOIN sn$it sn ON ti.c = sn.c)""".stripMargin
     }
-    (head +: rounds).mkString(",\n")
-  }
 
   /** norm-filtered corpus assignment against the final IVF centroids
     * (shared tail of the two IVF oracles) */
@@ -540,6 +573,34 @@ object SparkEntry {
         |  (b.query_id IS NOT NULL) AS mutual
         |FROM tk a LEFT JOIN tk b
         |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+        |ORDER BY a.query_id, a.rank""".stripMargin
+
+  /** `vec_knn_graph_ann_auto` replayed end to end: the variable-k
+    * trainer CTEs (k derived from the corpus count inside SQL), the
+    * same probe/rank/mutual tail as the fixed-nlist oracle, and the
+    * derived k surfaced as the `nlist` column so the DERIVATION is
+    * hash-checked alongside the graph built from it. */
+  private val vecKnnGraphAnnAutoOracleSql: String =
+    lloydCtesVarKSql(iters = 10, targetOcc = 128L) + ",\n" + ivfAssignSql +
+      """,
+        |qp AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell FROM (
+        |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+        |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+        |    FROM nv, t10 WHERE nv.nrm > 0) WHERE rn <= 3),
+        |sc AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos FROM (
+        |    SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id, c.e AS ce, c.nrm AS cn
+        |    FROM qp q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.query_id)),
+        |tk AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM sc QUALIFY rank <= 5)
+        |SELECT a.query_id, a.rank, a.neighbor_id, a.cos,
+        |  (b.query_id IS NOT NULL) AS mutual, kk.k AS nlist
+        |FROM tk a LEFT JOIN tk b
+        |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id, kk
         |ORDER BY a.query_id, a.rank""".stripMargin
 
   /** The PQ codebook trainer (8 subspaces × 16 Lloyd centroids over
@@ -1353,6 +1414,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_probe" -> annIvfProbeOracleSql,
     "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,
+    "vec_knn_graph_ann_auto" -> vecKnnGraphAnnAutoOracleSql,
     "vec_kmeans" -> vecKmeansOracleSql,
     "sample_diverse" -> sampleDiverseOracleSql,
     "dedup_semantic" -> dedupSemanticOracleSql,

@@ -94,12 +94,13 @@ object VectorOps {
     val n = data.length
     val dim = data.head.length
     val cent = Array.tabulate(k)(j => data((j.toLong * n / k).toInt).map(_.toDouble))
+    val assign = new Array[Int](n)
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      var r = 0
-      while (r < n) {
+      // argmin phase parallelized over rows (each row writes only its
+      // own slot — deterministic); the n·k·d distance work dominates at
+      // the adaptive-nlist sizes (k ∝ corpus/occ can reach 4096)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
         val v = data(r)
         var best = 0; var bestDist = Double.MaxValue
         var j = 0
@@ -109,9 +110,18 @@ object VectorOps {
           if (s < bestDist) { bestDist = s; best = j }
           j += 1
         }
-        val acc = sums(best); var i = 0
+        assign(r) = best
+      }
+      // accumulation stays SEQUENTIAL in sample-row order — the DuckDB
+      // oracle replays these plain-double sums term for term (IEEE
+      // determinism needs the same values in the same order)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var r = 0
+      while (r < n) {
+        val acc = sums(assign(r)); val v = data(r); var i = 0
         while (i < dim) { acc(i) += v(i); i += 1 }
-        counts(best) += 1
+        counts(assign(r)) += 1
         r += 1
       }
       var j = 0
@@ -136,15 +146,30 @@ object VectorOps {
     * into the corpus scan — one pass, no ML-pipeline job storm. */
   /** Bounded-sample Lloyd training shared by the IVF variants: at most
     * 4096 rows ever reach the driver, whatever the corpus size. */
-  private def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+  private def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    trainCentroidsK(spark, dir, 16)
+
+  private def trainCentroidsK(spark: SparkSession, dir: String,
+      k: Int): Array[Array[Double]] = {
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(4096)
       .collect().map(_.getSeq[Float](1).toArray)
     // empty corpus ⇒ no centroids; NearestCell degenerates to cell 0
     // over zero rows (day-one deployments must plan cleanly)
-    if (sample.isEmpty) Array.empty[Array[Double]] else lloyd(sample, 16, 10)
+    if (sample.isEmpty) Array.empty[Array[Double]] else lloyd(sample, k, 10)
   }
+
+  /** The adaptive-nlist dial: cell count from a TARGET PER-CELL
+    * OCCUPANCY instead of a constant — `autoR`'s fixed-occupancy cure
+    * (ops/SpatialJoin.scala) applied to the IVF coarse quantizer.
+    * Integer ceiling so both engines derive the identical value;
+    * clamped to [1, 4096] (the driver-sample bound — past ~4096·occ
+    * corpus rows the quantizer would need more training rows than the
+    * bounded sample holds, and occupancy degrades gracefully linear
+    * instead of the index failing). */
+  private[graft] def deriveNlist(corpusN: Long, targetOcc: Long): Int =
+    math.max(1L, math.min(4096L, (corpusN + targetOcc - 1) / targetOcc)).toInt
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -354,9 +379,42 @@ object VectorOps {
     * the test corpus and pins its floor. Rows-only (approximate by
     * design); the exact twin is the oracle-checked verifier. */
   def vecKnnGraphAnn(spark: SparkSession, dir: String, k: Int = 5,
-      probes: Int = 3): DataFrame = {
+      probes: Int = 3): DataFrame =
+    knnGraphAnnImpl(spark, dir, k, probes, nlist = None)
+
+  /** `vecKnnGraphAnn` with the fixed-occupancy-dial disease cured: the
+    * cell count derives from a target per-cell occupancy (`deriveNlist`
+    * — nlist ≈ n/occ, the `q_dbscan_auto` recipe on the vector plane),
+    * so per-query candidate work stays ~probes·occ·d whatever the
+    * corpus size, instead of growing ∝ n under a constant nlist (the
+    * r7-measured 39.6×-at-10×-rows pathology). One extra corpus-count
+    * job derives n; the derived nlist is emitted as a column so the
+    * DuckDB oracle replays the derivation AND the nlist-term Lloyd
+    * unroll (variable-k CTEs, SparkEntry.lloydCtesVarKSql).
+    *
+    * Cost ledger at scale: scoring is n·probes·occ·d — LINEAR in n by
+    * construction. Assignment is n·nlist·d = n²d/occ, a smaller term
+    * through the test decades (it crosses scoring only past the 4096
+    * clamp, where nlist freezes and assignment returns to linear); the
+    * next-decade fix is a coarse prefilter over the centroid set
+    * (centroids are themselves an embedding corpus), not a bigger
+    * flat argmin. */
+  def vecKnnGraphAnnAuto(spark: SparkSession, dir: String, k: Int = 5,
+      probes: Int = 3, targetOcc: Long = 128L): DataFrame = {
+    val corpusN = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .filter(expr("vec_norm(e)") > 0).count()
+    knnGraphAnnImpl(spark, dir, k, probes,
+      nlist = Some(deriveNlist(corpusN, targetOcc)))
+  }
+
+  private def knnGraphAnnImpl(spark: SparkSession, dir: String, k: Int,
+      probes: Int, nlist: Option[Int]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val centroids = trainCentroids(spark, dir)
+    val centroids = nlist match {
+      case Some(n) => trainCentroidsK(spark, dir, n)
+      case None => trainCentroids(spark, dir)
+    }
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
@@ -392,9 +450,12 @@ object VectorOps {
           .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
     val swapped = topk.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"), lit(true).as("mutual"))
-    topk.join(swapped, Seq("query_id", "neighbor_id"), "left")
+    val graph = topk.join(swapped, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
         coalesce(col("mutual"), lit(false)).as("mutual"))
+    // auto variant: the derived cell count rides along so the oracle
+    // verifies the k-derivation, not just the graph built from it
+    nlist.fold(graph)(n => graph.withColumn("nlist", lit(n.toLong)))
       .orderBy("query_id", "rank")
   }
 

@@ -554,6 +554,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.45, f"ann knn-graph recall regressed: $recall%.3f")
   }
 
+  test("auto knn graph: nlist derives from the corpus count, tail contract + recall floor hold") {
+    val exact = VectorOps.vecKnnGraph(spark, sfDir).collect()
+    val auto = VectorOps.vecKnnGraphAnnAuto(spark, sfDir).collect()
+    // the derived dial: ceil(norm-filtered corpus / 128) clamped to
+    // [1, 4096], emitted on every row (norm > 0 ⟺ any component ≠ 0)
+    val n = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect().count(
+        _.getAs[scala.collection.Seq[Float]]("embedding").exists(_ != 0f))
+    val wantNlist = math.max(1L, math.min(4096L, (n + 127L) / 128L))
+    assert(auto.nonEmpty && auto.forall(_.getAs[Long]("nlist") == wantNlist),
+      s"derived nlist must be $wantNlist everywhere")
+    // identical tail contract to the fixed variant: dense ranks per
+    // query, mutual == reverse-edge-present
+    val edges = auto.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    auto.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to g.length))
+    }
+    auto.foreach { r =>
+      assert(r.getAs[Boolean]("mutual") ==
+        edges.contains((r.getAs[Long]("neighbor_id"), r.getAs[Long]("query_id"))))
+    }
+    // shared edges carry the exact kernel's cosine
+    val exCos = exact.map(r => ((r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")), r.getAs[Double]("cos"))).toMap
+    auto.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exCos.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+    // recall floor vs the exact graph: at test scale the derived nlist
+    // is SMALL (bigger cells than fixed-16), so recall must not fall
+    // below the fixed variant's pinned floor
+    val exEdges = exact.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exEdges.count(edges.contains).toDouble / exEdges.size
+    assert(recall >= 0.45, f"auto knn-graph recall regressed: $recall%.3f")
+  }
+
+  test("deriveNlist: integer-ceiling occupancy dial with [1, 4096] clamp") {
+    assert(VectorOps.deriveNlist(0L, 128L) == 1)
+    assert(VectorOps.deriveNlist(1L, 128L) == 1)
+    assert(VectorOps.deriveNlist(128L, 128L) == 1)
+    assert(VectorOps.deriveNlist(129L, 128L) == 2)
+    assert(VectorOps.deriveNlist(2000L, 128L) == 16)   // bench SF: matches fixed-16
+    assert(VectorOps.deriveNlist(20000L, 128L) == 157) // sf1: occupancy stays ~128
+    assert(VectorOps.deriveNlist(10_000_000L, 128L) == 4096) // clamp binds
+  }
+
   test("mrl eval: full width scores perfect recall, truncations are bounded") {
     val rows = VectorOps.mrlEval(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("dim")).toSeq == Seq(8L, 16L, 32L, 64L))
