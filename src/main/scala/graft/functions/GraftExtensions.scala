@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule that rewrites row_number-top-k windows onto it
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // hot-key mitigation: salted-join rewrite for keys a deployment
+    // configures after profiling (no-op until spark.graft.skewJoin.keys
+    // is set — see SaltedJoinRewrite's contract)
+    e.injectOptimizerRule(_ => graft.plans.SaltedJoinRewrite)
   }
 }

@@ -26,4 +26,51 @@ class SkewJoinSpec extends SparkSpec {
       .rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(parts.count(_ > 0) > 1, s"expected >1 non-empty partition, got ${parts.toSeq}")
   }
+
+  test("SaltedJoinRewrite: a configured hot key rewrites the join plan and keeps results") {
+    import graft.plans.SaltedJoinRewrite
+    import spark.implicits._
+    SaltedJoinRewrite.enable(spark)
+    val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 1L, i))
+      .toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    // baseline BEFORE configuring: plan untouched, results captured
+    val plainDf = big.join(small, Seq("k"))
+    assert(!plainDf.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "rule must be a no-op until keys are configured")
+    val plain = plainDf.agg(count(lit(1)), sum("payload")).collect().head
+    spark.conf.set(SaltedJoinRewrite.KeysConf, "k")
+    spark.conf.set(SaltedJoinRewrite.BucketsConf, "4")
+    try {
+      val df = big.join(small, Seq("k"))
+      val opt = df.queryExecution.optimizedPlan
+      // the plan carries the salted shape: a Generate on the dim side
+      // and the salt equality in the join condition
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.nonEmpty)
+      assert(joins.head.condition.get.references.exists(_.name == "_salt"),
+        s"join condition must include the salt:\n$opt")
+      assert(opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.nonEmpty,
+        s"dim side must be exploded across salt values:\n$opt")
+      // results unchanged vs the un-rewritten join
+      assert(df.agg(count(lit(1)), sum("payload")).collect().head == plain)
+      // the hot key's rows actually spread over partitions
+      val hot = Seq.fill(1000)((1L, "x")).toDF("k", "v")
+      val dim = Seq((1L, "dim")).toDF("k", "attr")
+      val parts = hot.join(dim, Seq("k"))
+        .rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(parts.count(_ > 0) > 1,
+        s"expected the hot key in >1 partition, got ${parts.toSeq}")
+      // a multi-key join is left alone (outside the rewrite contract)
+      val two = big.withColumn("k2", col("payload") % 3)
+        .join(small.withColumn("k2", col("k") % 3), Seq("k", "k2"))
+      assert(!two.queryExecution.optimizedPlan.toString.contains("_salt"),
+        "multi-key joins must keep their plan")
+    } finally {
+      spark.conf.unset(SaltedJoinRewrite.KeysConf)
+      spark.conf.unset(SaltedJoinRewrite.BucketsConf)
+    }
+  }
 }
