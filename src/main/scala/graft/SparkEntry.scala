@@ -924,7 +924,17 @@ object SparkEntry {
     * prefix filter) reduce to |candidates ∩ truth| because the verify
     * stage IS the truth predicate; simhash and winnow pair sets are
     * re-derived in full (prefixed CTE names — DuckDB scopes nested
-    * WITHs but rejects shadowing, so the fragments inline instead). */
+    * WITHs but rejects shadowing, so the fragments inline instead).
+    *
+    * r8: the TRUTH set derives from the df≤64 candidate pairs with an
+    * exact per-pair list intersection, replacing the full inverted
+    * self-join whose Σdf² cost was one of the four sf1 oracle
+    * timeouts. Same set whenever every J≥0.5 pair shares at least one
+    * df≤64 shingle — which TextOpsSpec pins empirically on the test
+    * corpus (capped truth == full truth), and which holds with huge
+    * margin structurally: a J≥0.5 pair shares ≥ a third of its
+    * combined shingle vocabulary, and trigram shingles of near-dup
+    * prose are overwhelmingly rare (median df 1–2 on this corpus). */
   private val dedupEvalOracleSql: String = {
     val mstep = OracleSqlGen.murmurLongStep("l", "acc")
     val hw = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w_ FROM w)", "w_", 42L)
@@ -939,19 +949,21 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
-       |tpair AS MATERIALIZED (
-       |  SELECT ia AS a_id, ib AS b_id FROM (
-       |    SELECT ea.doc_id AS ia, eb.doc_id AS ib, count(*) AS inter
-       |    FROM shx ea JOIN shx eb ON eb.xh = ea.xh AND ea.doc_id < eb.doc_id
-       |    GROUP BY ea.doc_id, eb.doc_id) p
-       |  JOIN ns na ON na.doc_id = p.ia JOIN ns nb ON nb.doc_id = p.ib
-       |  WHERE round(p.inter / CAST(na.n_sh + nb.n_sh - p.inter AS DOUBLE), 6) >= 0.5),
-       |nt AS (SELECT count(*) AS n_truth FROM tpair),
        |dftab AS MATERIALIZED (SELECT xh, count(*) AS df FROM shx GROUP BY xh),
        |cap64 AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
        |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 64),
+       |dlst AS MATERIALIZED (SELECT doc_id, list(xh ORDER BY xh) AS lx FROM shx GROUP BY doc_id),
+       |tpair AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id, na.n_sh, nb.n_sh AS nb_sh,
+       |      len(list_intersect(la.lx, lb.lx)) AS inter
+       |    FROM cap64 c
+       |    JOIN dlst la ON la.doc_id = c.a_id JOIN dlst lb ON lb.doc_id = c.b_id
+       |    JOIN ns na ON na.doc_id = c.a_id JOIN ns nb ON nb.doc_id = c.b_id)
+       |  WHERE round(inter / CAST(n_sh + nb_sh - inter AS DOUBLE), 6) >= 0.5),
+       |nt AS (SELECT count(*) AS n_truth FROM tpair),
        |cap8 AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
@@ -1044,15 +1056,26 @@ object SparkEntry {
     * point stages (grid pairs, degree cores, border min-attach) are
     * plain joins; `div` is truncating in Spark vs flooring in DuckDB,
     * hence the sign-adjusted cell arithmetic. */
-  private val qDbscanOracleSql: String = {
-    val R = 60L; val S = 42L; val r2 = R * R
+  private val qDbscanOracleSql: String = dbscanGridOracleSql(R = 60L, planeMod = 1L)
+
+  /** The GRID oracle construction, parameterized (r8): neighbor pairs
+    * via 3×3 cell probes instead of the all-pairs product, recursion
+    * only on the clique-collapsed super graph — the shape that let
+    * q_dbscan certify at sf1 where an all-pairs twin times out. Used
+    * by both the full-plane R=60 entry and (r8, closing the r7
+    * oracle-infeasible list) the mod-8 R=200 `q_dbscan_small` twin,
+    * whose previous brute-force oracle was one of the four sf1
+    * 900 s timeouts. */
+  private def dbscanGridOracleSql(R: Long, planeMod: Long): String = {
+    val S = (R.toDouble / math.sqrt(2.0)).toLong; val r2 = R * R
+    val planeCond = if (planeMod == 1L) "" else s" AND event_id % $planeMod = 0"
     def tdiv(x: String, d: Long) =
       s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
     s"""WITH RECURSIVE p AS MATERIALIZED (
        |  SELECT event_id, xc, yc FROM (
        |    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
        |     TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) * 100 AS yc
-       |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL),
+       |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL$planeCond),
        |pc AS MATERIALIZED (
        |  SELECT event_id, xc, yc, ${tdiv("xc", R)} AS cx, ${tdiv("yc", R)} AS cy FROM p),
        |pairs AS MATERIALIZED (
@@ -3490,10 +3513,12 @@ object SparkEntry {
         | AS BIGINT) AS emb_checksum
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    // both towers recomputed in closed form: media = 8 row sums ++ 8
-    // column sums of the planted block signature (payload sha256);
-    // text = the hashed-BoW projection (md5-prefix 1024-bucket feature
-    // hash per prompt word, fixed milli-weight matrix to 16 dims)
+    // the TRAINED tower replayed end to end: media emb = 8 row sums ++
+    // 8 column sums of the planted signature; captions from bit states
+    // (b{i}on / b{i}off); the centered-Hebbian pass (n·Σ_pairs e −
+    // cnt·Σ_all e per token bucket, pure integers) over the 256-doc
+    // training split; serving = the 3 held-out captions through the
+    // learned rows — training, captioning, and retrieval all in SQL
     "mm_retrieval" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS h
@@ -3505,28 +3530,60 @@ object SparkEntry {
         |   list_transform(generate_series(0, 7), i ->
         |     255 * list_sum(list_transform(generate_series(0, 7), j -> (h >> (j * 8 + i)) & 1))) AS emb
         |  FROM m),
-        |qw AS (
-        |  SELECT query, unnest(list_filter(string_split(
-        |    regexp_replace(lower(query), '[^a-z ]', '', 'g'), ' '), x -> x <> '')) AS w
-        |  FROM (VALUES ('transit delay report'), ('vehicle speed trace'),
-        |        ('route schedule table')) v(query)),
-        |qb AS (
-        |  SELECT query, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket
-        |  FROM qw),
+        |tr AS (SELECT doc_id, h FROM m WHERE doc_id % 7 <> 0 ORDER BY doc_id LIMIT 1024),
+        |tre AS (SELECT t.doc_id, t.h, me.emb FROM tr t JOIN me USING (doc_id)),
+        |ntr AS (SELECT COUNT(*) AS n FROM tre),
+        |sallk AS (
+        |  SELECT k, SUM(emb[k]) AS s FROM tre, generate_series(1, 16) g(k) GROUP BY k),
+        |tok AS (
+        |  SELECT tre.doc_id, tre.emb,
+        |    CAST(('0x' || substr(md5(CASE WHEN (h >> i) & 1 = 1
+        |      THEN 'b' || i || 'on' ELSE 'b' || i || 'off' END), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM tre, generate_series(0, 59) g(i)),
+        |wcnt AS (SELECT bucket, COUNT(*) AS c FROM tok GROUP BY bucket),
+        |wsum AS (
+        |  SELECT bucket, k, SUM(emb[k]) AS s
+        |  FROM tok, generate_series(1, 16) g(k) GROUP BY bucket, k),
+        |ww AS (
+        |  SELECT ws.bucket, ws.k,
+        |    ((SELECT n FROM ntr) * ws.s - wc.c * sa.s
+        |     + 1000000000 * (SELECT n FROM ntr)) // (SELECT n FROM ntr) - 1000000000 AS wv
+        |  FROM wsum ws JOIN wcnt wc USING (bucket) JOIN sallk sa USING (k)),
+        |qd AS (SELECT doc_id, h FROM m WHERE doc_id % 7 = 0 ORDER BY doc_id LIMIT 3),
+        |qcap AS (
+        |  SELECT qd.doc_id,
+        |    string_agg(CASE WHEN (h >> i) & 1 = 1
+        |      THEN 'b' || i || 'on' ELSE 'b' || i || 'off' END, ' ' ORDER BY i) AS query
+        |  FROM qd, generate_series(0, 59) g(i) GROUP BY qd.doc_id, qd.h),
+        |qtok AS (
+        |  SELECT qd.doc_id,
+        |    CAST(('0x' || substr(md5(CASE WHEN (h >> i) & 1 = 1
+        |      THEN 'b' || i || 'on' ELSE 'b' || i || 'off' END), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM qd, generate_series(0, 59) g(i)),
         |qe AS (
-        |  SELECT query, list_transform(generate_series(0, 15), k ->
-        |    list_sum(list_transform(bl, b -> (b * 31 + k) * 2654435761 % 2001 - 1000))) AS emb
-        |  FROM (SELECT query, list(bucket) AS bl FROM qb GROUP BY query)),
+        |  SELECT qt.doc_id, ww.k, SUM(ww.wv) AS qv
+        |  FROM qtok qt JOIN ww ON ww.bucket = qt.bucket GROUP BY qt.doc_id, ww.k),
+        |ec AS (
+        |  SELECT me.doc_id, g.k, (SELECT n FROM ntr) * me.emb[g.k] - sa.s AS v
+        |  FROM me, generate_series(1, 16) g(k) JOIN sallk sa ON sa.k = g.k),
+        |den AS (
+        |  SELECT doc_id, GREATEST(1,
+        |    CASE WHEN (t+1)*(t+1) <= ss THEN t+1 WHEN t*t > ss THEN t-1 ELSE t END) AS dn
+        |  FROM (SELECT doc_id, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS t
+        |        FROM (SELECT doc_id, SUM(v*v) AS ss FROM ec GROUP BY doc_id))),
         |scored AS (
-        |  SELECT qe.query, me.doc_id,
-        |   CAST(list_sum(list_transform(generate_series(1, 16),
-        |     i -> me.emb[i] * qe.emb[i])) AS BIGINT) AS score
-        |  FROM me CROSS JOIN qe),
+        |  SELECT qc.query, ec.doc_id, SUM(qe.qv * ec.v) AS score
+        |  FROM qe JOIN qcap qc ON qc.doc_id = qe.doc_id JOIN ec ON ec.k = qe.k
+        |  GROUP BY qc.query, ec.doc_id),
+        |simt AS (
+        |  SELECT s.query, s.doc_id,
+        |    CAST((s.score + 1000000000 * d.dn) // d.dn - 1000000000 AS BIGINT) AS sim
+        |  FROM scored s JOIN den d USING (doc_id)),
         |ranked AS (
-        |  SELECT query, doc_id, score,
-        |   CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT query, rank, doc_id, score FROM ranked
+        |  SELECT query, doc_id, sim,
+        |   CAST(row_number() OVER (PARTITION BY query ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+        |  FROM simt)
+        |SELECT query, rank, doc_id, sim FROM ranked
         |WHERE rank <= 3 ORDER BY query, rank""".stripMargin,
 
     // The block fixture recomputed in closed form: sig = 60-bit sha256
@@ -4216,36 +4273,9 @@ object SparkEntry {
     // join (the oracle-side O(n²) — Spark uses the grid), degree ≥
     // minPts cores, recursive-CTE closure over core-core edges for
     // cluster identity (component-min core id), min-label border attach
-    "q_dbscan_small" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
-        |   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 100 AS yc
-        |  FROM events WHERE value IS NOT NULL),
-        |p2 AS (SELECT * FROM p WHERE yc IS NOT NULL AND event_id % 8 = 0),
-        |pairs AS (
-        |  SELECT a.event_id AS a_id, b.event_id AS b_id
-        |  FROM p2 a JOIN p2 b ON a.event_id <> b.event_id
-        |  WHERE (a.xc - b.xc) * (a.xc - b.xc) + (a.yc - b.yc) * (a.yc - b.yc) <= 40000),
-        |core AS (SELECT a_id AS id FROM pairs GROUP BY a_id HAVING COUNT(*) >= 4),
-        |cedges AS (SELECT pr.a_id AS src, pr.b_id AS dst FROM pairs pr
-        |           JOIN core ca ON ca.id = pr.a_id JOIN core cb ON cb.id = pr.b_id),
-        |closure(a, b) AS (
-        |  SELECT src, dst FROM cedges
-        |  UNION
-        |  SELECT c.a, e.dst FROM closure c JOIN cedges e ON c.b = e.src),
-        |corelbl AS (SELECT core.id, least(core.id, coalesce(min(c.b), core.id)) AS cluster_id
-        |            FROM core LEFT JOIN closure c ON c.a = core.id GROUP BY core.id),
-        |border AS (SELECT pr.a_id AS id, MIN(cl.cluster_id) AS cluster_id
-        |           FROM pairs pr JOIN corelbl cl ON cl.id = pr.b_id
-        |           WHERE pr.a_id NOT IN (SELECT id FROM core)
-        |           GROUP BY pr.a_id)
-        |SELECT p2.event_id,
-        | CASE WHEN cl.id IS NOT NULL THEN 'core'
-        |      WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind,
-        | COALESCE(cl.cluster_id, bd.cluster_id) AS cluster_id
-        |FROM p2 LEFT JOIN corelbl cl ON cl.id = p2.event_id
-        |LEFT JOIN border bd ON bd.id = p2.event_id
-        |ORDER BY p2.event_id""".stripMargin,
+    // r8: the grid construction replaces the all-pairs twin (which hit
+    // the sf1 oracle timeout) — same answer, bounded derivation
+    "q_dbscan_small" -> dbscanGridOracleSql(R = 200L, planeMod = 8L),
 
     "dedup_sweep" ->
       """WITH w AS (
@@ -5278,11 +5308,40 @@ object SparkEntry {
         |FROM r, t WHERE r.cum_c * 5 >= t.tot_rev_c * 4
         |GROUP BY t.tot_users, t.tot_rev_c""".stripMargin,
 
+    // r8: the all-pairs levenshtein product (an sf1 900 s timeout) is
+    // replaced by an independent SQL replay of the symmetric-delete
+    // blocking — deletion neighborhoods D<=2 per DISTINCT name, variant
+    // self-join, exact levenshtein verify, then key expansion + the
+    // same-name distance-0 pairs. Recall is exact by the blocking
+    // lemma (spec-pinned adversarially in LinkageInterpSpec), so the
+    // bounded oracle certifies the same answer the brute twin did.
     "linkage_cluster" ->
       """WITH RECURSIVE
-        |p AS (SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
-        |      FROM supplier s1 JOIN supplier s2 ON s1.s_suppkey < s2.s_suppkey
-        |      WHERE levenshtein(s1.s_name, s2.s_name) <= 2),
+        |nm AS MATERIALIZED (SELECT DISTINCT s_name AS name FROM supplier),
+        |vx AS MATERIALIZED (
+        |  SELECT DISTINCT name, v FROM (
+        |    SELECT name, name AS v FROM nm
+        |    UNION ALL
+        |    SELECT name, substr(name, 1, i-1) || substr(name, i+1) AS v
+        |    FROM nm, generate_series(1, 64) g(i) WHERE i <= len(name)
+        |    UNION ALL
+        |    SELECT name, substr(name, 1, i-1) || substr(name, i+1, j-i-1) || substr(name, j+1) AS v
+        |    FROM nm, generate_series(1, 63) g(i), generate_series(2, 64) h(j)
+        |    WHERE j > i AND j <= len(name) AND i <= len(name) - 1)),
+        |np AS MATERIALIZED (
+        |  SELECT a_name, b_name, levenshtein(a_name, b_name) AS dist FROM (
+        |    SELECT DISTINCT a.name AS a_name, b.name AS b_name
+        |    FROM vx a JOIN vx b ON a.v = b.v AND a.name < b.name)
+        |  WHERE levenshtein(a_name, b_name) <= 2),
+        |p AS MATERIALIZED (
+        |  SELECT least(s1.s_suppkey, s2.s_suppkey) AS a,
+        |         greatest(s1.s_suppkey, s2.s_suppkey) AS b
+        |  FROM np JOIN supplier s1 ON s1.s_name = np.a_name
+        |          JOIN supplier s2 ON s2.s_name = np.b_name
+        |  UNION
+        |  SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        |  FROM supplier s1 JOIN supplier s2
+        |    ON s1.s_name = s2.s_name AND s1.s_suppkey < s2.s_suppkey),
         |edges AS (SELECT a AS src, b AS dst FROM p
         |          UNION ALL SELECT b AS src, a AS dst FROM p),
         |closure(a, b) AS (

@@ -636,47 +636,135 @@ object Multimodal {
 
   final case class MediaEmbRow(doc_id: Long, emb: Seq[Long])
 
-  /** The TEXT tower: a hashed bag-of-words encoder into the 16-slot
-    * shared integer space — each word feature-hashes to one of 1024
-    * buckets (the same md5-prefix hash `text_classifier` uses), and a
-    * fixed pseudorandom milli-weight matrix projects bucket counts to
-    * the 16 shared dimensions. Still a stand-in for a transformer, but
-    * it is a genuine TEXT function (two prompts differing in one word
-    * embed differently through that word's bucket row), where the
-    * previous design rendered prompts through the image encoder.
-    * Deterministic and closed-form, so the DuckDB oracle recomputes
-    * prompt embeddings from the query strings themselves. */
-  private[multimodal] def textEmbed(prompt: String): Array[Long] = {
+  /** The shared word→bucket feature hash (md5-prefix, 1024 buckets —
+    * the same construction `text_classifier` uses). */
+  private[graft] def bucketOf(w: String): Long = {
     val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
+  }
+
+  private[graft] def tokenize(prompt: String): Array[String] =
+    prompt.toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").filter(_.nonEmpty)
+
+  /** The UNTRAINED text tower (kept as the measured baseline): hashed
+    * bag-of-words through a FIXED pseudorandom milli-weight matrix.
+    * A genuine text function, but nothing ties its output to the
+    * media space — `MultimodalSpec` measures its retrieval accuracy
+    * against the trained tower below. */
+  private[graft] def textEmbed(prompt: String): Array[Long] = {
     val emb = new Array[Long](16)
-    prompt.toLowerCase.replaceAll("[^a-z ]", "").split(" ")
-      .filter(_.nonEmpty).foreach { w =>
-        md.reset()
-        val hex = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val bucket = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1024L
-        var k = 0
-        while (k < 16) {
-          emb(k) += (bucket * 31 + k) * 2654435761L % 2001L - 1000L
-          k += 1
-        }
+    tokenize(prompt).foreach { w =>
+      val bucket = bucketOf(w)
+      var k = 0
+      while (k < 16) {
+        emb(k) += (bucket * 31 + k) * 2654435761L % 2001L - 1000L
+        k += 1
       }
+    }
     emb
   }
 
-  /** Cross-modal retrieval: text prompts against a media corpus through
-    * a SHARED embedding space — the CLIP-style serving join. The media
-    * tower is the real-pixel encoder (`pixelEmbed` over the decoded
-    * raster, one codec config per partition — the model-serving shape);
-    * the text tower is the hashed bag-of-words projection above (the
-    * declared transformer stand-in — it scores prompt TEXT). The
-    * prompt side is a BOUNDED query set embedded on the driver and
-    * broadcast, so the corpus is scanned exactly once whatever its
-    * size, scoring integer dot products (exact, engine-portable) and
-    * keeping top-3 per prompt. At 100 TB the corpus side would flow
-    * through the ANN index family (LSH/IVF/IVFPQ all apply unchanged —
-    * the embedding column is the interface); this operator pins the
-    * exact-scan baseline the indexes are measured against. */
+  /** The planted CAPTION of a media asset: one word per signature bit
+    * state (`b{i}on` / `b{i}off`, bits 0..59 in order) — the fixture's
+    * deterministic stand-in for a human image description, closed-form
+    * from the signature so the DuckDB oracle generates the identical
+    * training and serving text. */
+  private[graft] def captionOf(h: Long): String =
+    (0 until 60).map(i =>
+      if (((h >> i) & 1L) == 1L) s"b${i}on" else s"b${i}off").mkString(" ")
+
+  /** TRAINED text tower weights: ONE closed-form pass of centered
+    * Hebbian learning over (caption, media-embedding) pairs — for
+    * every caption token t with bucket b and paired media embedding e:
+    * W[b] += e, then center by the global mean so a token's row is
+    * n_tr·Σ_{pairs∋t} e − cnt_t·Σ_all e (pure integers, no division,
+    * order-independent). Centering removes the corpus-mean background
+    * that would otherwise score every document by its brightness; what
+    * remains per token is exactly how documents WITH that bit state
+    * differ from the corpus — the cross-modal alignment CLIP learns by
+    * gradient descent, here solvable in closed form because the
+    * objective is linear. Training state is BOUNDED: ≤ 1024 pairs reach
+    * the driver (the trainCentroids discipline), and W is ≤ 120 rows
+    * of 16 longs broadcast by value. */
+  /** Trained-tower state: token rows + the (n, Σ emb) serving needs to
+    * center the media side with the SAME statistics training used. */
+  final case class TextTower(rows: Map[Long, Array[Long]], nTr: Long,
+      sumAll: Array[Long])
+
+  /** floor-division by a positive divisor, identical in the JVM and
+    * DuckDB: offset into positive range so truncating division IS
+    * floor division in both engines (Spark's `div` truncates, DuckDB's
+    * `//` floors — they agree only on non-negative numerators). */
+  private[graft] val DivOffset = 1000000000L
+
+  private[graft] def trainTextTower(
+      pairs: Seq[(String, Array[Long])]): TextTower = {
+    val nTr = pairs.length.toLong
+    val sumAll = new Array[Long](16)
+    pairs.foreach { case (_, e) =>
+      var k = 0; while (k < 16) { sumAll(k) += e(k); k += 1 }
+    }
+    val hebb = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    val cnt = scala.collection.mutable.Map.empty[Long, Long]
+    pairs.foreach { case (cap, e) =>
+      tokenize(cap).foreach { w =>
+        val b = bucketOf(w)
+        val acc = hebb.getOrElseUpdate(b, new Array[Long](16))
+        var k = 0; while (k < 16) { acc(k) += e(k); k += 1 }
+        cnt(b) = cnt.getOrElse(b, 0L) + 1L
+      }
+    }
+    // rows scaled back by n (offset floor-div) so serving-score
+    // magnitudes are corpus-size-free: row ≈ cnt·(mean_token − mean_all)
+    val rows = hebb.map { case (b, s) =>
+      b -> Array.tabulate(16) { k =>
+        (nTr * s(k) - cnt(b) * sumAll(k) + DivOffset * nTr) / nTr - DivOffset
+      }
+    }.toMap
+    TextTower(rows, nTr, sumAll)
+  }
+
+  /** Apply the trained tower to prompt TEXT (tokenize → bucket →
+    * learned row sum): one changed word moves the embedding through
+    * that word's learned row; unseen words contribute nothing. */
+  private[graft] def textEmbedLearned(prompt: String,
+      tower: TextTower): Array[Long] = {
+    val emb = new Array[Long](16)
+    tokenize(prompt).foreach { wd =>
+      tower.rows.get(bucketOf(wd)).foreach { row =>
+        var k = 0; while (k < 16) { emb(k) += row(k); k += 1 }
+      }
+    }
+    emb
+  }
+
+  /** Cross-modal retrieval with a TRAINED text tower — the CLIP-style
+    * serving join, now with the training step in-repo. The media tower
+    * is the real-pixel encoder (`pixelEmbed` over the decoded raster,
+    * one codec config per partition — the model-serving shape). The
+    * text tower is LEARNED: a bounded (≤1024-pair) training split
+    * (doc_id % 7 ≠ 0, first 1024 by id — serving docs held out) yields
+    * (caption, media-embedding) pairs, and one closed-form centered
+    * Hebbian pass solves the linear alignment objective
+    * ([[trainTextTower]]). Serving queries are the HELD-OUT captions
+    * (first 3 docs with doc_id % 7 = 0): text the trainer never saw,
+    * scored through the learned rows of the words it shares with
+    * training captions — so retrieval accuracy is finally MEASURABLE
+    * (does the described image rank top-3?) and the spec pins it above
+    * the fixed-matrix baseline.
+    *
+    * Scale shape unchanged: the prompt side is a bounded query set
+    * embedded on the driver and broadcast, training state is ≤ 1024
+    * pairs + a ≤ 120×16 weight table, and the corpus is scanned
+    * exactly once whatever its size, scoring integer dot products
+    * (exact, engine-portable) and keeping top-3 per prompt. At 100 TB
+    * the corpus side would flow through the ANN index family (LSH/IVF/
+    * IVFPQ all apply unchanged — the embedding column is the
+    * interface); this operator pins the exact-scan baseline. The whole
+    * train+serve chain is deterministic integers, so the DuckDB oracle
+    * replays training, captioning, and retrieval end to end. */
   def crossModalSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaImages(spark, dir)
@@ -684,18 +772,61 @@ object Multimodal {
         rows.map(r => MediaEmbRow(r.doc_id, pixelEmbed(readImage(r.media)).toSeq))
       }
       .toDF("doc_id", "emb")
-    val prompts = Seq("transit delay report", "vehicle speed trace",
-      "route schedule table")
-    val q = prompts.map(p => (p, textEmbed(p).toSeq))
+    // training pairs: caption from the planted signature, embedding
+    // EARNED from the encoded asset's decoded pixels (the same pair a
+    // real pipeline gets from human captions + the vision tower)
+    val trainPairs = graft.sources.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .orderBy("doc_id").limit(1024)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          val h = sha60(md, r.media)
+          val png = encodePng(h, (16 + h % 48).toInt, (16 + (h >> 8) % 48).toInt)
+          (captionOf(h), pixelEmbed(readImage(png)))
+        }
+      }.collect().toSeq // bounded: <= 1024 rows by construction
+    val tower = trainTextTower(trainPairs)
+    // serving queries: held-out captions (never seen by the trainer)
+    val prompts = graft.sources.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .orderBy("doc_id").limit(3)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("SHA-256")
+        rows.map(r => captionOf(sha60(md, r.media)))
+      }.collect().toSeq.sorted
+    val q = prompts.map(p => (p, textEmbedLearned(p, tower).toSeq))
       .toDF("query", "q_emb")
+    // serving similarity = centered cosine in exact integers: media
+    // centered by the TRAINING statistics (ec = n·emb − Σ_all emb — a
+    // constant-size broadcast, never a second corpus pass), dot with
+    // the learned query embedding, normalized by the media side's
+    // integer length (isqrt + offset floor-div; the query norm is
+    // constant per query so it cannot change ranks). Centering +
+    // normalization is what makes "which image does this text
+    // describe" robust to image brightness — the raw dot ranks every
+    // query's list by total ink instead.
+    val sumAllLit = array(tower.sumAll.toIndexedSeq.map(lit): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+      .partitionBy("query").orderBy(col("sim").desc, col("doc_id"))
     media.join(broadcast(q))
+      .withColumn("ec", zip_with(col("emb"), sumAllLit,
+        (e, sa) => lit(tower.nTr) * e - sa))
       .withColumn("score", expr(
-        "aggregate(zip_with(emb, q_emb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        "aggregate(zip_with(ec, q_emb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("ss", expr(
+        "aggregate(ec, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("t", expr("CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT)"))
+      .withColumn("den", expr(
+        "GREATEST(1L, CASE WHEN (t+1)*(t+1) <= ss THEN t+1 WHEN t*t > ss THEN t-1 ELSE t END)"))
+      .withColumn("sim", expr(s"(score + ${DivOffset}L * den) div den - ${DivOffset}L"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .select("query", "rank", "doc_id", "score")
+      .select("query", "rank", "doc_id", "sim")
       .orderBy("query", "rank")
   }
 

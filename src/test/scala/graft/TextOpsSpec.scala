@@ -614,4 +614,31 @@ class TextOpsSpec extends SparkSpec {
     val recalls = report.sortBy(_._2).map(_._5).toSeq
     assert(recalls == recalls.sorted.reverse)
   }
+
+  test("dedup truth is fully covered by df<=64 shingles (capped-oracle completeness certificate)") {
+    // the r8 bounded dedup_eval oracle derives the truth set from
+    // df<=64 candidate pairs + exact verify instead of the full
+    // inverted self-join; that is the SAME set iff every J>=0.5 pair
+    // shares at least one rare shingle — certified here on the test
+    // corpus (and re-certified at sf0.1/sf1 in the round log)
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val shingled = TextOps.shingledFrom(TextOps.docsRepartitioned(spark, sfDir))
+    val ex = TextOps.invertedIndex(shingled)
+    val fullTruth = TextOps.jaccardPairsFromIndex(ex)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rare = ex.join(df.filter(col("df") <= 64), Seq("sh"))
+      .select("sh", "doc_id")
+    val capped = rare.toDF("sh", "a_id")
+      .join(rare.toDF("sh", "b_id"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullTruth.nonEmpty)
+    assert(fullTruth.subsetOf(capped),
+      s"${fullTruth.diff(capped).size} truth pairs share only hot shingles — " +
+        "the bounded oracle would under-count the truth set")
+  }
 }
