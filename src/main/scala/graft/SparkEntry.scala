@@ -5310,11 +5310,19 @@ object SparkEntry {
 
     // r8: the all-pairs levenshtein product (an sf1 900 s timeout) is
     // replaced by an independent SQL replay of the symmetric-delete
-    // blocking — deletion neighborhoods D<=2 per DISTINCT name, variant
-    // self-join, exact levenshtein verify, then key expansion + the
-    // same-name distance-0 pairs. Recall is exact by the blocking
-    // lemma (spec-pinned adversarially in LinkageInterpSpec), so the
-    // bounded oracle certifies the same answer the brute twin did.
+    // blocking PLUS a clique collapse (the dbscan grid-oracle trick on
+    // the name plane): the part key is the name MINUS ITS LAST CHAR,
+    // so part-mates share length and all but the final character —
+    // pairwise lev<=1, provably a clique — and those parts contract
+    // along true edges. EVERYTHING then runs at part level —
+    // the variant index projects to (part, variant), candidate PART
+    // pairs come from shared D<=2 variants (complete: a true cross-
+    // part pair shares a variant, which both parts inherit), and the
+    // levenshtein verify runs only across candidate part pairs' name
+    // products. On a dense numeric namespace this cuts the candidate
+    // join ~bucket²/part-bucket² (~100x) and the recursive closure to
+    // the part graph. Labels stay min-key-per-component: part label =
+    // min key over reachable parts' min keys.
     "linkage_cluster" ->
       """WITH RECURSIVE
         |nm AS MATERIALIZED (SELECT DISTINCT s_name AS name FROM supplier),
@@ -5328,30 +5336,34 @@ object SparkEntry {
         |    SELECT name, substr(name, 1, i-1) || substr(name, i+1, j-i-1) || substr(name, j+1) AS v
         |    FROM nm, generate_series(1, 63) g(i), generate_series(2, 64) h(j)
         |    WHERE j > i AND j <= len(name) AND i <= len(name) - 1)),
-        |np AS MATERIALIZED (
-        |  SELECT a_name, b_name, levenshtein(a_name, b_name) AS dist FROM (
-        |    SELECT DISTINCT a.name AS a_name, b.name AS b_name
-        |    FROM vx a JOIN vx b ON a.v = b.v AND a.name < b.name)
-        |  WHERE levenshtein(a_name, b_name) <= 2),
-        |p AS MATERIALIZED (
-        |  SELECT least(s1.s_suppkey, s2.s_suppkey) AS a,
-        |         greatest(s1.s_suppkey, s2.s_suppkey) AS b
-        |  FROM np JOIN supplier s1 ON s1.s_name = np.a_name
-        |          JOIN supplier s2 ON s2.s_name = np.b_name
+        |d1p AS MATERIALIZED (
+        |  SELECT name, substr(name, 1, greatest(len(name) - 1, 0)) AS part FROM nm),
+        |px AS MATERIALIZED (
+        |  SELECT DISTINCT d.part, vx.v FROM vx JOIN d1p d USING (name)),
+        |cpp AS MATERIALIZED (
+        |  SELECT DISTINCT a.part AS pa, b.part AS pb
+        |  FROM px a JOIN px b ON a.v = b.v AND a.part < b.part),
+        |sed AS MATERIALIZED (
+        |  SELECT DISTINCT c.pa AS u, c.pb AS v
+        |  FROM cpp c JOIN d1p da ON da.part = c.pa
+        |             JOIN d1p db ON db.part = c.pb
+        |  WHERE levenshtein(da.name, db.name) <= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM sed UNION ALL SELECT v AS u, u AS v FROM sed),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM sym
         |  UNION
-        |  SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
-        |  FROM supplier s1 JOIN supplier s2
-        |    ON s1.s_name = s2.s_name AND s1.s_suppkey < s2.s_suppkey),
-        |edges AS (SELECT a AS src, b AS dst FROM p
-        |          UNION ALL SELECT b AS src, a AS dst FROM p),
-        |closure(a, b) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT c.a, e.dst FROM closure c JOIN edges e ON c.b = e.src),
-        |lbl AS (SELECT s.s_suppkey,
-        |         least(s.s_suppkey, COALESCE(MIN(c.b), s.s_suppkey)) AS cluster_id
-        |        FROM supplier s LEFT JOIN closure c ON c.a = s.s_suppkey
-        |        GROUP BY s.s_suppkey)
+        |  SELECT c.u, e.v FROM closure c JOIN sym e ON e.u = c.v WHERE e.v <> c.u),
+        |pmin AS MATERIALIZED (
+        |  SELECT d.part, MIN(s.s_suppkey) AS mk
+        |  FROM supplier s JOIN d1p d ON d.name = s.s_name GROUP BY d.part),
+        |plbl AS MATERIALIZED (
+        |  SELECT p0.part, LEAST(p0.mk, COALESCE(MIN(pm.mk), p0.mk)) AS cluster_id
+        |  FROM pmin p0 LEFT JOIN closure c ON c.u = p0.part
+        |               LEFT JOIN pmin pm ON pm.part = c.v
+        |  GROUP BY p0.part, p0.mk),
+        |lbl AS (SELECT s.s_suppkey, pl.cluster_id
+        |        FROM supplier s JOIN d1p d ON d.name = s.s_name
+        |                        JOIN plbl pl ON pl.part = d.part)
         |SELECT s.s_suppkey, s.s_name, l.cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
         |  s.s_suppkey = l.cluster_id AS is_canonical
