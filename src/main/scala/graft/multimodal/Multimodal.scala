@@ -718,11 +718,14 @@ object Multimodal {
     }
     // rows scaled back by n (offset floor-div) so serving-score
     // magnitudes are corpus-size-free: row ≈ cnt·(mean_token − mean_all)
-    val rows = hebb.map { case (b, s) =>
-      b -> Array.tabulate(16) { k =>
-        (nTr * s(k) - cnt(b) * sumAll(k) + DivOffset * nTr) / nTr - DivOffset
-      }
-    }.toMap
+    // (empty training split ⇒ no rows — day-one deployments plan clean)
+    val rows =
+      if (nTr == 0) Map.empty[Long, Array[Long]]
+      else hebb.map { case (b, s) =>
+        b -> Array.tabulate(16) { k =>
+          (nTr * s(k) - cnt(b) * sumAll(k) + DivOffset * nTr) / nTr - DivOffset
+        }
+      }.toMap
     TextTower(rows, nTr, sumAll)
   }
 
