@@ -31,6 +31,16 @@ object Bench {
     // local-iteration filter: SPARK_GRAFT_ONLY=<regex> benches only the
     // matching queries (unset in driver runs — full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // SPARK_GRAFT_PASSES (default 3, unset in driver runs): pass count
+    // per query — see the median comment below. Stamped into the env
+    // fingerprint so a 1-pass volume smoke can't pose as the full
+    // 3-pass protocol.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3).max(1)
+    // SPARK_GRAFT_WARMUP=0 skips the per-query warmup passes entirely
+    // (volume smokes: a 5-minute sf10 query amortizes JIT/codegen in
+    // its first seconds, and the smoke's question is completion +
+    // scaling order, not steady-state ±3%). Also stamped into env.
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val measured = selected.map { case (name, fn) =>
@@ -49,7 +59,8 @@ object Bench {
       // honest 100 TB quantity: production queries run hot.
       val w0 = System.nanoTime()
       val warmupOk =
-        try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        if (!warmups) false
+        else try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // heavyweight multi-job ops (iterative clustering, the eval
       // reports) don't reach JIT/codegen steady state in one pass —
@@ -99,7 +110,13 @@ object Bench {
       // plus its min/max spread, making cross-round totals separable
       // into drift vs regression without re-running. (Earlier rounds
       // medianed only the >2 s tail; the judge asked for full coverage.)
-      val passes = (1 to 3).map { i => if (i > 1) System.gc(); timedPass() }
+      // SPARK_GRAFT_PASSES (default 3, unset in driver runs) drops the
+      // pass count for volume SMOKE runs (sf3–sf10), where one pass of
+      // the expensive tail is minutes and the question is "does it
+      // complete and scale", not "±3% wall": the pass count is stamped
+      // into the emitted JSON so a smoke line can never be mistaken
+      // for a full-protocol measurement.
+      val passes = (1 to nPasses).map { i => if (i > 1) System.gc(); timedPass() }
       val oks = passes.filter(_._2).map(_._1).sorted
       val dt =
         if (oks.nonEmpty) {
@@ -150,7 +167,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"load_avg":${f3(os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors},""" +
         s""""heap_max_gb":${f3(Runtime.getRuntime.maxMemory / 1e9)},"gc_count":$gcCount,"gc_sec":${f3(gcMs / 1e3)},""" +
-        s""""passes_per_query":3,"flaky":$flakyJson}"""
+        s""""passes_per_query":$nPasses,"warmup":$warmups,"flaky":$flakyJson}"""
     }
     // per-query [min,max] over the successful passes: the judge's
     // drift-vs-regression separator (a wide spread says tail noise; a
