@@ -102,6 +102,26 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
 
+  /** Document-frequency cap for the PRODUCTION pair-generation path
+    * (`jaccardPairsFrom` and every operator built on it). The capped
+    * candidate join is the only formulation whose cost SHRINKS as the
+    * corpus densifies: the uncapped inverted-index self-join costs
+    * Σdf² rows (measured 260M at sf1 → 2.33B at sf3 → ~26B projected
+    * at sf10 on the scaled drops — the sf3 smoke's 15.8×-per-3×-rows
+    * scale-killer on corpus_split), while the df≤64 candidate set
+    * SATURATES (1.26M pairs at sf1 → 60k at sf3: shingles cross the
+    * cap as their df grows and drop out of generation entirely).
+    * Completeness is the dedup_eval truth lemma: a J ≥ 0.5 pair
+    * shares ≥ a third of its combined shingle vocabulary, and near-dup
+    * prose trigrams are overwhelmingly rare (median df 1-2), so every
+    * true pair shares at least one df≤64 shingle — spec-pinned
+    * (capped == uncapped pair sets) on the test corpora, and guarded
+    * permanently by the UNCAPPED oracle replays in CORRECTNESS: any
+    * lemma-violating miss is a hash mismatch, never silent. The
+    * uncapped join survives as the `dedup_ngram_jaccard` verification
+    * twin (the text_tfidf / text_tfidf_capped pattern). */
+  private[graft] val PairDfCap = 64L
+
   /** Unsorted Jaccard ≥ 0.5 pairs — shared by the pair report and the
     * clustering operator. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
@@ -109,9 +129,14 @@ object TextOps {
 
   /** Jaccard ≥ 0.5 pairs over an arbitrary pre-shingled doc set (see
     * `shingledFrom`); the dir-based `jaccardPairs` is the whole-corpus
-    * instantiation. */
-  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame =
-    jaccardPairsFromIndex(invertedIndex(docs))
+    * instantiation. PRODUCTION PATH (see `PairDfCap`): df-capped
+    * candidate generation + exact full-array verify, so emitted
+    * jaccard values never depend on the cap. */
+  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val ex = invertedIndex(docs)
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, PairDfCap), hashedFrom(docs))
+  }
 
   /** (doc_id, n_sh, sh): the exploded hashed-shingle inverted index —
     * join on the 64-bit shingle hash, not the string: the self-join
@@ -139,8 +164,13 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** The UNCAPPED exact pair join — kept as the verification twin of
+    * the production df-capped path (`jaccardPairsFrom`), exactly the
+    * text_tfidf / text_tfidf_capped split: this entry pays the Σdf²
+    * self-join by declared design so the capped path has an
+    * independently-oracled exactness anchor at every check SF. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir)
+    jaccardPairsFromIndex(invertedIndex(shingledDocs(spark, dir)))
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
@@ -326,7 +356,7 @@ object TextOps {
     *    J ≤ min(n)/max(n) applied inside the index join, ahead of the
     *    fold's shuffle. */
   private[graft] def cappedCandidatesVariant(ex: DataFrame, dfTab: DataFrame,
-      dfCap: Long, mode: String): DataFrame = {
+      dfCap: Long, mode: String, thr: Double = 0.4999): DataFrame = {
     val rare = dfTab.filter(col("df") <= dfCap).select("sh")
     val pruned = ex.join(rare, Seq("sh"))
     val a = pruned.toDF("sh", "a_id", "a_n")
@@ -338,7 +368,7 @@ object TextOps {
     val lenFiltered =
       if (mode == "foldlen")
         joined.filter(least(col("a_n"), col("b_n")) >=
-          greatest(col("a_n"), col("b_n")) * 0.4999)
+          greatest(col("a_n"), col("b_n")) * thr)
       else joined
     val cand = lenFiltered
       .groupBy("a_id", "b_id", "a_n", "b_n")
@@ -349,7 +379,7 @@ object TextOps {
       .join(rareN.toDF("b_id", "b_rare"), Seq("b_id"))
       .withColumn("ub", col("inter_c") +
         least(col("a_n") - col("a_rare"), col("b_n") - col("b_rare")))
-      .filter(col("ub") / (col("a_n") + col("b_n") - col("ub")) >= 0.4999)
+      .filter(col("ub") / (col("a_n") + col("b_n") - col("ub")) >= thr)
       .select("a_id", "b_id")
   }
 
@@ -971,7 +1001,14 @@ object TextOps {
     // force the chain bottom-up BEFORE the concurrent scores so two
     // futures don't race to compute the same cached partitions
     hashed.count(); dfTab.count()
-    val truth = jaccardPairsFromIndex(ex).select("a_id", "b_id")
+    // truth via the PRODUCTION capped path (PairDfCap) off the same
+    // persisted substrate — the r8 oracle already derives tpair from
+    // df≤64 candidates + exact list intersect, so Spark and DuckDB now
+    // run the SAME construction (the uncapped join was the sf3 smoke's
+    // 2.33B-row stage; the capped set saturates instead of growing)
+    val truth = verifyJaccard(
+        cappedCandidatesFromIndex(ex, dfTab, PairDfCap), hashed)
+      .select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
     // one action per method: the truth side is a distinct pair set
@@ -1748,21 +1785,22 @@ object TextOps {
     * ppm Jaccard (`inter·10⁶ div union` — no FP rank boundary), one
     * pair computation, a bounded 7-row threshold explode on the
     * already-aggregated pair table (never on the index), and a spine
-    * left-join so empty cuts report 0 instead of vanishing. Same scale
-    * shape as `jaccardPairs`; the df-capped shingle variant is the
-    * 100 TB swap, unchanged. */
+    * left-join so empty cuts report 0 instead of vanishing. PRODUCTION
+    * PATH (see `PairDfCap`): df-capped candidates at the sweep's OWN
+    * floor (thr 0.2999 — the candidate filters must admit everything
+    * the 0.30 cut reports), then exact full-array verify, so reported
+    * counts never depend on the cap. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingledDocs(spark, dir)
-    val ex = docs.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("sh_str"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
-    val a = ex.toDF("a_id", "a_n", "sh")
-    val b = ex.toDF("b_id", "b_n", "sh")
-    val pairs = a.join(b.hint("shuffle_hash"), Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_n", "b_n")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("j_ppm", expr("inter * 1000000 div (a_n + b_n - inter)"))
+    val ex = invertedIndex(docs)
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hashed = hashedFrom(docs)
+    val pairs = cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", 0.2999)
+      .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
+      .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("long"))
+      .withColumn("j_ppm",
+        expr("inter * 1000000 div (size(a_sh) + size(b_sh) - inter)"))
       .filter(col("j_ppm") >= 300000L)
     val counts = pairs
       .select(explode(expr("sequence(300000L, 900000L, 100000L)")).as("thr_ppm"),

@@ -641,4 +641,48 @@ class TextOpsSpec extends SparkSpec {
       s"${fullTruth.diff(capped).size} truth pairs share only hot shingles — " +
         "the bounded oracle would under-count the truth set")
   }
+
+  test("production capped pair path equals the uncapped join exactly, values included") {
+    // r8: jaccardPairsFrom (and every operator built on it — cluster
+    // labels, curation, cross-source, banding/eval truth) switched to
+    // df<=PairDfCap candidates + exact full-array verify: the uncapped
+    // self-join costs Σdf² rows (260M at sf1 → 2.33B at sf3), while
+    // the capped candidate set SATURATES (1.26M → 60k). This is the
+    // in-suite completeness certificate for the default path; the
+    // UNCAPPED oracle replays in CORRECTNESS guard it at every SF.
+    graft.functions.GraftFunctions.register(spark)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = TextOps.dedupNgramJaccard(spark, sfDir).collect().map(key).toSet
+    val capped = TextOps.jaccardPairsCapped(spark, sfDir, TextOps.PairDfCap)
+      .collect().map(key).toSet
+    assert(capped == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("capped threshold sweep equals the uncapped sweep at every cut") {
+    // dedupSweep generates candidates at its OWN floor (0.2999, not
+    // the pair operator's 0.4999) — a cap-threshold mismatch would
+    // silently under-count the 0.3/0.4 cuts while the >=0.5 cuts
+    // still passed, so the sweep gets its own full-table certificate
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val swept = TextOps.dedupSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // uncapped reconstruction: the retired Σdf² formulation, inline
+    val docs = TextOps.shingledDocs(spark, sfDir)
+    val ex = TextOps.invertedIndex(docs)
+    val a = ex.toDF("a_id", "a_n", "sh")
+    val b = ex.toDF("b_id", "b_n", "sh")
+    val jppm = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j_ppm", expr("inter * 1000000 div (a_n + b_n - inter)"))
+      .select("j_ppm").collect().map(_.getLong(0))
+    (3 to 9).foreach { i =>
+      val thr = i * 100000L
+      assert(swept(thr) == jppm.count(_ >= thr).toLong, s"cut $thr")
+    }
+    assert(swept.values.exists(_ > 0))
+  }
 }
