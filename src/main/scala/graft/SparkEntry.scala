@@ -1023,24 +1023,26 @@ object SparkEntry {
        |  FROM wn_keep a JOIN wn_keep b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |sc AS (
-       |  SELECT 'minhash_lsh_32x4' AS method,
-       |    (SELECT count(*) FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id) AS n_pairs,
-       |    (SELECT count(*) FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id) AS n_hit
-       |  UNION ALL SELECT 'jaccard_dfcap_64',
-       |    (SELECT count(*) FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
-       |    (SELECT count(*) FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
-       |  UNION ALL SELECT 'jaccard_dfcap_8',
-       |    (SELECT count(*) FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
-       |    (SELECT count(*) FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
-       |  UNION ALL SELECT 'jaccard_prefix',
-       |    (SELECT count(*) FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id),
-       |    (SELECT count(*) FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
-       |  UNION ALL SELECT 'simhash64_h3',
-       |    (SELECT count(*) FROM simp),
-       |    (SELECT count(*) FROM simp c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
-       |  UNION ALL SELECT 'winnow_k3w4',
-       |    (SELECT count(*) FROM winp),
-       |    (SELECT count(*) FROM winp c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id))
+       |  -- the four exact-verified strategies reduce to |cand ∩ truth|
+       |  -- (n_pairs = n_hit — the verify stage IS the truth predicate):
+       |  -- ONE inner-join count each, not two identical scalar
+       |  -- subqueries; simhash/winnow report raw pair count + hits in
+       |  -- ONE left-join pass (r8: the old 12-subquery form re-scanned
+       |  -- the 48M-row prefix candidate set twice at sf1)
+       |  SELECT 'minhash_lsh_32x4' AS method, n AS n_pairs, n AS n_hit FROM (
+       |    SELECT count(*) AS n FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'jaccard_dfcap_64', n, n FROM (
+       |    SELECT count(*) AS n FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'jaccard_dfcap_8', n, n FROM (
+       |    SELECT count(*) AS n FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'jaccard_prefix', n, n FROM (
+       |    SELECT count(*) AS n FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'simhash64_h3', np, nh FROM (
+       |    SELECT count(*) AS np, count(t.a_id) AS nh
+       |    FROM simp c LEFT JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |  UNION ALL SELECT 'winnow_k3w4', np, nh FROM (
+       |    SELECT count(*) AS np, count(t.a_id) AS nh
+       |    FROM winp c LEFT JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id))
        |SELECT sc.method, sc.n_pairs, nt.n_truth, sc.n_hit,
        |  CASE WHEN sc.n_pairs = 0 THEN 0 ELSE sc.n_hit * 1000000 // sc.n_pairs END AS precision_ppm,
        |  CASE WHEN nt.n_truth = 0 THEN 0 ELSE sc.n_hit * 1000000 // nt.n_truth END AS recall_ppm
