@@ -945,9 +945,6 @@ object SparkEntry {
        |    SELECT doc_id, i // 4 AS band_id,
        |      list_reduce(list_prepend(42::BIGINT, list(v ORDER BY i)), (acc, l) -> $mstep) AS bh
        |    FROM sigs GROUP BY doc_id, i // 4)),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
        |dftab AS MATERIALIZED (SELECT xh, count(*) AS df FROM shx GROUP BY xh),
        |cap64 AS MATERIALIZED (
@@ -964,19 +961,12 @@ object SparkEntry {
        |    JOIN ns na ON na.doc_id = c.a_id JOIN ns nb ON nb.doc_id = c.b_id)
        |  WHERE round(inter / CAST(n_sh + nb_sh - inter AS DOUBLE), 6) >= 0.5),
        |nt AS (SELECT count(*) AS n_truth FROM tpair),
-       |cap8 AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
-       |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 8),
        |pfx AS MATERIALIZED (
        |  SELECT doc_id, xh FROM (
        |    SELECT e.doc_id, e.xh, ns.n_sh,
        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.xh) AS rk
        |    FROM shx e JOIN dftab d ON d.xh = e.xh JOIN ns ON ns.doc_id = e.doc_id)
        |  WHERE rk <= n_sh // 2 + 1),
-       |pfxc AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM pfx a JOIN pfx b ON a.xh = b.xh AND a.doc_id < b.doc_id),
        |sim_hw AS MATERIALIZED ($hw),
        |sim_v AS MATERIALIZED (
        |  SELECT o.doc_id, g.b,
@@ -1024,19 +1014,37 @@ object SparkEntry {
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |sc AS (
        |  -- the four exact-verified strategies reduce to |cand ∩ truth|
-       |  -- (n_pairs = n_hit — the verify stage IS the truth predicate):
-       |  -- ONE inner-join count each, not two identical scalar
-       |  -- subqueries; simhash/winnow report raw pair count + hits in
-       |  -- ONE left-join pass (r8: the old 12-subquery form re-scanned
-       |  -- the 48M-row prefix candidate set twice at sf1)
+       |  -- (n_pairs = n_hit — the verify stage IS the truth predicate),
+       |  -- and the intersection is computed ANCHORED ON tpair: for each
+       |  -- of the ~1.4k truth pairs, does THIS generator connect its two
+       |  -- docs? That replaces the raw candidate materializations — the
+       |  -- prefix self-join alone was ~600M pre-distinct rows / 48M
+       |  -- pairs at sf1 and none of that cardinality ever reached the
+       |  -- output (873 s and 48 GB of spill for counts a 1.4k-row
+       |  -- anchored probe computes exactly). cap64 ⊇ tpair is a
+       |  -- construction identity (tpair derives FROM the df≤64
+       |  -- candidates), so its count is count(tpair) itself.
+       |  -- simhash/winnow DO report their raw pair cardinalities, so
+       |  -- they keep their full derivations (one left-join pass each).
        |  SELECT 'minhash_lsh_32x4' AS method, n AS n_pairs, n AS n_hit FROM (
-       |    SELECT count(*) AS n FROM cand c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |    SELECT count(*) AS n FROM (
+       |      SELECT DISTINCT t.a_id, t.b_id FROM tpair t
+       |      JOIN bands ba ON ba.doc_id = t.a_id
+       |      JOIN bands bb ON bb.doc_id = t.b_id
+       |        AND bb.band_id = ba.band_id AND bb.band_hash = ba.band_hash))
        |  UNION ALL SELECT 'jaccard_dfcap_64', n, n FROM (
-       |    SELECT count(*) AS n FROM cap64 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |    SELECT count(*) AS n FROM tpair)
        |  UNION ALL SELECT 'jaccard_dfcap_8', n, n FROM (
-       |    SELECT count(*) AS n FROM cap8 c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |    SELECT count(*) AS n FROM (
+       |      SELECT DISTINCT t.a_id, t.b_id FROM tpair t
+       |      JOIN shx ea ON ea.doc_id = t.a_id
+       |      JOIN shx eb ON eb.doc_id = t.b_id AND eb.xh = ea.xh
+       |      JOIN dftab d ON d.xh = ea.xh WHERE d.df <= 8))
        |  UNION ALL SELECT 'jaccard_prefix', n, n FROM (
-       |    SELECT count(*) AS n FROM pfxc c JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
+       |    SELECT count(*) AS n FROM (
+       |      SELECT DISTINCT t.a_id, t.b_id FROM tpair t
+       |      JOIN pfx pa ON pa.doc_id = t.a_id
+       |      JOIN pfx pb ON pb.doc_id = t.b_id AND pb.xh = pa.xh))
        |  UNION ALL SELECT 'simhash64_h3', np, nh FROM (
        |    SELECT count(*) AS np, count(t.a_id) AS nh
        |    FROM simp c LEFT JOIN tpair t ON t.a_id=c.a_id AND t.b_id=c.b_id)
