@@ -35,7 +35,12 @@ object Bench {
     // per query — see the median comment below. Stamped into the env
     // fingerprint so a 1-pass volume smoke can't pose as the full
     // 3-pass protocol.
-    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3).max(1)
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
+      // fail with the env var named — an uncaught NumberFormatException
+      // here would kill the bench before any JSON is emitted
+      scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_PASSES must be an integer, got '$v'"))
+    }.getOrElse(3).max(1)
     // SPARK_GRAFT_WARMUP=0 skips the per-query warmup passes entirely
     // (volume smokes: a 5-minute sf10 query amortizes JIT/codegen in
     // its first seconds, and the smoke's question is completion +

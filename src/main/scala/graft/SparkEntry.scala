@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d)),
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
     "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
+    "dedup_truth_guard" -> ((s, d) => TextOps.dedupTruthGuard(s, d)),
     "corpus_split" -> ((s, d) => graft.text.Curation.leakageSafeSplit(s, d)),
     "corpus_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "corpus_shard" -> ((s, d) => graft.text.Curation.globalShuffleShards(s, d)),
@@ -929,12 +930,15 @@ object SparkEntry {
     * r8: the TRUTH set derives from the df≤64 candidate pairs with an
     * exact per-pair list intersection, replacing the full inverted
     * self-join whose Σdf² cost was one of the four sf1 oracle
-    * timeouts. Same set whenever every J≥0.5 pair shares at least one
-    * df≤64 shingle — which TextOpsSpec pins empirically on the test
-    * corpus (capped truth == full truth), and which holds with huge
-    * margin structurally: a J≥0.5 pair shares ≥ a third of its
-    * combined shingle vocabulary, and trigram shingles of near-dup
-    * prose are overwhelmingly rare (median df 1–2 on this corpus). */
+    * timeouts. r9: the candidate side additionally unions the
+    * VERBATIM-duplicate cliques (identical sorted shingle lists), so a
+    * document duplicated more than 64 times — whose every shingle has
+    * df > 64 and which the capped index therefore drops entirely — is
+    * structurally covered rather than lemma-assumed. The remaining
+    * residual (NON-verbatim J≥0.5 pairs with no df≤64 shared shingle)
+    * is cross-checked against the fully UNCAPPED join by the
+    * `dedup_truth_guard` oracle at every hash-checked SF, replacing
+    * the empirical-only completeness pin. */
   private val dedupEvalOracleSql: String = {
     val mstep = OracleSqlGen.murmurLongStep("l", "acc")
     val hw = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w_ FROM w)", "w_", 42L)
@@ -952,11 +956,20 @@ object SparkEntry {
        |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
        |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 64),
        |dlst AS MATERIALIZED (SELECT doc_id, list(xh ORDER BY xh) AS lx FROM shx GROUP BY doc_id),
+       |vcand AS MATERIALIZED (
+       |  -- verbatim-duplicate cliques: identical sorted shingle lists.
+       |  -- Replays TextOps.verbatimCandidates (which groups on a 64-bit
+       |  -- signature of the same array; the exact verify downstream
+       |  -- makes the two formulations emit identical pairs).
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM dlst a JOIN dlst b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+       |candu AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand),
        |tpair AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (
        |    SELECT c.a_id, c.b_id, na.n_sh, nb.n_sh AS nb_sh,
        |      len(list_intersect(la.lx, lb.lx)) AS inter
-       |    FROM cap64 c
+       |    FROM candu c
        |    JOIN dlst la ON la.doc_id = c.a_id JOIN dlst lb ON lb.doc_id = c.b_id
        |    JOIN ns na ON na.doc_id = c.a_id JOIN ns nb ON nb.doc_id = c.b_id)
        |  WHERE round(inter / CAST(n_sh + nb_sh - inter AS DOUBLE), 6) >= 0.5),
@@ -1033,7 +1046,14 @@ object SparkEntry {
        |      JOIN bands bb ON bb.doc_id = t.b_id
        |        AND bb.band_id = ba.band_id AND bb.band_hash = ba.band_hash))
        |  UNION ALL SELECT 'jaccard_dfcap_64', n, n FROM (
-       |    SELECT count(*) AS n FROM tpair)
+       |    -- no longer count(tpair): truth now unions the verbatim
+       |    -- cliques, so cap64 ⊇ tpair stopped being a construction
+       |    -- identity — probe which truth pairs share a df≤64 shingle
+       |    SELECT count(*) AS n FROM (
+       |      SELECT DISTINCT t.a_id, t.b_id FROM tpair t
+       |      JOIN shx ea ON ea.doc_id = t.a_id
+       |      JOIN shx eb ON eb.doc_id = t.b_id AND eb.xh = ea.xh
+       |      JOIN dftab d ON d.xh = ea.xh WHERE d.df <= 64))
        |  UNION ALL SELECT 'jaccard_dfcap_8', n, n FROM (
        |    SELECT count(*) AS n FROM (
        |      SELECT DISTINCT t.a_id, t.b_id FROM tpair t
@@ -2972,6 +2992,47 @@ object SparkEntry {
         |SELECT a_id, b_id, round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard
         |FROM p WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // both sides re-derived INDEPENDENTLY of the production engine
+    // path: the exact side is the uncapped inverted self-join, the
+    // production side replays df≤64 candidates ∪ verbatim cliques +
+    // list-intersect verify — so a completeness miss in the shipped
+    // generator shows up as a nonzero n_missed AND a hash mismatch
+    "dedup_truth_guard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        |  FROM w WHERE len(words) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+        |tfull AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
+        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+        |  WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |dftab AS MATERIALIZED (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+        |cap AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  JOIN dftab d ON d.sh = a.sh WHERE d.df <= 64),
+        |dl AS MATERIALIZED (SELECT doc_id, list_sort(shingles) AS lx, len(shingles) AS n_sh FROM s),
+        |vcand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM dl a JOIN dl b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+        |cu AS (SELECT a_id, b_id FROM cap UNION SELECT a_id, b_id FROM vcand),
+        |prod AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT c.a_id, c.b_id, la.n_sh AS a_n, lb.n_sh AS b_n,
+        |      len(list_intersect(la.lx, lb.lx)) AS inter
+        |    FROM cu c JOIN dl la ON la.doc_id = c.a_id JOIN dl lb ON lb.doc_id = c.b_id) q
+        |  WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5)
+        |SELECT
+        |  (SELECT count(*) FROM tfull) AS n_exact,
+        |  (SELECT count(*) FROM prod) AS n_production,
+        |  (SELECT count(*) FROM tfull t LEFT JOIN prod p ON p.a_id = t.a_id AND p.b_id = t.b_id
+        |   WHERE p.a_id IS NULL) AS n_missed""".stripMargin,
 
     // the arithmetic MinHash twin is the one LSH pipeline an external
     // SQL engine can replay end to end: polynomial shingle hash, the

@@ -130,13 +130,55 @@ object TextOps {
   /** Jaccard ≥ 0.5 pairs over an arbitrary pre-shingled doc set (see
     * `shingledFrom`); the dir-based `jaccardPairs` is the whole-corpus
     * instantiation. PRODUCTION PATH (see `PairDfCap`): df-capped
-    * candidate generation + exact full-array verify, so emitted
-    * jaccard values never depend on the cap. */
-  private[text] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    * candidates UNIONED with the verbatim-duplicate pass
+    * (`verbatimCandidates`), then the exact full-array verify, so
+    * emitted jaccard values never depend on either generator. */
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     val ex = invertedIndex(docs)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    verifyJaccard(cappedCandidatesFromIndex(ex, dfTab, PairDfCap), hashedFrom(docs))
+    val hashed = hashedFrom(docs)
+    verifyJaccard(productionCandidates(ex, dfTab, hashed), hashed)
   }
+
+  /** Verbatim-duplicate candidate pairs: documents whose ENTIRE sorted
+    * hashed-shingle array is identical, grouped on a 64-bit signature
+    * of the array and self-joined within groups of size ≥ 2. This
+    * closes the df-cap's one STRUCTURAL blind spot: a document
+    * duplicated more than `PairDfCap` times has df ≥ copy-count on
+    * every one of its shingles — the capped index drops all of them
+    * and the pair (the core dedup case: boilerplate/mirror pages
+    * replicated thousands of times at 100 TB) is silently missed. The
+    * signature groupBy finds those cliques in ONE combinable shuffle
+    * of (sig, doc_id) longs — no pairwise join fan-out on the hot
+    * shingles — and its per-group self-join emits exactly the clique,
+    * which is answer-bound (every emitted pair IS a true J=1 pair).
+    * Candidates still funnel through `verifyJaccard`, so a (2⁻⁶⁴)
+    * signature collision costs one wasted verify row, never a wrong
+    * pair. Near-dup (J < 1) pairs whose every shared shingle is hotter
+    * than the cap remain out of reach of the capped generator — that
+    * residual is measured loudly by `dedup_truth_guard` and the
+    * exactness twins rather than assumed away. */
+  private[graft] def verbatimCandidates(hashed: DataFrame): DataFrame = {
+    val sig = hashed.select(col("doc_id"), xxhash64(col("hs")).as("vsig"))
+    val dup = sig.groupBy("vsig").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2).select("vsig")
+    val mem = sig.join(dup, Seq("vsig"))
+    mem.toDF("vsig", "a_id")
+      .join(mem.toDF("vsig", "b_id").hint("shuffle_hash"), Seq("vsig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+  }
+
+  /** The production candidate generator: df-capped index candidates
+    * (saturating cost — see `PairDfCap`) ∪ verbatim-duplicate cliques
+    * (structural completeness for the duplicated-past-the-cap case).
+    * `thr` loosens the capped generator's verify-bound prune for
+    * callers that emit below J = 0.5 (`dedupSweep`). */
+  private[graft] def productionCandidates(ex: DataFrame, dfTab: DataFrame,
+      hashed: DataFrame, thr: Double = 0.4999): DataFrame =
+    cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", thr)
+      .union(verbatimCandidates(hashed))
+      .distinct()
 
   /** (doc_id, n_sh, sh): the exploded hashed-shingle inverted index —
     * join on the 64-bit shingle hash, not the string: the self-join
@@ -1001,13 +1043,16 @@ object TextOps {
     // force the chain bottom-up BEFORE the concurrent scores so two
     // futures don't race to compute the same cached partitions
     hashed.count(); dfTab.count()
-    // truth via the PRODUCTION capped path (PairDfCap) off the same
-    // persisted substrate — the r8 oracle already derives tpair from
-    // df≤64 candidates + exact list intersect, so Spark and DuckDB now
+    // truth via the PRODUCTION path (df≤64 candidates ∪ verbatim
+    // cliques + exact verify) off the same persisted substrate — the
+    // oracle derives tpair from the same union, so Spark and DuckDB
     // run the SAME construction (the uncapped join was the sf3 smoke's
-    // 2.33B-row stage; the capped set saturates instead of growing)
+    // 2.33B-row stage; the capped set saturates instead of growing,
+    // and the verbatim arm closes the duplicated-past-the-cap blind
+    // spot). The capped-vs-uncapped residual is independently oracled
+    // by `dedup_truth_guard` at every hash-checked SF.
     val truth = verifyJaccard(
-        cappedCandidatesFromIndex(ex, dfTab, PairDfCap), hashed)
+        productionCandidates(ex, dfTab, hashed), hashed)
       .select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
@@ -1090,6 +1135,39 @@ object TextOps {
       .toDF("method", "n_pairs", "n_truth", "n_hit",
         "precision_ppm", "recall_ppm")
       .orderBy("method")
+  }
+
+  /** Production-vs-exact completeness audit (ONE row): the shipped
+    * pair generator (df≤64 candidates ∪ verbatim cliques, exact
+    * verify — `productionCandidates`) scored against the fully
+    * UNCAPPED inverted-index join. `n_missed` > 0 means a true
+    * J ≥ 0.5 pair exists that shares no df≤64 shingle AND is not a
+    * verbatim duplicate — the one residual the production path can
+    * drop. Keeping this as its own hash-oracled entry makes the
+    * completeness lemma CROSS-CHECKED at every oracle SF instead of
+    * assumed on the eval's own (production-derived) truth path: the
+    * DuckDB replay re-derives both sides independently, so a silent
+    * production miss is a hash mismatch here even when `dedup_eval`'s
+    * self-consistent truth cannot see it. The uncapped side pays Σdf²
+    * by declared design (same class as `dedup_ngram_jaccard`) — this
+    * entry is the verification twin, not a production operator. */
+  def dedupTruthGuard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingledDocs(spark, dir)
+    val ex = invertedIndex(docs).persist()
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hashed = hashedFrom(docs)
+    val prod = verifyJaccard(productionCandidates(ex, dfTab, hashed), hashed)
+      .select("a_id", "b_id").persist()
+    val nProd = prod.count()
+    // production ⊆ exact structurally (same verify predicate, candidate
+    // subset) — the left join measures the other direction, the misses
+    val row = jaccardPairsFromIndex(ex).select("a_id", "b_id")
+      .join(prod.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).head()
+    Seq(ex, prod).foreach(_.unpersist(blocking = false))
+    Seq((row.getLong(0), nProd, row.getLong(0) - row.getLong(1)))
+      .toDF("n_exact", "n_production", "n_missed")
   }
 
   def dedupSimhash128(spark: SparkSession, dir: String): DataFrame = {
@@ -1795,7 +1873,7 @@ object TextOps {
     val ex = invertedIndex(docs)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val hashed = hashedFrom(docs)
-    val pairs = cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", 0.2999)
+    val pairs = productionCandidates(ex, dfTab, hashed, 0.2999)
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
       .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("long"))

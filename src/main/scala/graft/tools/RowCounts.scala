@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * the judgment the sf3/sf10 smoke tables need. */
 object RowCounts {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: RowCounts <query[,query…]> <dataDir> [dataDir…]")
+      sys.exit(2)
+    }
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dirs = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -30,7 +35,10 @@ object RowCounts {
         if (c <= 12) df.collect().foreach(r => println(s"[rowcounts]   $r"))
       } catch {
         case e: Throwable =>
-          println(s"[rowcounts] $n\t$dir\tERROR ${e.getMessage.take(120)}")
+          // getMessage is null for NPEs and friends — fall back to the
+          // class name so the handler can't itself abort the sweep
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(s"[rowcounts] $n\t$dir\tERROR ${msg.take(120)}")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -685,4 +685,57 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(swept.values.exists(_ > 0))
   }
+
+  test("verbatim clique past the df cap: production path stays exact where capped-only is blind") {
+    // the ADVERSARIAL corpus the r8 advice named: one document
+    // duplicated 100 times (> PairDfCap=64) — every shingle it has
+    // carries df=100, so the capped index drops ALL of them and the
+    // capped-only generator misses the entire C(100,2) clique. The
+    // production union (capped ∪ verbatimCandidates) must recover it
+    // exactly, alongside a normal rare-shingle near-dup pair.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val cliqueText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 100L).map(i => (i, cliqueText)) ++ Seq(
+      (200L, "one two three four five six seven"),
+      (201L, "one two three four five six eight"),
+      (300L, "completely different words entirely over here")))
+      .toDF("doc_id", "text")
+    val shingled = TextOps.shingledFrom(docs)
+    val ex = TextOps.invertedIndex(shingled)
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clique =
+      (for (a <- 0L until 100L; b <- (a + 1) until 100L) yield (a, b)).toSet
+    // 1. the structural hole, demonstrated: capped-only candidates see
+    //    none of the clique (and still see the rare-shingle pair)
+    val cappedOnly = pairs(
+      TextOps.cappedCandidatesVariant(ex, dfTab, TextOps.PairDfCap, "foldlen"))
+    assert(cappedOnly.intersect(clique).isEmpty,
+      "df=100 shingles leaked through the df<=64 cap")
+    assert(cappedOnly.contains((200L, 201L)))
+    // 2. the verbatim arm alone recovers exactly the clique
+    assert(pairs(TextOps.verbatimCandidates(TextOps.hashedFrom(shingled)))
+      == clique)
+    // 3. production output == uncapped exact join, values included
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = triples(TextOps.jaccardPairsFromIndex(ex))
+    val prod = triples(TextOps.jaccardPairsFrom(shingled))
+    assert(prod == exact)
+    assert(clique.subsetOf(prod.map(t => (t._1, t._2))))
+    assert(prod.filter(t => clique.contains((t._1, t._2))).forall(_._3 == 1.0))
+  }
+
+  test("dedup_truth_guard reports zero production misses on the corpus") {
+    val row = TextOps.dedupTruthGuard(spark, sfDir).head()
+    val exactN = TextOps.dedupNgramJaccard(spark, sfDir).count()
+    assert(row.getLong(0) == exactN)       // n_exact is the uncapped count
+    assert(row.getLong(1) == exactN)       // production finds all of them
+    assert(row.getLong(2) == 0L)           // and misses none
+    assert(exactN > 0)
+  }
 }
