@@ -150,6 +150,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.dedupKeepBest(s, d)),
     "dedup_eval" -> ((s, d) => TextOps.dedupEval(s, d)),
     "dedup_truth_guard" -> ((s, d) => TextOps.dedupTruthGuard(s, d)),
+    "dedup_eval_sampled" -> ((s, d) => TextOps.dedupEvalSampled(s, d)),
     "corpus_split" -> ((s, d) => graft.text.Curation.leakageSafeSplit(s, d)),
     "corpus_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "corpus_shard" -> ((s, d) => graft.text.Curation.globalShuffleShards(s, d)),
@@ -1077,6 +1078,24 @@ object SparkEntry {
        |FROM sc, nt ORDER BY sc.method""".stripMargin
   }
 
+  /** the budgeted eval twin: the IDENTICAL six-method replay over the
+    * deterministic Knuth-hash document sample — `sdocs` shadows the
+    * corpus for every downstream CTE (both `FROM documents` readers
+    * rewrite to it), while the admission threshold's count(*) subquery
+    * deliberately reads the FULL table, exactly like the Spark side's
+    * budget/n computation. Below the budget the filter admits all docs
+    * and this statement degenerates to `dedupEvalOracleSql`. */
+  private val dedupEvalSampledOracleSql: String = {
+    val thr = "CAST(floor(1048576 * least(1.0, 5000.0 / " +
+      "(SELECT count(*) FROM documents))) AS BIGINT)"
+    s"""WITH sdocs AS MATERIALIZED (
+       |  SELECT * FROM documents
+       |  WHERE (doc_id * 2654435761) % 1048576 < $thr),
+       |""".stripMargin +
+      dedupEvalOracleSql.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM sdocs")
+  }
+
   /** full-plane DBSCAN oracled at last: the point-level closure is
     * ~10⁷ pairs (which is why this sat rows-only for five rounds), but
     * the oracle only needs recursion on the CLIQUE-COLLAPSED super
@@ -1456,6 +1475,7 @@ object SparkEntry {
     "ann_eval" -> annEvalOracleSql,
     "dedup_minhash" -> dedupMinhashOracleSql,
     "dedup_eval" -> dedupEvalOracleSql,
+    "dedup_eval_sampled" -> dedupEvalSampledOracleSql,
     "text_bpe_encode" -> textBpeEncodeOracleSql,
     "q_dbscan" -> qDbscanOracleSql,
     "q_dbscan_auto" -> qDbscanAutoOracleSql,

@@ -1022,7 +1022,35 @@ object TextOps {
     * truth — the cross-metric overlap is the honest comparison).
     * Everything reuses the production operators; the truth set is
     * computed once and joined against each method. */
-  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEval(spark: SparkSession, dir: String): DataFrame =
+    dedupEvalFrom(spark, docsRepartitioned(spark, dir))
+
+  /** Budgeted twin of `dedup_eval` — the report at 100 TB. The full
+    * eval's wall is CANDIDATE-bound: six generators over a corpus
+    * whose replica-collision pair mass grows superlinearly (measured
+    * 14× wall at 3.33× rows in the sf10 smoke), which no plan fixes
+    * because the candidates ARE the subject of the report. The scale
+    * path is the standard one for a quality-measurement (not a
+    * production-dedup) operator: run the identical six-method pipeline
+    * over a FIXED-budget deterministic document sample — a Knuth-hash
+    * admission `(doc_id·2654435761) mod 2²⁰ < ⌊2²⁰·min(1, B/n)⌋` that
+    * any SQL engine replays bit-for-bit (no RNG, no order dependence),
+    * so the report cost saturates at the budget while every ppm stays
+    * an EXACT computation over the sampled corpus. Below the budget
+    * (B = 5000 docs ≈ the sf0.1 corpus, where the full eval runs in
+    * seconds) the filter admits everything and this IS `dedup_eval`.
+    * Pair-level truth thins as p² under doc-sampling — acceptable for
+    * a monitoring report, and the reason the full eval stays in the
+    * surface as the exactness twin at oracle SFs. */
+  def dedupEvalSampled(spark: SparkSession, dir: String,
+      budget: Long = 5000L): DataFrame = {
+    val n = Tables.documents(spark, dir).count()
+    val thr = math.floor(1048576.0 * math.min(1.0, budget.toDouble / n)).toLong
+    dedupEvalFrom(spark, docsRepartitioned(spark, dir)
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) < lit(thr)))
+  }
+
+  private def dedupEvalFrom(spark: SparkSession, baseDocs: DataFrame): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     // ONE shared substrate for all six methods: the original
@@ -1035,7 +1063,7 @@ object TextOps {
     // (the jaccard-verified four via the candidates ∩ truth identity —
     // see scoreVerified; simhash/winnow through their full pipelines),
     // so the report values are unchanged.
-    val docs = docsRepartitioned(spark, dir).persist()
+    val docs = baseDocs.persist()
     val shingled = shingledFrom(docs).persist()
     val hashed = hashedFrom(shingled).persist()
     val ex = invertedIndex(shingled).persist()

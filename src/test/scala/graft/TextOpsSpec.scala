@@ -730,6 +730,26 @@ class TextOpsSpec extends SparkSpec {
     assert(prod.filter(t => clique.contains((t._1, t._2))).forall(_._3 == 1.0))
   }
 
+  test("sampled eval: under-budget identity and in-sample exactness") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // corpus (500 docs) under the default 5000-doc budget: the
+    // admission filter passes everything — the sampled twin IS the
+    // full eval, row for row
+    assert(rows(TextOps.dedupEvalSampled(spark, sfDir))
+      == rows(TextOps.dedupEval(spark, sfDir)))
+    // forced sampling (budget 100): the report still carries all six
+    // methods, the truth shrinks, and the prefix-filter lemma holds on
+    // ANY subcorpus — its row must stay exactly 1.0/1.0
+    val sampled = rows(TextOps.dedupEvalSampled(spark, sfDir, budget = 100L))
+    val full = rows(TextOps.dedupEval(spark, sfDir))
+    assert(sampled.map(_._1) == full.map(_._1))
+    assert(sampled.head._3 < full.head._3)  // n_truth thinned
+    val pfx = sampled.find(_._1 == "jaccard_prefix").get
+    assert(pfx._5 == 1000000L && pfx._6 == 1000000L)
+  }
+
   test("dedup_truth_guard reports zero production misses on the corpus") {
     val row = TextOps.dedupTruthGuard(spark, sfDir).head()
     val exactN = TextOps.dedupNgramJaccard(spark, sfDir).count()
