@@ -577,20 +577,63 @@ object SparkEntry {
         |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
         |ORDER BY a.query_id, a.rank""".stripMargin
 
+  /** The TWO-LEVEL assignment replay (graft.functions.TwoLevel): the
+    * g = ⌈√k⌉ super slots pick centroids by integer stride ⌊i·k/g⌋,
+    * every centroid joins its nearest super's group (its own slot if
+    * it IS a super — COALESCE order), and each vector ranks only the
+    * members of its min(4, g) nearest groups. Same (distance, index)
+    * orderings and IEEE left-fold sums as the engine's tight loops, so
+    * the routed assignment — not just the flat argmin it replaces —
+    * is hash-checked. Emits asg (home cell) and qp (3 probes). */
+  private val ivfAssignTlSql: String =
+    """nv AS MATERIALIZED (
+      |  SELECT vec_id, e, sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x,y) -> x+y)) AS nrm
+      |  FROM ev),
+      |gg AS MATERIALIZED (
+      |  SELECT CAST(greatest(1, ceil(sqrt(CAST(k AS DOUBLE)))) AS BIGINT) AS g, k FROM kk),
+      |sup AS MATERIALIZED (
+      |  SELECT gs.i AS si, t10.c AS sc, t10.cl AS scl
+      |  FROM generate_series(0, 4095) gs(i) JOIN gg ON gs.i < gg.g
+      |  JOIN t10 ON t10.c = (gs.i * gg.k) // gg.g),
+      |cnear AS MATERIALIZED (
+      |  SELECT c, si FROM (
+      |    SELECT t10.c, sup.si,
+      |      row_number() OVER (PARTITION BY t10.c ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(scl)), ix -> (cl[ix]-scl[ix])*(cl[ix]-scl[ix]))), (x,y) -> x+y) ASC, sup.si ASC) AS rn
+      |    FROM t10, sup) WHERE rn = 1),
+      |cgrp AS MATERIALIZED (
+      |  SELECT t10.c, COALESCE(own.si, cnear.si) AS grp
+      |  FROM t10 LEFT JOIN (SELECT min(si) AS si, sc FROM sup GROUP BY sc) own ON own.sc = t10.c
+      |  LEFT JOIN cnear ON cnear.c = t10.c),
+      |pc AS MATERIALIZED (
+      |  SELECT z.vec_id, z.si FROM (
+      |    SELECT nv.vec_id, sup.si,
+      |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(scl)), ix -> (e[ix]-scl[ix])*(e[ix]-scl[ix]))), (x,y) -> x+y) ASC, sup.si ASC) AS rn
+      |    FROM nv, sup WHERE nv.nrm > 0) z JOIN gg ON z.rn <= least(4, gg.g)),
+      |cand AS MATERIALIZED (
+      |  SELECT pc.vec_id, cgrp.c FROM pc JOIN cgrp ON cgrp.grp = pc.si),
+      |fine AS MATERIALIZED (
+      |  SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+      |    row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+      |      list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+      |  FROM nv JOIN cand ON cand.vec_id = nv.vec_id JOIN t10 ON t10.c = cand.c
+      |  WHERE nv.nrm > 0),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, e, nrm, c AS cell FROM fine WHERE rn = 1),
+      |qp AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell
+      |  FROM fine WHERE rn <= 3)""".stripMargin
+
   /** `vec_knn_graph_ann_auto` replayed end to end: the variable-k
     * trainer CTEs (k derived from the corpus count inside SQL), the
-    * same probe/rank/mutual tail as the fixed-nlist oracle, and the
-    * derived k surfaced as the `nlist` column so the DERIVATION is
-    * hash-checked alongside the graph built from it. */
+    * TWO-LEVEL routed assignment (`ivfAssignTlSql`), the same
+    * rank/mutual tail as the fixed-nlist oracle, and the derived k
+    * surfaced as the `nlist` column so the DERIVATION is hash-checked
+    * alongside the graph built from it. */
   private val vecKnnGraphAnnAutoOracleSql: String =
-    lloydCtesVarKSql(iters = 10, targetOcc = 128L) + ",\n" + ivfAssignSql +
+    lloydCtesVarKSql(iters = 10, targetOcc = 128L) + ",\n" + ivfAssignTlSql +
       """,
-        |qp AS MATERIALIZED (
-        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell FROM (
-        |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
-        |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
-        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
-        |    FROM nv, t10 WHERE nv.nrm > 0) WHERE rn <= 3),
         |sc AS MATERIALIZED (
         |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos FROM (
         |    SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id, c.e AS ce, c.nrm AS cn

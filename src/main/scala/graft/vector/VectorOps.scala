@@ -149,7 +149,7 @@ object VectorOps {
   private def trainCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     trainCentroidsK(spark, dir, 16)
 
-  private def trainCentroidsK(spark: SparkSession, dir: String,
+  private[graft] def trainCentroidsK(spark: SparkSession, dir: String,
       k: Int): Array[Array[Double]] = {
     val sample = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -380,7 +380,7 @@ object VectorOps {
     * design); the exact twin is the oracle-checked verifier. */
   def vecKnnGraphAnn(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 3): DataFrame =
-    knnGraphAnnImpl(spark, dir, k, probes, nlist = None)
+    knnGraphAnnImpl(spark, dir, k, probes, nlist = None, twoLevel = false)
 
   /** `vecKnnGraphAnn` with the fixed-occupancy-dial disease cured: the
     * cell count derives from a target per-cell occupancy (`deriveNlist`
@@ -393,42 +393,60 @@ object VectorOps {
     * unroll (variable-k CTEs, SparkEntry.lloydCtesVarKSql).
     *
     * Cost ledger at scale: scoring is n·probes·occ·d — LINEAR in n by
-    * construction. Assignment is n·nlist·d = n²d/occ, a smaller term
-    * through the test decades (it crosses scoring only past the 4096
-    * clamp, where nlist freezes and assignment returns to linear); the
-    * next-decade fix is a coarse prefilter over the centroid set
-    * (centroids are themselves an embedding corpus), not a bigger
-    * flat argmin. */
+    * construction. Assignment rides the TWO-LEVEL coarse search
+    * (graft.functions.TwoLevel — ⌈√nlist⌉ index-stride supers, each
+    * centroid grouped under its nearest super, queries scan the supers
+    * plus min(4, g) groups' members): Θ(n·√nlist·d) instead of the
+    * flat argmin's n·nlist·d, which the sf10 smoke measured going
+    * superlinear (5.4× wall at 3.33× rows) as nlist tracked n below
+    * the 4096 clamp. The derived nlist column AND the two-level
+    * routing both replay in the DuckDB oracle (super stride, group
+    * argmin, probe set — SparkEntry.ivfAssignTlSql). */
   def vecKnnGraphAnnAuto(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 3, targetOcc: Long = 128L): DataFrame = {
     val corpusN = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .filter(expr("vec_norm(e)") > 0).count()
     knnGraphAnnImpl(spark, dir, k, probes,
-      nlist = Some(deriveNlist(corpusN, targetOcc)))
+      nlist = Some(deriveNlist(corpusN, targetOcc)), twoLevel = true)
   }
 
-  private def knnGraphAnnImpl(spark: SparkSession, dir: String, k: Int,
-      probes: Int, nlist: Option[Int]): DataFrame = {
+  private[graft] def knnGraphAnnImpl(spark: SparkSession, dir: String, k: Int,
+      probes: Int, nlist: Option[Int], twoLevel: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val centroids = nlist match {
       case Some(n) => trainCentroidsK(spark, dir, n)
       case None => trainCentroids(spark, dir)
     }
+    // the AUTO variant assigns through the two-level coarse search
+    // (graft.functions.TwoLevel): ~√nlist + 4·√nlist distance evals
+    // per row instead of the flat nlist-term argmin — the r8 smoke's
+    // residual superlinear assignment cost (n·nlist below the 4096
+    // clamp) drops to Θ(n·√nlist). The fixed-dial twin keeps the flat
+    // argmin (nlist=16 — nothing to prefilter); when p ≥ g the
+    // two-level search IS the flat argmin, spec-pinned.
+    val tlIdx =
+      if (twoLevel) Some(graft.functions.TwoLevel.build(centroids)) else None
+    import org.apache.spark.sql.GraftPlanBridge.{column => exCol, expression => exExpr}
+    def homeCell(e: org.apache.spark.sql.Column) = tlIdx match {
+      case Some(idx) =>
+        element_at(exCol(graft.functions.TwoLevelCells(exExpr(e), idx, 1)), 1)
+      case None => exCol(graft.functions.NearestCell(exExpr(e), centroids))
+    }
+    def probeCells(e: org.apache.spark.sql.Column) = tlIdx match {
+      case Some(idx) =>
+        exCol(graft.functions.TwoLevelCells(exExpr(e), idx, probes))
+      case None =>
+        exCol(graft.functions.NearestCells(exExpr(e), centroids, probes))
+    }
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", expr("vec_norm(e)"))
       .filter(col("nrm") > 0)
-    val home = base.withColumn("cell",
-        org.apache.spark.sql.GraftPlanBridge.column(graft.functions.NearestCell(
-          org.apache.spark.sql.GraftPlanBridge.expression(col("e")), centroids)))
+    val home = base.withColumn("cell", homeCell(col("e")))
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("cell"))
-    val probed = base.withColumn("cell",
-        explode(org.apache.spark.sql.GraftPlanBridge.column(
-          graft.functions.NearestCells(
-            org.apache.spark.sql.GraftPlanBridge.expression(col("e")),
-            centroids, probes))))
+    val probed = base.withColumn("cell", explode(probeCells(col("e"))))
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
     // cosine BEFORE the met-via-≤probes-cells dedup: the duplicate rows

@@ -590,6 +590,45 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.45, f"auto knn-graph recall regressed: $recall%.3f")
   }
 
+  test("two-level coarse search: flat-argmin degeneracy, routed-subset contract, empty index") {
+    import graft.functions.{NearestCell, TwoLevel}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(40)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    def vec() = new GenericArrayData(
+      Array.fill[Any](8)(rnd.nextFloat() * 2 - 1))
+    // p >= g: every group probed — the search IS the flat argmin,
+    // for both the home cell and the 3-probe list
+    val idxAll = TwoLevel.build(cents, coarseProbes = 1000)
+    assert(idxAll.p == idxAll.supers.length)
+    (0 until 200).foreach { _ =>
+      val v = vec()
+      val tl = TwoLevel.nearestK(v, idxAll, 3).toIntArray()
+      val flat = NearestCell.nearestK(v, cents, 3).toIntArray()
+      assert(tl.toSeq == flat.toSeq)
+      assert(TwoLevel.nearestK(v, idxAll, 1).getInt(0) ==
+        NearestCell.nearest(v, cents))
+    }
+    // p = 4 (production): results come from the probed groups' members
+    // only, are distance-sorted, and the home cell is the probe head
+    val idx = TwoLevel.build(cents)
+    assert(idx.supers.length == 7 && idx.p == 4) // ceil(sqrt(40)) = 7
+    assert(idx.members.map(_.length).sum == cents.length)
+    assert(idx.members.forall(_.nonEmpty)) // every super anchors its group
+    (0 until 200).foreach { _ =>
+      val v = vec()
+      val tl = TwoLevel.nearestK(v, idx, 3).toIntArray()
+      def d2(c: Array[Double]) =
+        c.indices.map(i => (v.getFloat(i) - c(i)) * (v.getFloat(i) - c(i))).sum
+      val ds = tl.map(c => d2(cents(c)))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(TwoLevel.nearestK(v, idx, 1).getInt(0) == tl.head)
+    }
+    // empty centroid set: empty result, no throw (day-one corpora)
+    assert(TwoLevel.nearestK(vec(), TwoLevel.build(Array.empty), 3)
+      .numElements() == 0)
+  }
+
   test("deriveNlist: integer-ceiling occupancy dial with [1, 4096] clamp") {
     assert(VectorOps.deriveNlist(0L, 128L) == 1)
     assert(VectorOps.deriveNlist(1L, 128L) == 1)
