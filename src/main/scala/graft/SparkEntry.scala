@@ -222,6 +222,7 @@ object SparkEntry {
     "text_readability" -> ((s, d) => TextOps.readability(s, d)),
     "dedup_sweep" -> ((s, d) => TextOps.dedupSweep(s, d)),
     "q_spatial_join" -> ((s, d) => graft.ops.SpatialJoin.spatialNeighbors(s, d)),
+    "q_spatial_auto" -> ((s, d) => graft.ops.SpatialJoin.spatialNeighborsAuto(s, d)),
     "text_filter_cascade" -> ((s, d) => TextOps.filterCascade(s, d)),
     "text_textrank" -> ((s, d) => graft.text.TextRank.keywords(s, d)),
     "q_pr_auc" -> ((s, d) => graft.analytics.MlEval.prAuc(s, d)),
@@ -1222,14 +1223,20 @@ object SparkEntry {
     * pipeline runs against the derived scalar — so the hash pins the
     * POLICY, not a constant. Mod-8 plane (like q_dbscan_small) keeps
     * the oracle's recursive closure bounded at every SF. */
-  private val qDbscanAutoOracleSql: String = {
-    val targetOcc = 2L
-    def tdiv(x: String, d: String) =
-      s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
-    // integer sqrt of a 1-row CTE `src(q)`: FP sqrt + one-step fixup,
-    // emitted as its own CTE so aggregates in q never sit inside a
-    // FROM-less scalar subquery (DuckDB evaluates those on one
-    // synthetic row, silently corrupting count(*))
+  /** Truncate-toward-zero division (Spark's `div`) over DuckDB's
+    * flooring `//` — shared by the auto-R derivation replays. */
+  private def tdivSql(x: String, d: String) =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
+
+  /** The [[graft.ops.SpatialJoin.autoR]] derivation replayed over a
+    * points CTE `ptsCte(event_id, xc, yc)` with a 1-row count CTE
+    * `nn(n)` already emitted: bbox seed + two Σocc² fixed-point
+    * refinements, integer sqrt via FP sqrt + one-step fixup. Emits
+    * CTEs q_rr0/rr0/…/rr2; the caller reads the final radius from
+    * rr2.r. (isq: its own CTE because aggregates inside a FROM-less
+    * scalar subquery get evaluated on one synthetic row by DuckDB,
+    * silently corrupting count(*).) */
+  private def autoRCtesSql(ptsCte: String, targetOcc: Long): String = {
     def isqCte(name: String, src: String) =
       s"""$name AS MATERIALIZED (
          |  SELECT GREATEST(1, CASE WHEN (t+1)*(t+1) <= q THEN t+1 WHEN t*t > q THEN t-1 ELSE t END) AS r
@@ -1237,23 +1244,64 @@ object SparkEntry {
     def refine(prev: String, next: String) =
       s"""v_$next AS MATERIALIZED (
          |  SELECT sum(occ*occ) AS s2 FROM (
-         |    SELECT count(*) AS occ FROM p, $prev
-         |    GROUP BY ${tdiv("xc", s"$prev.r")}, ${tdiv("yc", s"$prev.r")})),
+         |    SELECT count(*) AS occ FROM $ptsCte, $prev
+         |    GROUP BY ${tdivSql("xc", s"$prev.r")}, ${tdivSql("yc", s"$prev.r")})),
          |q_$next AS MATERIALIZED (
          |  SELECT GREATEST(1, ($targetOcc * nn.n * $prev.r * $prev.r) // v_$next.s2) AS q
          |  FROM $prev, v_$next, nn),
          |${isqCte(next, s"q_$next")}""".stripMargin
+    s"""q_rr0 AS MATERIALIZED (
+       |  SELECT GREATEST(1, ($targetOcc * (max(xc)-min(xc)) * (max(yc)-min(yc))) // count(*)) AS q FROM $ptsCte),
+       |${isqCte("rr0", "q_rr0")},
+       |${refine("rr0", "rr1")},
+       |${refine("rr1", "rr2")}""".stripMargin
+  }
+
+  /** `q_spatial_auto` replayed: the full-plane neighbor report with
+    * the radius DERIVED in SQL (`autoRCtesSql` — the same bbox-seed +
+    * Σocc² fixed point the engine's autoR runs), then the fixed
+    * oracle's 3×3 grid join at the derived radius; `r_cents` rides
+    * along so the hash pins the derivation. */
+  private val qSpatialAutoOracleSql: String = {
+    val targetOcc = 2L
+    s"""WITH p2 AS MATERIALIZED (
+       |  SELECT event_id, xc, yc FROM (
+       |    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
+       |     TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) * 100 AS yc
+       |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM p2),
+       |${autoRCtesSql("p2", targetOcc)},
+       |rr AS MATERIALIZED (SELECT r, r * r AS r2 FROM rr2),
+       |h AS MATERIALIZED (
+       |  SELECT p2.event_id, p2.xc, p2.yc,
+       |    ${tdivSql("xc", "rr.r")} AS cx, ${tdivSql("yc", "rr.r")} AS cy
+       |  FROM p2, rr),
+       |probe AS (SELECT event_id AS a_id, xc AS ax, yc AS ay,
+       |           cx + dx.i AS ncx, cy + dy.i AS ncy
+       |          FROM h, generate_series(-1, 1) AS dx(i), generate_series(-1, 1) AS dy(i)),
+       |cand AS (SELECT a_id, COUNT(*) AS n_neighbors,
+       |          MIN((ax - bx) * (ax - bx) + (ay - byc) * (ay - byc)) AS d2_min
+       |         FROM probe JOIN (SELECT event_id AS b_id, xc AS bx, yc AS byc,
+       |                cx AS ncx, cy AS ncy FROM h) b USING (ncx, ncy)
+       |         WHERE a_id <> b_id
+       |          AND (ax - bx) * (ax - bx) + (ay - byc) * (ay - byc) <= (SELECT r2 FROM rr)
+       |         GROUP BY a_id)
+       |SELECT p2.event_id, CAST(COALESCE(n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       | CAST(d2_min AS BIGINT) AS d2_min, (SELECT r FROM rr) AS r_cents
+       |FROM p2 LEFT JOIN cand ON p2.event_id = cand.a_id
+       |ORDER BY event_id""".stripMargin
+  }
+
+  private val qDbscanAutoOracleSql: String = {
+    val targetOcc = 2L
+    def tdiv(x: String, d: String) = tdivSql(x, d)
     s"""WITH RECURSIVE p AS MATERIALIZED (
        |  SELECT event_id, xc, yc FROM (
        |    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS xc,
        |     TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) * 100 AS yc
        |    FROM events WHERE value IS NOT NULL) WHERE yc IS NOT NULL AND event_id % 8 = 0),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM p),
-       |q_rr0 AS MATERIALIZED (
-       |  SELECT GREATEST(1, ($targetOcc * (max(xc)-min(xc)) * (max(yc)-min(yc))) // count(*)) AS q FROM p),
-       |${isqCte("rr0", "q_rr0")},
-       |${refine("rr0", "rr1")},
-       |${refine("rr1", "rr2")},
+       |${autoRCtesSql("p", targetOcc)},
        |rr AS MATERIALIZED (
        |  SELECT r, r * r AS r2, GREATEST(1, CAST(floor(r / sqrt(2.0)) AS BIGINT)) AS s FROM rr2),
        |pc AS MATERIALIZED (
@@ -1522,6 +1570,7 @@ object SparkEntry {
     "text_bpe_encode" -> textBpeEncodeOracleSql,
     "q_dbscan" -> qDbscanOracleSql,
     "q_dbscan_auto" -> qDbscanAutoOracleSql,
+    "q_spatial_auto" -> qSpatialAutoOracleSql,
     "dedup_banding_eval" -> dedupBandingEvalOracleSql,
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash128" -> dedupSimhash128OracleSql,

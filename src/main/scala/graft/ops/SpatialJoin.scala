@@ -88,8 +88,10 @@ object SpatialJoin {
   }
 
   def spatialNeighbors(spark: SparkSession, dir: String,
-      rCents: Long = 200L): DataFrame = {
-    val pts = points(spark, dir)
+      rCents: Long = 200L): DataFrame =
+    spatialNeighborsCore(points(spark, dir), rCents)
+
+  private def spatialNeighborsCore(pts: DataFrame, rCents: Long): DataFrame = {
     val neigh = ballPairs(pts, rCents)
       .groupBy(col("a_id").as("event_id"))
       .agg(count(lit(1)).as("n_neighbors"), min("d2").as("d2_min"))
@@ -99,6 +101,25 @@ object SpatialJoin {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         col("d2_min"))
       .orderBy("event_id")
+  }
+
+  /** The POLICY-DIAL twin of `q_spatial_join` (the `dbscanAuto`
+    * recipe applied to the neighbor report): radius derived from the
+    * observed density via the [[autoR]] fixed point instead of pinned.
+    * The fixed-R entry is ANSWER-bound — at pinned R=200 on a plane
+    * whose density grows ∝ sf, every exact engine must touch
+    * Θ(density²) in-ball pairs (the r8 sf10 smoke's 16.5× wall, 769 s)
+    * — while the derived R pins pairs-per-point to the occupancy
+    * policy, so candidates stay ~Θ(n) at any density
+    * (q_dbscan_auto measured 1.8× per 3.33× rows on the same plane).
+    * The chosen radius rides along as `r_cents` so the oracle hash
+    * pins the DERIVATION (bbox seed + two Σocc² refinements, integer
+    * sqrt), not just the counts computed from it. */
+  def spatialNeighborsAuto(spark: SparkSession, dir: String,
+      targetOcc: Long = 2L): DataFrame = {
+    val pts = points(spark, dir)
+    val r = autoR(pts, targetOcc)
+    spatialNeighborsCore(pts, r).withColumn("r_cents", lit(r))
   }
 
   /** Exact grid-based DBSCAN (Ester et al. '96) over the same 2-D

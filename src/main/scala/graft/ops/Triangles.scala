@@ -22,23 +22,63 @@ import graft.sources.Tables
   */
 object Triangles {
 
-  /** Distinct undirected co-purchase edges (a < b), from a per-order
-    * self-join of lineitem. Per-order line counts are bounded (≤ 7 in
-    * TPC-H-ish data, small in any order system), so the intra-order
-    * pair expansion is linear in lineitem with a constant factor — not
-    * a quadratic blow-up. */
-  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  /** Distinct (order, part) incidence rows — the pair-expansion input
+    * shared by the triangle and k-core graphs. Dedup BEFORE the
+    * self-join: a part appearing on two lines of one order would
+    * otherwise expand duplicate pair rows that the post-join aggregate
+    * then pays to shuffle away. */
+  private def liPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // dedup (order, part) BEFORE the self-join: a part appearing on
-      // two lines of one order would otherwise expand duplicate pair
-      // rows that the post-join distinct then pays to shuffle away
       .distinct()
-    val a = li.toDF("ok", "a")
-    val b = li.toDF("ok", "b")
-    a.join(b.hint("shuffle_hash"), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+
+  private def chunkCount(rows: Long, target: Long): Int =
+    math.max(1L, (rows + target - 1) / target).toInt
+
+  /** Co-purchase pair counts (a < b, n_orders) with SPILL-BOUNDED
+    * construction: the per-order pair expansion over a 100×-scaled
+    * lineitem streams ~6×|lineitem| rows into one aggregation exchange
+    * — linear WORK, but the single-box smoke measured the in-flight
+    * shuffle footprint spilling tens of GB at sf10 (blockmgr 54 GB).
+    * Order-count aggregates are ADDITIVE across any partition of the
+    * ORDER space, so when lineitem is large the expansion runs in
+    * hash(ok)-range chunks, each materialized (and so its shuffle
+    * retired) before the next starts, then a final combine over the
+    * pre-deduped per-chunk pair counts — same rows, bounded peak. One
+    * chunk below the threshold ⇒ the plan is literally the old one
+    * (test-SF hashes and bench plans unchanged). */
+  private[graft] def copurchaseCounts(li: DataFrame,
+      nChunks: Int): DataFrame = {
+    def pairsOf(src: DataFrame): DataFrame = {
+      val a = src.toDF("ok", "a")
+      val b = src.toDF("ok", "b")
+      a.join(b.hint("shuffle_hash"), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+    }
+    if (nChunks <= 1) pairsOf(li)
+    else (0 until nChunks)
+      .map(i => pairsOf(li.filter(pmod(hash(col("ok")), lit(nChunks)) === i))
+        .localCheckpoint(true))
+      .reduce(_ unionAll _)
+      .groupBy("a", "b").agg(sum("n_orders").as("n_orders"))
+  }
+
+  /** Rows per expansion chunk: ~24M (order, part) incidences keep the
+    * per-chunk exchange comfortably in memory on a 128 GB box while a
+    * cluster sees only more, smaller tasks. */
+  private val LiChunkRows = 24000000L
+
+  /** Distinct undirected co-purchase edges (a < b). Per-order line
+    * counts are bounded (≤ 7 in TPC-H-ish data, small in any order
+    * system), so the intra-order pair expansion is linear in lineitem
+    * with a constant factor — not a quadratic blow-up. */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    // dial on the RAW lineitem row count (a column-less parquet count,
+    // no shuffle) — ≥ the distinct incidence count, so conservative
+    val raw = Tables.lineitem(spark, dir).count()
+    copurchaseCounts(liPairs(spark, dir), chunkCount(raw, LiChunkRows))
+      .select("a", "b")
   }
 
   /** One-row report: nodes, edges, and the exact triangle count.
@@ -75,18 +115,55 @@ object Triangles {
       .localCheckpoint(true)
     graft.functions.GraftFunctions.register(spark)
     val adj = oriented.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-    val nTri = oriented
+    // dst may have no out-edges: left join + empty-array default.
+    // sorted_intersect_count: the neighbor arrays are sorted by
+    // construction (sort_array above), so the closing probe is an
+    // allocation-free two-pointer merge — size(array_intersect(...))
+    // built a hash set + result array per edge row and made the
+    // probe GC-bound (4.8-15 s run-to-run swings on identical work)
+    def probeSum(edgesIn: DataFrame): DataFrame = edgesIn
       .join(adj.toDF("src", "u_nbrs"), Seq("src"))
-      // dst may have no out-edges: left join + empty-array default.
-      // sorted_intersect_count: the neighbor arrays are sorted by
-      // construction (sort_array above), so the closing probe is an
-      // allocation-free two-pointer merge — size(array_intersect(...))
-      // built a hash set + result array per edge row and made the
-      // probe GC-bound (4.8-15 s run-to-run swings on identical work)
-      .join(adj.toDF("dst", "v_nbrs"), Seq("dst"), "left")
+      .join(adj.toDF("dst", "v_nbrs").hint("shuffle_hash"), Seq("dst"), "left")
       .select(expr(
         "sorted_intersect_count(u_nbrs, coalesce(v_nbrs, cast(array() as array<bigint>)))").as("c"))
       .agg(sum("c").as("n"))
+    // The probe join's in-flight payload is two O(√m) arrays PER EDGE
+    // ROW — linear work, but ~1 KB/row × m crosses a single box's
+    // memory at the 100× tier (the sf10 smoke's 54 GB blockmgr spike).
+    // The triangle total is a SUM over edges, additive across any
+    // partition of the edge set — so past a threshold the probe runs
+    // in hash(src,dst)-range chunks against the (persisted) adjacency,
+    // each chunk's shuffle retired before the next starts. One chunk
+    // below the threshold ⇒ exactly the old single-join plan.
+    val mEdges = oriented.count()
+    val pChunks = chunkCount(mEdges, 16000000L)
+    val nTri =
+      if (pChunks == 1) probeSum(oriented)
+      else {
+        import spark.implicits._
+        adj.persist()
+        val total = (0 until pChunks).map { i =>
+          // chunk on hash(src): the u-side adjacency FILTERS to the
+          // same hash range (read from cache — no full re-shuffle per
+          // chunk), and the v-side joins shuffle_hash so the carried
+          // u_nbrs arrays stream through a hash probe instead of being
+          // SORT-materialized (the single-pass plan's 54 GB spike was
+          // exactly that sort; a first chunked attempt that re-sorted
+          // the full adjacency per chunk measured 2.4× SLOWER)
+          val r = oriented
+            .filter(pmod(hash(col("src")), lit(pChunks)) === i)
+            .join(adj.filter(pmod(hash(col("src")), lit(pChunks)) === i)
+              .toDF("src", "u_nbrs"), Seq("src"))
+            .join(adj.toDF("dst", "v_nbrs").hint("shuffle_hash"),
+              Seq("dst"), "left")
+            .select(expr(
+              "sorted_intersect_count(u_nbrs, coalesce(v_nbrs, cast(array() as array<bigint>)))").as("c"))
+            .agg(sum("c").as("n")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }.sum
+        adj.unpersist(blocking = false)
+        Seq(total).toDF("n")
+      }
     // node/edge tallies read the CHECKPOINTED oriented set, not the
     // scan subtree — otherwise the co-purchase join runs two more times
     val nNodes = oriented.select(col("src").as("n"))
@@ -112,14 +189,11 @@ object Triangles {
     * with their in-core degree. */
   def kCore(spark: SparkSession, dir: String, k: Int = 3,
       minOrders: Long = 2L): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = li.toDF("ok", "a")
-    val b = li.toDF("ok", "b")
-    var edges = a.join(b.hint("shuffle_hash"), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+    // same spill-bounded chunked pair aggregation as the triangle
+    // graph (order-count sums are additive across order chunks)
+    val raw = Tables.lineitem(spark, dir).count()
+    var edges = copurchaseCounts(liPairs(spark, dir),
+        chunkCount(raw, LiChunkRows))
       .filter(col("n_orders") >= minOrders)
       .select(col("a").as("src"), col("b").as("dst"))
     edges = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -550,4 +550,26 @@ class MlEvalSpec extends SparkSpec {
     // non-vacuous at the derived density: cores exist
     assert(auto.exists(_.getString(1) == "core"))
   }
+
+  test("q_spatial_auto is the fixed-R neighbor report at the derived radius, r_cents stamped") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("xc"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) * 100").as("yc"))
+      .filter(col("yc").isNotNull)
+    val r = graft.ops.SpatialJoin.autoR(pts, targetOcc = 2L)
+    def key(x: org.apache.spark.sql.Row) = (x.getLong(0), x.getLong(1),
+      if (x.isNullAt(2)) None else Some(x.getLong(2)))
+    // the auto entry IS the fixed-R report at the derived radius plus
+    // the r_cents stamp — the derivation is the only new surface (and
+    // its arithmetic is already pinned by the dbscan_auto spec above)
+    val auto = graft.ops.SpatialJoin.spatialNeighborsAuto(spark, sfDir).collect()
+    assert(auto.nonEmpty && auto.forall(_.getLong(3) == r))
+    val fixed = graft.ops.SpatialJoin
+      .spatialNeighbors(spark, sfDir, rCents = r).collect()
+    assert(auto.map(key).toSeq == fixed.map(key).toSeq)
+    // non-vacuous: the occupancy policy yields real neighbors
+    assert(auto.exists(_.getLong(1) > 0))
+  }
 }
