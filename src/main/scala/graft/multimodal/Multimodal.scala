@@ -215,30 +215,54 @@ object Multimodal {
     * per-frame rasters via the JDK GIF reader (palette → gray), the
     * per-frame delay (ms) from the GraphicControlExtension metadata —
     * all three earned from the byte stream, none planted. */
-  private[graft] def readGifFrames(bytes: Array[Byte]): Seq[(BufferedImage, Long)] = {
+  /** Per-PARTITION reusable GIF demuxer (r8 verdict item 8): the old
+    * per-row shape re-ran the ImageIO SPI lookup and allocated a fresh
+    * reader for every container; one instance per partition resets its
+    * input per row instead. The `delays` path reads ONLY the container
+    * structure and each frame's GraphicControlExtension — no raster
+    * ever decodes — which is all `mm_frames` consumes; `frames` is the
+    * full decode for the pixel consumers (scene cuts). */
+  private[graft] final class GifDemux {
     noImageioCache
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-    reader.setInput(iis, false)
-    val n = reader.getNumImages(true)
-    val out = (0 until n).map { i =>
-      val img = toGray(reader.read(i))
-      val meta = reader.getImageMetadata(i)
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+
+    private def withInput[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false)
+      try f(reader) finally { reader.reset(); iis.close() }
+    }
+
+    private def gceDelayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
       val root = meta.getAsTree("javax_imageio_gif_image_1.0")
         .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
       val gces = root.getElementsByTagName("GraphicControlExtension")
-      val delayMs =
-        if (gces.getLength > 0)
-          gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            .getAttribute("delayTime").toLong * 10L
-        else 0L
-      (img, delayMs)
+      if (gces.getLength > 0)
+        gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .getAttribute("delayTime").toLong * 10L
+      else 0L
     }
-    reader.dispose()
-    iis.close()
-    out
+
+    /** Frame delays (ms) from metadata alone — the container's own
+      * timing without decoding a single raster. */
+    def delays(bytes: Array[Byte]): Seq[Long] = withInput(bytes) { r =>
+      (0 until r.getNumImages(true)).map(i => gceDelayMs(r.getImageMetadata(i)))
+    }
+
+    /** Full demux: grayscale raster + delay per frame. */
+    def frames(bytes: Array[Byte]): Seq[(BufferedImage, Long)] =
+      withInput(bytes) { r =>
+        (0 until r.getNumImages(true))
+          .map(i => (toGray(r.read(i)), gceDelayMs(r.getImageMetadata(i))))
+      }
   }
+
+  /** One-shot convenience over [[GifDemux]] for specs and single
+    * containers; hot paths hold a per-partition demuxer instead. */
+  private[graft] def readGifFrames(bytes: Array[Byte]): Seq[(BufferedImage, Long)] =
+    new GifDemux().frames(bytes)
 
   /** Nearest-neighbor 8×8 downsample by CENTER sampling: grid cell
     * (i, j) reads the source pixel at (⌊(2i+1)w/16⌋, ⌊(2j+1)h/16⌋),
@@ -535,7 +559,10 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     videoContainers(spark, dir)
-      .mapPartitions(rows => rows.flatMap(r => sampledFrameRows(r.doc_id, r.media)))
+      .mapPartitions { rows =>
+        val demux = new GifDemux
+        rows.flatMap(r => sampledFrameRows(r.doc_id, r.media, demux))
+      }
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
@@ -543,11 +570,14 @@ object Multimodal {
   /** One container's sampled frames: stride 2, cap 4, timestamp = the
     * prefix sum of the PRECEDING frames' decoded delays (frame i is
     * presented once every earlier frame's delay has elapsed), so
-    * variable-delay containers get the true presentation time. */
-  private[graft] def sampledFrameRows(docId: Long, media: Array[Byte]): Seq[FrameRow] = {
-    val frames = readGifFrames(media)
-    val startMs = frames.scanLeft(0L)(_ + _._2)
-    (0 until frames.size by 2).take(4)
+    * variable-delay containers get the true presentation time. Rides
+    * the metadata-only demux path — frame sampling consumes structure
+    * and timing, never pixels, so no raster decodes. */
+  private[graft] def sampledFrameRows(docId: Long, media: Array[Byte],
+      demux: GifDemux = new GifDemux): Seq[FrameRow] = {
+    val delays = demux.delays(media)
+    val startMs = delays.scanLeft(0L)(_ + _)
+    (0 until delays.size by 2).take(4)
       .map(i => FrameRow(docId, i, startMs(i)))
   }
 
@@ -575,8 +605,9 @@ object Multimodal {
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val frames = videoContainers(spark, dir)
       .mapPartitions { rows =>
+        val demux = new GifDemux
         rows.flatMap { r =>
-          readGifFrames(r.media).zipWithIndex.map { case ((img, _), i) =>
+          demux.frames(r.media).zipWithIndex.map { case ((img, _), i) =>
             (r.doc_id, i, ahash60(gridOf(img)))
           }
         }

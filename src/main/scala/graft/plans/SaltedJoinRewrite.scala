@@ -38,11 +38,18 @@ import org.apache.spark.sql.types.LongType
   *  - `spark.graft.skewJoin.keys` lists the hot key COLUMN NAMES
   *    (comma-separated); empty (the default) disables the rule
   *    entirely — zero effect on un-configured sessions.
-  *  - Inner join whose condition is exactly ONE equality between two
-  *    attribute references, one per side; the LEFT side is the fact
-  *    (skewed) side and its key name must be configured. Multi-key
-  *    joins and outer joins keep their plan (outer-join salting has
-  *    NULL-extension subtleties the manual utility documents).
+  *  - Inner join whose condition is a CONJUNCTION of equalities
+  *    between attribute references, one per side each (single-key is
+  *    the one-conjunct case; compound keys are the common fact-join
+  *    shape — r8 verdict item 7). The LEFT side is the fact (skewed)
+  *    side, and the rule fires when ANY fact-side key column of the
+  *    join is configured: skew is a property of the key TUPLE, and a
+  *    configured hot column concentrates tuples regardless of what
+  *    it's paired with; salting is correct unconditionally (the salt
+  *    only routes which partition matching rows meet in). Conditions
+  *    with residual non-equality predicates and outer joins keep
+  *    their plan (outer-join salting has NULL-extension subtleties
+  *    the manual utility documents).
   *  - `spark.graft.skewJoin.buckets` (default 8) sets B; the dim side
   *    pays ×B row replication, which is why this must be opted into
   *    per key, never inferred silently.
@@ -53,7 +60,7 @@ import org.apache.spark.sql.types.LongType
   * Registered for every session through GraftExtensions
   * (injectOptimizerRule) or per-session via [[SaltedJoinRewrite.enable]].
   */
-object SaltedJoinRewrite extends Rule[LogicalPlan] {
+object SaltedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val KeysConf = "spark.graft.skewJoin.keys"
   val BucketsConf = "spark.graft.skewJoin.buckets"
@@ -76,36 +83,50 @@ object SaltedJoinRewrite extends Rule[LogicalPlan] {
     val keys = hotKeys
     if (keys.isEmpty) plan
     else plan.transformUp {
-      case j @ Join(left, right, Inner,
-          Some(EqualTo(a: AttributeReference, b: AttributeReference)), hint)
+      case j @ Join(left, right, Inner, Some(joinCond), hint)
           if !left.output.exists(_.name == "_salt") &&
             !right.output.exists(_.name == "_salt") =>
-        // orient the equality: the fact (skewed) side is the LEFT child
-        val oriented =
-          if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
-          else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
-          else None
-        oriented match {
-          case Some((factKey, dimKey)) if keys.contains(factKey.name) =>
-            val nB = buckets
-            // fact side: per-row routing salt (any value is correct —
-            // task retries re-salting a row cannot change results)
-            val saltL = Alias(
-              Pmod(new XxHash64(Seq(MonotonicallyIncreasingID())),
-                Literal(nB.toLong)), "_salt")()
-            val saltedFact = Project(left.output :+ saltL, left)
-            // dim side: replicate each row to every salt value
-            val saltR = AttributeReference("_salt", LongType, nullable = false)()
-            val explodedDim = Generate(
-              Explode(CreateArray((0 until nB).map(i => Literal(i.toLong)))),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(saltR), child = right)
-            val cond = And(EqualTo(factKey, dimKey),
-              EqualTo(saltL.toAttribute, saltR))
-            Project(j.output,
-              Join(saltedFact, explodedDim, Inner, Some(cond), hint))
-          case _ => j
+        // every conjunct must be an equality orientable to
+        // (fact attr from left, dim attr from right); widening casts
+        // the analyzer inserts around mixed-width keys (int fact key
+        // vs bigint dim key) don't change which attribute is compared
+        def asAttr(e: Expression): Option[AttributeReference] = e match {
+          case a: AttributeReference => Some(a)
+          case Cast(a: AttributeReference, _, _, _) => Some(a)
+          case _ => None
         }
+        val oriented = splitConjunctivePredicates(joinCond).map {
+          case EqualTo(l, r) =>
+            (asAttr(l), asAttr(r)) match {
+              case (Some(a), Some(b))
+                  if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+                Some((a, b))
+              case (Some(a), Some(b))
+                  if left.outputSet.contains(b) && right.outputSet.contains(a) =>
+                Some((b, a))
+              case _ => None
+            }
+          case _ => None
+        }
+        if (oriented.forall(_.isDefined) &&
+            oriented.flatten.exists(p => keys.contains(p._1.name))) {
+          val nB = buckets
+          // fact side: per-row routing salt (any value is correct —
+          // task retries re-salting a row cannot change results)
+          val saltL = Alias(
+            Pmod(new XxHash64(Seq(MonotonicallyIncreasingID())),
+              Literal(nB.toLong)), "_salt")()
+          val saltedFact = Project(left.output :+ saltL, left)
+          // dim side: replicate each row to every salt value
+          val saltR = AttributeReference("_salt", LongType, nullable = false)()
+          val explodedDim = Generate(
+            Explode(CreateArray((0 until nB).map(i => Literal(i.toLong)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(saltR), child = right)
+          val cond = And(joinCond, EqualTo(saltL.toAttribute, saltR))
+          Project(j.output,
+            Join(saltedFact, explodedDim, Inner, Some(cond), hint))
+        } else j
     }
   }
 }

@@ -63,11 +63,33 @@ class SkewJoinSpec extends SparkSpec {
         .rdd.mapPartitions(it => Iterator(it.size)).collect()
       assert(parts.count(_ > 0) > 1,
         s"expected the hot key in >1 partition, got ${parts.toSeq}")
-      // a multi-key join is left alone (outside the rewrite contract)
-      val two = big.withColumn("k2", col("payload") % 3)
-        .join(small.withColumn("k2", col("k") % 3), Seq("k", "k2"))
-      assert(!two.queryExecution.optimizedPlan.toString.contains("_salt"),
-        "multi-key joins must keep their plan")
+      // r9: a COMPOUND-key join with a configured hot column rewrites
+      // too (the common fact-join shape), and results are unchanged
+      val bigTwo = big.withColumn("k2", col("payload") % 3)
+      val smallTwo = small.withColumn("k2", col("k") % 3)
+      val two = bigTwo.join(smallTwo, Seq("k", "k2"))
+      val twoPlan = two.queryExecution.optimizedPlan
+      assert(twoPlan.collect {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn }
+          .head.condition.get.references.exists(_.name == "_salt"),
+        s"two-key join with a hot column must salt:\n$twoPlan")
+      val twoGot = two.agg(count(lit(1)), sum("payload")).collect().head
+      spark.conf.set(SaltedJoinRewrite.KeysConf, "") // plain replay
+      val twoPlain = bigTwo.join(smallTwo, Seq("k", "k2"))
+        .agg(count(lit(1)), sum("payload")).collect().head
+      spark.conf.set(SaltedJoinRewrite.KeysConf, "k")
+      assert(twoGot == twoPlain, "salted two-key join changed results")
+      // a two-key join with NO configured column keeps its plan
+      val cold = bigTwo.withColumnRenamed("k", "kc")
+        .join(smallTwo.withColumnRenamed("k", "kc")
+          .withColumnRenamed("attr", "attrc"), Seq("kc", "k2"))
+      assert(!cold.queryExecution.optimizedPlan.toString.contains("_salt"),
+        "unconfigured keys must keep their plan")
+      // a join with a residual non-equality conjunct keeps its plan
+      val residual = big.join(small,
+        big("k") === small("k") && big("payload") > small("k"))
+      assert(!residual.queryExecution.optimizedPlan.toString.contains("_salt"),
+        "non-equality residuals must keep their plan")
     } finally {
       spark.conf.unset(SaltedJoinRewrite.KeysConf)
       spark.conf.unset(SaltedJoinRewrite.BucketsConf)
