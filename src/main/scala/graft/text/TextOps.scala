@@ -134,50 +134,75 @@ object TextOps {
     * (`verbatimCandidates`), then the exact full-array verify, so
     * emitted jaccard values never depend on either generator. */
   private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
-    val ex = invertedIndex(docs)
+    // LAZY localCheckpoint on the index substrate: it feeds the df
+    // table + both join sides + the rarity count + the verbatim
+    // signature (5 reads) — without the pin, every read re-runs the
+    // regex shingling scan. Lazy (eager=false), so the operator stays
+    // a plain DataFrame; the first action materializes once and every
+    // downstream stage reads blocks. (The hashed verify arrays stay
+    // unpinned — 2 reads, and pinning them measured net-negative in
+    // ProdPairAB.)
+    val ex = invertedIndex(docs).localCheckpoint(false)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val hashed = hashedFrom(docs)
-    verifyJaccard(productionCandidates(ex, dfTab, hashed), hashed)
+    verifyJaccard(productionCandidates(ex, dfTab), hashedFrom(docs))
   }
 
-  /** Verbatim-duplicate candidate pairs: documents whose ENTIRE sorted
-    * hashed-shingle array is identical, grouped on a 64-bit signature
-    * of the array and self-joined within groups of size ≥ 2. This
-    * closes the df-cap's one STRUCTURAL blind spot: a document
-    * duplicated more than `PairDfCap` times has df ≥ copy-count on
-    * every one of its shingles — the capped index drops all of them
-    * and the pair (the core dedup case: boilerplate/mirror pages
-    * replicated thousands of times at 100 TB) is silently missed. The
-    * signature groupBy finds those cliques in ONE combinable shuffle
-    * of (sig, doc_id) longs — no pairwise join fan-out on the hot
-    * shingles — and its per-group self-join emits exactly the clique,
-    * which is answer-bound (every emitted pair IS a true J=1 pair).
-    * Candidates still funnel through `verifyJaccard`, so a (2⁻⁶⁴)
-    * signature collision costs one wasted verify row, never a wrong
-    * pair. Near-dup (J < 1) pairs whose every shared shingle is hotter
-    * than the cap remain out of reach of the capped generator — that
-    * residual is measured loudly by `dedup_truth_guard` and the
-    * exactness twins rather than assumed away. */
-  private[graft] def verbatimCandidates(hashed: DataFrame): DataFrame = {
-    val sig = hashed.select(col("doc_id"), xxhash64(col("hs")).as("vsig"))
-    val dup = sig.groupBy("vsig").agg(count(lit(1)).as("m"))
-      .filter(col("m") >= 2).select("vsig")
-    val mem = sig.join(dup, Seq("vsig"))
-    mem.toDF("vsig", "a_id")
-      .join(mem.toDF("vsig", "b_id").hint("shuffle_hash"), Seq("vsig"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-  }
+  /** Verbatim-duplicate candidate pairs: documents whose ENTIRE
+    * shingle multiset is identical, found from the inverted index in
+    * one combinable groupBy chain. This closes the df-cap's one
+    * STRUCTURAL blind spot: a document duplicated more than
+    * `PairDfCap` times has df ≥ copy-count on every one of its
+    * shingles — the capped index drops all of them and the pair (the
+    * core dedup case: boilerplate/mirror pages replicated thousands
+    * of times at 100 TB) is silently missed.
+    *
+    * The per-doc signature is a commutative combine of the doc's
+    * shingle hashes — (count, bit-XOR, Σ(sh mod p₁), Σ(sh mod p₂))
+    * with Mersenne-31-sized moduli so no term overflows under ANSI
+    * arithmetic — which identical shingle multisets always share, so
+    * completeness vs grouping on the sorted array itself is
+    * preserved; a coarser collision (different arrays, same combine)
+    * only adds a candidate the exact verify rejects, never a wrong
+    * pair. Reading `ex` (already built, and pinned by the caller)
+    * instead of a second `hashedFrom` pass, and exploding each
+    * group's clique from ONE collected id list instead of a
+    * self-join, is the ProdPairAB-measured cheapest shape (+15% over
+    * capped-only; the array-signature self-join form cost +50% —
+    * three re-shingling reads). Group id arrays are duplicate
+    * multiplicities (bounded in any sane corpus; the exploded pairs
+    * are the ANSWER); `ids[i]` is the 0-based [] operator, `slice`
+    * 1-based — the i-th id pairs with every later id of the sorted
+    * list, so a_id < b_id. Near-dup (J < 1) pairs whose every shared
+    * shingle is hotter than the cap remain out of reach of the capped
+    * generator — that residual is measured loudly by
+    * `dedup_truth_guard` and the exactness twins rather than assumed
+    * away. */
+  private[graft] def verbatimCandidatesFromIndex(ex: DataFrame): DataFrame =
+    ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), expr("bit_xor(sh)").as("x"),
+        sum(pmod(col("sh"), lit(2147483647L))).as("s"),
+        sum(pmod(col("sh"), lit(2147483629L))).as("q"))
+      .groupBy("c", "x", "s", "q")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 2), i -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +
+          "struct(ids[i] as a_id, b as b_id))))")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
 
   /** The production candidate generator: df-capped index candidates
     * (saturating cost — see `PairDfCap`) ∪ verbatim-duplicate cliques
-    * (structural completeness for the duplicated-past-the-cap case).
-    * `thr` loosens the capped generator's verify-bound prune for
-    * callers that emit below J = 0.5 (`dedupSweep`). */
+    * (structural completeness for the duplicated-past-the-cap case),
+    * the verbatim arm derived from the SAME index the capped arm
+    * reads (callers pin `ex` — the ProdPairAB-measured cheapest
+    * shape, +15% over capped-only vs +50% for a second shingling
+    * pass). `thr` loosens the capped generator's verify-bound prune
+    * for callers that emit below J = 0.5 (`dedupSweep`). */
   private[graft] def productionCandidates(ex: DataFrame, dfTab: DataFrame,
-      hashed: DataFrame, thr: Double = 0.4999): DataFrame =
+      thr: Double = 0.4999): DataFrame =
     cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", thr)
-      .union(verbatimCandidates(hashed))
+      .union(verbatimCandidatesFromIndex(ex))
       .distinct()
 
   /** (doc_id, n_sh, sh): the exploded hashed-shingle inverted index —
@@ -1080,7 +1105,7 @@ object TextOps {
     // spot). The capped-vs-uncapped residual is independently oracled
     // by `dedup_truth_guard` at every hash-checked SF.
     val truth = verifyJaccard(
-        productionCandidates(ex, dfTab, hashed), hashed)
+        productionCandidates(ex, dfTab), hashed)
       .select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
@@ -1185,7 +1210,7 @@ object TextOps {
     val ex = invertedIndex(docs).persist()
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val hashed = hashedFrom(docs)
-    val prod = verifyJaccard(productionCandidates(ex, dfTab, hashed), hashed)
+    val prod = verifyJaccard(productionCandidates(ex, dfTab), hashed)
       .select("a_id", "b_id").persist()
     val nProd = prod.count()
     // production ⊆ exact structurally (same verify predicate, candidate
@@ -1898,10 +1923,11 @@ object TextOps {
     * counts never depend on the cap. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingledDocs(spark, dir)
-    val ex = invertedIndex(docs)
+    // same lazy index pin as jaccardPairsFrom (5 reads)
+    val ex = invertedIndex(docs).localCheckpoint(false)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val hashed = hashedFrom(docs)
-    val pairs = productionCandidates(ex, dfTab, hashed, 0.2999)
+    val pairs = productionCandidates(ex, dfTab, 0.2999)
       .join(hashed.toDF("a_id", "a_sh"), Seq("a_id"))
       .join(hashed.toDF("b_id", "b_sh"), Seq("b_id"))
       .withColumn("inter", expr("sorted_intersect_count(a_sh, b_sh)").cast("long"))

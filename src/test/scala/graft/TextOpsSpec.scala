@@ -717,8 +717,7 @@ class TextOpsSpec extends SparkSpec {
       "df=100 shingles leaked through the df<=64 cap")
     assert(cappedOnly.contains((200L, 201L)))
     // 2. the verbatim arm alone recovers exactly the clique
-    assert(pairs(TextOps.verbatimCandidates(TextOps.hashedFrom(shingled)))
-      == clique)
+    assert(pairs(TextOps.verbatimCandidatesFromIndex(ex)) == clique)
     // 3. production output == uncapped exact join, values included
     def triples(df: org.apache.spark.sql.DataFrame) =
       df.select("a_id", "b_id", "jaccard").collect()
