@@ -1027,9 +1027,15 @@ object SparkEntry {
        |  WHERE rk <= n_sh // 2 + 1),
        |sim_hw AS MATERIALIZED ($hw),
        |sim_v AS MATERIALIZED (
+       |  -- per-(doc, DISTINCT word) counts before the 64-way bit
+       |  -- explode: sum(cnt * ±1) ≡ sum(±1 per occurrence), so the
+       |  -- signatures (and hashes) are unchanged while the explode
+       |  -- base shrinks by the corpus's word-repetition factor — the
+       |  -- sf1-budget margin for the full-eval replay
        |  SELECT o.doc_id, g.b,
-       |    sum(CASE WHEN (sim_hw.h >> CAST(g.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sv
-       |  FROM (SELECT doc_id, unnest(words) AS w_ FROM w) o
+       |    sum(o.cnt * CASE WHEN (sim_hw.h >> CAST(g.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+       |  FROM (SELECT doc_id, w_, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(words) AS w_ FROM w) GROUP BY doc_id, w_) o
        |  JOIN sim_hw ON sim_hw.s = o.w_, generate_series(0,63) g(b)
        |  GROUP BY o.doc_id, g.b),
        |sim_sigs AS MATERIALIZED (
