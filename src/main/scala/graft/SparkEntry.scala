@@ -1140,7 +1140,7 @@ object SparkEntry {
       "(SELECT count(*) FROM documents))) AS BIGINT)"
     s"""WITH sdocs AS MATERIALIZED (
        |  SELECT * FROM documents
-       |  WHERE (doc_id * 2654435761) % 1048576 < $thr),
+       |  WHERE ((doc_id % 1048576) * 2654435761) % 1048576 < $thr),
        |""".stripMargin +
       dedupEvalOracleSql.stripPrefix("WITH ")
         .replace("FROM documents", "FROM sdocs")

@@ -35,19 +35,28 @@ import org.apache.spark.sql.types.LongType
   * scaladoc).
   *
   * Contract and guards (the rule fires only when ALL hold):
-  *  - `spark.graft.skewJoin.keys` lists the hot key COLUMN NAMES
-  *    (comma-separated); empty (the default) disables the rule
+  *  - `spark.graft.skewJoin.keys` lists hot key TUPLES
+  *    (comma-separated). Each entry names the COMPLETE fact-side
+  *    equality key set of the join it opts in: a bare column name
+  *    (`l_orderkey`) opts in single-key joins on exactly that column;
+  *    a `+`-joined tuple (`l_partkey+l_suppkey`, order-insensitive)
+  *    opts in compound joins on exactly that key set. Exact-set
+  *    matching is the cost contract: the dim side pays ×B replication
+  *    per FIRING JOIN, so a configured name must never leak onto
+  *    joins the user didn't profile — the r9 ANY-column trigger made
+  *    a generic entry like `id` salt every compound join carrying
+  *    that name (r9 ADVICE). Empty (the default) disables the rule
   *    entirely — zero effect on un-configured sessions.
-  *  - Inner join whose condition is a CONJUNCTION of equalities
-  *    between attribute references, one per side each (single-key is
-  *    the one-conjunct case; compound keys are the common fact-join
-  *    shape — r8 verdict item 7). The LEFT side is the fact (skewed)
-  *    side, and the rule fires when ANY fact-side key column of the
-  *    join is configured: skew is a property of the key TUPLE, and a
-  *    configured hot column concentrates tuples regardless of what
-  *    it's paired with; salting is correct unconditionally (the salt
-  *    only routes which partition matching rows meet in). Conditions
-  *    with residual non-equality predicates and outer joins keep
+  *  - Inner join with at least one equality conjunct between
+  *    attribute references, one per side each. The LEFT side is the
+  *    fact (skewed) side; the fact-side columns of the equality
+  *    conjuncts form the key set matched against the config.
+  *    Residual NON-equality conjuncts (the date-bounded fact join:
+  *    `fact.k = dim.k AND fact.ts BETWEEN dim.lo AND dim.hi`) ride
+  *    into the rewritten condition unchanged — salting an inner join
+  *    is correct under arbitrary residuals, because each row pair
+  *    satisfying the original condition still meets in exactly one
+  *    (key, salt) partition (r9 verdict item 5). Outer joins keep
   *    their plan (outer-join salting has NULL-extension subtleties
   *    the manual utility documents).
   *  - `spark.graft.skewJoin.buckets` (default 8) sets B; the dim side
@@ -71,31 +80,39 @@ object SaltedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SaltedJoinRewrite
 
-  private def hotKeys: Set[String] =
+  /** configured entries, each normalized to the exact fact-side key
+    * SET it opts in: "k" → Set(k); "a+b" → Set(a, b) (order- and
+    * whitespace-insensitive) */
+  private def hotKeySets: Set[Set[String]] =
     conf.getConfString(KeysConf, "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\+").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty).toSet
 
   private def buckets: Int =
     try math.max(1, conf.getConfString(BucketsConf, "8").toInt)
     catch { case _: NumberFormatException => 8 }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val keys = hotKeys
-    if (keys.isEmpty) plan
+    val keySets = hotKeySets
+    if (keySets.isEmpty) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(joinCond), hint)
           if !left.output.exists(_.name == "_salt") &&
             !right.output.exists(_.name == "_salt") =>
-        // every conjunct must be an equality orientable to
-        // (fact attr from left, dim attr from right); widening casts
-        // the analyzer inserts around mixed-width keys (int fact key
-        // vs bigint dim key) don't change which attribute is compared
+        // equality conjuncts orientable to (fact attr from left, dim
+        // attr from right) define the join's key set; anything else
+        // (range bounds, same-side equalities) is a residual that
+        // rides into the rewritten condition unchanged. Widening
+        // casts the analyzer inserts around mixed-width keys (int
+        // fact key vs bigint dim key) don't change which attribute
+        // is compared.
         def asAttr(e: Expression): Option[AttributeReference] = e match {
           case a: AttributeReference => Some(a)
           case Cast(a: AttributeReference, _, _, _) => Some(a)
           case _ => None
         }
-        val oriented = splitConjunctivePredicates(joinCond).map {
+        val oriented = splitConjunctivePredicates(joinCond).flatMap {
           case EqualTo(l, r) =>
             (asAttr(l), asAttr(r)) match {
               case (Some(a), Some(b))
@@ -108,8 +125,8 @@ object SaltedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             }
           case _ => None
         }
-        if (oriented.forall(_.isDefined) &&
-            oriented.flatten.exists(p => keys.contains(p._1.name))) {
+        val factKeys = oriented.map(_._1.name).toSet
+        if (factKeys.nonEmpty && keySets.contains(factKeys)) {
           val nB = buckets
           // fact side: per-row routing salt (any value is correct —
           // task retries re-salting a row cannot change results)

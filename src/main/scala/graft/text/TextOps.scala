@@ -168,28 +168,51 @@ object TextOps {
     * group's clique from ONE collected id list instead of a
     * self-join, is the ProdPairAB-measured cheapest shape (+15% over
     * capped-only; the array-signature self-join form cost +50% —
-    * three re-shingling reads). Group id arrays are duplicate
-    * multiplicities (bounded in any sane corpus; the exploded pairs
-    * are the ANSWER); `ids[i]` is the 0-based [] operator, `slice`
-    * 1-based — the i-th id pairs with every later id of the sorted
-    * list, so a_id < b_id. Near-dup (J < 1) pairs whose every shared
-    * shingle is hotter than the cap remain out of reach of the capped
-    * generator — that residual is measured loudly by
-    * `dedup_truth_guard` and the exactness twins rather than assumed
-    * away. */
-  private[graft] def verbatimCandidatesFromIndex(ex: DataFrame): DataFrame =
-    ex.groupBy("doc_id")
+    * three re-shingling reads). The collect-and-explode arm is GATED
+    * at `VerbatimGroupCap` members: the motivating 100 TB case is a
+    * document replicated far past the df cap, which is exactly where
+    * one signature group becomes a multi-hundred-MB collected row
+    * and a quadratic single-row explode (r9 ADVICE — executor OOM at
+    * the design point). Groups above the cap route through a
+    * signature SELF-JOIN instead: the identical C(n,2) pair set, but
+    * generated as streamed join-output rows — quadratic CARDINALITY
+    * is inherent to the answer, quadratic single-row MEMORY is not.
+    * Group sizes come from one window count over the per-doc
+    * signature table (no extra join or shingling pass — the
+    * measured-cheapest property is preserved), and the exploded
+    * arm's collected lists are ≤ cap by construction. `ids[i]` is
+    * the 0-based [] operator, `slice` 1-based — the i-th id pairs
+    * with every later id of the sorted list, so a_id < b_id on both
+    * arms. Near-dup (J < 1) pairs whose every shared shingle is
+    * hotter than the cap remain out of reach of the capped generator
+    * — that residual is measured loudly by `dedup_truth_guard` and
+    * the exactness twins rather than assumed away. */
+  private[graft] val VerbatimGroupCap = 256
+
+  private[graft] def verbatimCandidatesFromIndex(ex: DataFrame): DataFrame = {
+    val sig = ex.groupBy("doc_id")
       .agg(count(lit(1)).as("c"), expr("bit_xor(sh)").as("x"),
         sum(pmod(col("sh"), lit(2147483647L))).as("s"),
         sum(pmod(col("sh"), lit(2147483629L))).as("q"))
+      .withColumn("gsz", count(lit(1)).over(
+        Window.partitionBy("c", "x", "s", "q")))
+      .filter(col("gsz") >= 2)
+    val small = sig.filter(col("gsz") <= VerbatimGroupCap)
       .groupBy("c", "x", "s", "q")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids) - 2), i -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +
           "struct(ids[i] as a_id, b as b_id))))")).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val bigSig = sig.filter(col("gsz") > VerbatimGroupCap)
+      .select("c", "x", "s", "q", "doc_id")
+    val big = bigSig.toDF("c", "x", "s", "q", "a_id")
+      .join(bigSig.toDF("c", "x", "s", "q", "b_id"), Seq("c", "x", "s", "q"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    small.union(big)
+  }
 
   /** The production candidate generator: df-capped index candidates
     * (saturating cost — see `PairDfCap`) ∪ verbatim-duplicate cliques
@@ -1058,8 +1081,15 @@ object TextOps {
     * path is the standard one for a quality-measurement (not a
     * production-dedup) operator: run the identical six-method pipeline
     * over a FIXED-budget deterministic document sample — a Knuth-hash
-    * admission `(doc_id·2654435761) mod 2²⁰ < ⌊2²⁰·min(1, B/n)⌋` that
-    * any SQL engine replays bit-for-bit (no RNG, no order dependence),
+    * admission `((doc_id mod 2²⁰)·2654435761) mod 2²⁰ < ⌊2²⁰·min(1,
+    * B/n)⌋` that any SQL engine replays bit-for-bit (no RNG, no order
+    * dependence). The id reduces mod 2²⁰ BEFORE the multiply so the
+    * product peaks at ~2.8e15 ≪ 2⁶³: the unreduced form silently
+    * wraps Long in Spark's non-ANSI arithmetic but raises (or goes
+    * negative) in an ANSI engine once doc_id exceeds ~3.5e9 — i.e.
+    * engine and oracle would diverge precisely at the huge-corpus
+    * design point (r9 ADVICE). Multiplying mod 2²⁰ by an odd constant
+    * is a bijection on the residues, so admission stays uniform,
     * so the report cost saturates at the budget while every ppm stays
     * an EXACT computation over the sampled corpus. Below the budget
     * (B = 5000 docs ≈ the sf0.1 corpus, where the full eval runs in
@@ -1072,7 +1102,8 @@ object TextOps {
     val n = Tables.documents(spark, dir).count()
     val thr = math.floor(1048576.0 * math.min(1.0, budget.toDouble / n)).toLong
     dedupEvalFrom(spark, docsRepartitioned(spark, dir)
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1048576L)) < lit(thr)))
+      .filter(pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L),
+        lit(1048576L)) < lit(thr)))
   }
 
   private def dedupEvalFrom(spark: SparkSession, baseDocs: DataFrame): DataFrame = {

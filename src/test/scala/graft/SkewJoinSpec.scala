@@ -63,33 +63,56 @@ class SkewJoinSpec extends SparkSpec {
         .rdd.mapPartitions(it => Iterator(it.size)).collect()
       assert(parts.count(_ > 0) > 1,
         s"expected the hot key in >1 partition, got ${parts.toSeq}")
-      // r9: a COMPOUND-key join with a configured hot column rewrites
-      // too (the common fact-join shape), and results are unchanged
+      // a COMPOUND-key join salts only under its EXPLICIT tuple entry
+      // (order-insensitive), never under a bare column name — the
+      // cost contract is per profiled key set (r9 ADVICE: a generic
+      // configured name must not leak ×B replication onto every
+      // compound join that happens to carry it)
       val bigTwo = big.withColumn("k2", col("payload") % 3)
       val smallTwo = small.withColumn("k2", col("k") % 3)
+      assert(!bigTwo.join(smallTwo, Seq("k", "k2"))
+          .queryExecution.optimizedPlan.toString.contains("_salt"),
+        "bare 'k' must not salt the (k, k2) compound join")
+      spark.conf.set(SaltedJoinRewrite.KeysConf, "k2 + k")
       val two = bigTwo.join(smallTwo, Seq("k", "k2"))
       val twoPlan = two.queryExecution.optimizedPlan
       assert(twoPlan.collect {
           case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn }
           .head.condition.get.references.exists(_.name == "_salt"),
-        s"two-key join with a hot column must salt:\n$twoPlan")
+        s"two-key join under its tuple entry must salt:\n$twoPlan")
       val twoGot = two.agg(count(lit(1)), sum("payload")).collect().head
       spark.conf.set(SaltedJoinRewrite.KeysConf, "") // plain replay
       val twoPlain = bigTwo.join(smallTwo, Seq("k", "k2"))
         .agg(count(lit(1)), sum("payload")).collect().head
       spark.conf.set(SaltedJoinRewrite.KeysConf, "k")
       assert(twoGot == twoPlain, "salted two-key join changed results")
-      // a two-key join with NO configured column keeps its plan
+      // a two-key join with NO configured tuple keeps its plan
       val cold = bigTwo.withColumnRenamed("k", "kc")
         .join(smallTwo.withColumnRenamed("k", "kc")
           .withColumnRenamed("attr", "attrc"), Seq("kc", "k2"))
       assert(!cold.queryExecution.optimizedPlan.toString.contains("_salt"),
         "unconfigured keys must keep their plan")
-      // a join with a residual non-equality conjunct keeps its plan
+      // a residual non-equality conjunct RIDES the rewrite (r9 verdict
+      // item 5: the date-bounded fact join shape) — the key set is
+      // still exactly {k}, so bare 'k' fires, the residual lands in
+      // the rewritten condition, and results match the plain replay
       val residual = big.join(small,
         big("k") === small("k") && big("payload") > small("k"))
-      assert(!residual.queryExecution.optimizedPlan.toString.contains("_salt"),
-        "non-equality residuals must keep their plan")
+      val resPlan = residual.queryExecution.optimizedPlan
+      assert(resPlan.toString.contains("_salt"),
+        s"equality + residual must still salt on the equality key:\n$resPlan")
+      val resGot = residual.agg(count(lit(1)), sum("payload")).collect().head
+      spark.conf.set(SaltedJoinRewrite.KeysConf, "")
+      val resPlain = big.join(small,
+          big("k") === small("k") && big("payload") > small("k"))
+        .agg(count(lit(1)), sum("payload")).collect().head
+      spark.conf.set(SaltedJoinRewrite.KeysConf, "k")
+      assert(resGot == resPlain, "salted residual join changed results")
+      // a join whose ONLY conjunct is a non-equality never salts —
+      // there is no key to route on
+      assert(!big.join(small, big("payload") > small("k"))
+          .queryExecution.optimizedPlan.toString.contains("_salt"),
+        "a pure theta join must keep its plan")
     } finally {
       spark.conf.unset(SaltedJoinRewrite.KeysConf)
       spark.conf.unset(SaltedJoinRewrite.BucketsConf)

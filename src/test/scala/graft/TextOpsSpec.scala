@@ -729,6 +729,32 @@ class TextOpsSpec extends SparkSpec {
     assert(prod.filter(t => clique.contains((t._1, t._2))).forall(_._3 == 1.0))
   }
 
+  test("verbatim clique above VerbatimGroupCap: self-join arm emits the identical pair set") {
+    // the r9 ADVICE design point: a clique LARGER than the
+    // collect-and-explode gate (256) must route through the streamed
+    // signature self-join and still emit exactly C(n,2) pairs, while
+    // a small clique in the same corpus rides the explode arm — the
+    // two arms' union is the full answer with no overlap and no gap
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val bigN = TextOps.VerbatimGroupCap + 44  // 300 > the 256 gate
+    val docs = ((0L until bigN.toLong).map(i =>
+        (i, "mirror page body repeated everywhere endlessly tonight")) ++
+      (1000L until 1003L).map(i =>
+        (i, "tiny clique of three identical documents here")) ++
+      Seq((2000L, "a lone unduplicated document sits apart quietly")))
+      .toDF("doc_id", "text")
+    val ex = TextOps.invertedIndex(TextOps.shingledFrom(docs))
+    val got = TextOps.verbatimCandidatesFromIndex(ex)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bigClique = (for (a <- 0L until bigN.toLong; b <- (a + 1) until bigN.toLong)
+      yield (a, b)).toSet
+    val smallClique = Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L))
+    assert(got == bigClique ++ smallClique,
+      s"expected ${bigClique.size + 3} pairs, got ${got.size}")
+  }
+
   test("sampled eval: under-budget identity and in-sample exactness") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
