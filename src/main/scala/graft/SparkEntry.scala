@@ -162,6 +162,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => VectorOps.annIvfPq(s, d)),
     "ann_eval" -> ((s, d) => VectorOps.annEval(s, d)),
+    "ann_graph" -> ((s, d) => VectorOps.annGraphNsw(s, d)),
     "q_rfm" -> ((s, d) => Analytics.rfmSegmentation(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfidfPairs(s, d)),
     "text_tfidf_capped" -> ((s, d) => TextOps.tfidfPairsCapped(s, d, 64L)),
     "vec_pca" -> ((s, d) => VectorOps.vecPca(s, d)),
+    "vec_pca_check" -> ((s, d) => VectorOps.vecPcaCheck(s, d)),
     "text_top_quality" -> ((s, d) => TextOps.topQualityPerLang(s, d)),
     "q_funnel_time" -> ((s, d) => Analytics.funnelTime(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -648,6 +650,82 @@ object SparkEntry {
         |FROM tk a LEFT JOIN tk b
         |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id, kk
         |ORDER BY a.query_id, a.rank""".stripMargin
+
+  /** The NSW-lite graph traversal replayed end to end: IVF seeding
+    * (same trainer/assignment CTEs as the IVF oracles), then each
+    * bounded-beam hop as a CTE pair — `ed{h}` derives the exact top-5
+    * neighbor rows for the nodes the walk touched (vec_knn_graph's
+    * rows for those sources, computed on demand: the touched set is
+    * ≤ queries·beam, so this is a bounded scan, never the n² graph),
+    * `beam{h}` reranks beam ∪ neighbors by exact cosine and prunes to
+    * 8. Deterministic rounding/tie-breaks make the whole walk — not
+    * just its output shape — hash-checked. */
+  private val annGraphOracleSql: String =
+    lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql +
+      """,
+        |qrs AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nv
+        |  WHERE vec_id < 10 AND nrm > 0),
+        |ent AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id AS node FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+        |    FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 10) WHERE rk <= 3),
+        |ed1 AS MATERIALIZED (
+        |  SELECT node AS src, vid AS dst FROM (
+        |    SELECT t.node, v.vec_id AS vid,
+        |      row_number() OVER (PARTITION BY t.node ORDER BY
+        |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
+        |    FROM (SELECT DISTINCT node FROM ent) t
+        |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
+        |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
+        |  WHERE rk <= 5),
+        |cand1 AS (
+        |  SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM ent
+        |    UNION ALL
+        |    SELECT e.query_id, d.dst AS node FROM ent e JOIN ed1 d ON d.src = e.node)
+        |  WHERE node <> query_id),
+        |beam1 AS MATERIALIZED (
+        |  SELECT query_id, node, cos FROM (
+        |    SELECT c.query_id, c.node,
+        |      round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) AS cos,
+        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |        round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) DESC, c.node) AS rk
+        |    FROM cand1 c JOIN qrs q ON q.query_id = c.query_id
+        |    JOIN nv v ON v.vec_id = c.node)
+        |  WHERE rk <= 8),
+        |ed2 AS MATERIALIZED (
+        |  SELECT node AS src, vid AS dst FROM (
+        |    SELECT t.node, v.vec_id AS vid,
+        |      row_number() OVER (PARTITION BY t.node ORDER BY
+        |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
+        |    FROM (SELECT DISTINCT node FROM beam1) t
+        |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
+        |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
+        |  WHERE rk <= 5),
+        |cand2 AS (
+        |  SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM beam1
+        |    UNION ALL
+        |    SELECT b.query_id, d.dst AS node FROM beam1 b JOIN ed2 d ON d.src = b.node)
+        |  WHERE node <> query_id),
+        |beam2 AS MATERIALIZED (
+        |  SELECT query_id, node, cos FROM (
+        |    SELECT c.query_id, c.node,
+        |      round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) AS cos,
+        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |        round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) DESC, c.node) AS rk
+        |    FROM cand2 c JOIN qrs q ON q.query_id = c.query_id
+        |    JOIN nv v ON v.vec_id = c.node)
+        |  WHERE rk <= 8)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id, cos FROM (
+        |  SELECT query_id, node, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+        |  FROM beam2)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** The PQ codebook trainer (8 subspaces × 16 Lloyd centroids over
     * the unit-normalized sample) replayed as ONE 10-round chain keyed
@@ -1518,7 +1596,8 @@ object SparkEntry {
       "ivf_3probe" -> annIvfProbeOracleSql,
       "ivfpq_adc" -> annIvfPqOracleSql,
       "bq_hamming" -> annBqOracleSql,
-      "pq_adc" -> annPqOracleSql)
+      "pq_adc" -> annPqOracleSql,
+      "graph_nsw" -> annGraphOracleSql)
     val mctes = methods.zipWithIndex.map { case ((m, q), i) =>
       s"m_$i AS MATERIALIZED (SELECT '$m' AS method, query_id, neighbor_id FROM ($q))"
     }.mkString(",\n")
@@ -1582,6 +1661,7 @@ object SparkEntry {
     "dedup_simhash128" -> dedupSimhash128OracleSql,
     "ann_pq" -> annPqOracleSql,
     "ann_ivfpq" -> annIvfPqOracleSql,
+    "ann_graph" -> annGraphOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_probe" -> annIvfProbeOracleSql,
     "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,
@@ -3579,6 +3659,28 @@ object SparkEntry {
         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""".stripMargin,
+
+    // vec_pca's cross-engine anchor (the eigensolve itself has no SQL
+    // replay): full-rank Parseval — the engine sums squared
+    // projections THROUGH the solved basis, the oracle computes the
+    // centered squared norm straight from parquet with the identical
+    // micro-exact mean derivation. Agreement to the 4-decimal grid
+    // requires the basis orthonormal and the projection/centering
+    // arithmetic right.
+    "vec_pca_check" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ev),
+        |mu AS MATERIALIZED (
+        |  SELECT pos, CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / nn.n / 1e6 AS m
+        |  FROM (SELECT unnest(generate_series(1, len(e))) AS pos, unnest(e) AS v FROM ev), nn
+        |  GROUP BY pos, nn.n),
+        |muv AS (SELECT list(m ORDER BY pos) AS mv FROM mu)
+        |SELECT vec_id, CAST(len(e) AS BIGINT) AS dim,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(generate_series(1, len(e)),
+        |      ix -> (e[ix] - mv[ix]) * (e[ix] - mv[ix]))), (x, y) -> x + y), 4) AS recon_norm2
+        |FROM ev, muv ORDER BY vec_id""".stripMargin,
 
     "vec_stats" ->
       """WITH v AS (

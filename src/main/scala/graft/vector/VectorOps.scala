@@ -926,6 +926,93 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Graph-traversal ANN (NSW-lite — Malkov & Yashunin's navigable
+    * small-world search reduced to its bounded-beam core): greedy
+    * best-first over the k-NN graph from IVF-seeded entry points.
+    * Per query: seed with the 1-probe IVF top-3 (the coarse index
+    * drops the walk inside the right region), then `hops` rounds of
+    * expand-and-prune — candidates = beam ∪ top-`k` graph neighbors
+    * of every beam node, scored by exact cosine against the query,
+    * kept to the best `beam` (cos desc, id tie-break) — and emit the
+    * final top-3. Deterministic end to end (rounded-6 scores, id
+    * tie-breaks), so unlike classic NSW this walk is hash-oracled:
+    * DuckDB replays seeding, both hops, and the pruning exactly.
+    *
+    * Graph substrate: the neighbor lists are exactly
+    * [[vecKnnGraph]]'s rows (same rounding, same tie-break — the spec
+    * pins traversal-over-the-prebuilt-graph identical), derived here
+    * ON DEMAND for the ≤ queries·beam nodes the walk actually
+    * touches: each hop is one corpus scan against a broadcast of the
+    * touched handful, so a traversal costs Θ(hops·touched·n·d) —
+    * linear in corpus size, never n². At serving scale the graph is
+    * prebuilt once (vec_knn_graph / vec_knn_graph_ann_auto — the
+    * generator-agnostic contract those operators document) and each
+    * hop becomes a constant-time edge-list lookup; the on-demand
+    * derivation keeps this ENTRY self-contained without charging it a
+    * full graph build per call. Recall is measured, not assumed: the
+    * `graph_nsw` row of `ann_eval` scores this walk against the
+    * brute-force truth. */
+  def annGraphNsw(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = 8, hops: Int = 2,
+      prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", expr("vec_norm(e)"))
+      .filter(col("nrm") > 0)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    // beam state: (query_id, node[, cos]) — entries start unscored;
+    // the first hop's candidate union includes the beam itself, so
+    // every surviving node carries an exact score from then on
+    var beamDf: DataFrame = annIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    for (_ <- 1 to hops) {
+      val touched = beamDf.select("node").distinct()
+      // exact top-k neighbors of each touched node — vecKnnGraph's
+      // rows for these sources: looked up in a caller-prebuilt graph
+      // (the serving shape — `prebuiltEdges` as (src, dst) rows), or
+      // derived on demand with one broadcast-scan (the self-contained
+      // entry shape; the spec pins the two traversals row-identical)
+      val edges = prebuiltEdges match {
+        case Some(pe) => pe.join(broadcast(touched),
+            pe("src") === touched("node")).select(pe("src"), pe("dst"))
+        case None =>
+          val tn = base.join(broadcast(touched), col("vec_id") === col("node"))
+            .select(col("node").as("src"), col("e").as("ue"), col("nrm").as("un"))
+          graft.plans.TopK.perKey(
+              base.join(broadcast(tn), col("vec_id") =!= col("src"))
+                .withColumn("cos",
+                  round(expr("vec_dot(ue, e)") / (col("un") * col("nrm")), 6)),
+              k, Seq("src"), "cos", "vec_id")
+            .select(col("src"), col("vec_id").as("dst"))
+      }
+      val cand = beamDf.select("query_id", "node")
+        .unionByName(beamDf.join(edges, beamDf("node") === edges("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .filter(col("node") =!= col("query_id"))
+        .distinct()
+      beamDf = base.join(broadcast(
+          cand.join(queries, Seq("query_id"))),
+          col("vec_id") === col("node"))
+        .withColumn("cos",
+          round(expr("vec_dot(qe, e)") / (col("qn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("node"))))
+        .filter(col("rk") <= beam)
+        .select("query_id", "node", "cos")
+    }
+    beamDf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("node"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN-method quality report — the vector twin of `dedup_eval`: each
     * approximate path's top-3 neighbor set scored against the exact
     * brute-force truth in integer ppm (recall@3) plus its candidate
@@ -960,7 +1047,8 @@ object VectorOps {
         "ivf_3probe" -> (() => annIvfProbe(spark, dir)),
         "ivfpq_adc" -> (() => annIvfPq(spark, dir)),
         "bq_hamming" -> (() => annBq(spark, dir)),
-        "pq_adc" -> (() => annPq(spark, dir)))
+        "pq_adc" -> (() => annPq(spark, dir)),
+        "graph_nsw" -> (() => annGraphNsw(spark, dir)))
         .map { case (m, f) => scala.concurrent.Future(score(m, f())) }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
@@ -1298,6 +1386,45 @@ object VectorOps {
       .select(col("vec_id"), col("p.comp").as("comp"),
         col("p.z_micro").as("z_micro"), col("p.eval_nano").as("eval_nano"))
       .orderBy("vec_id", "comp")
+  }
+
+  /** Hash-oracled companion of `vec_pca` (r9 verdict item 7): the
+    * Jacobi eigensolver itself has no SQL replay, but the FULL-RANK
+    * projection it produces satisfies an invariant any SQL engine can
+    * compute independently — with k = d orthonormal components,
+    * Σ_c z_c² = ‖x − μ‖² per vector (Parseval on the centered
+    * embedding). The engine side derives the left-hand sum THROUGH
+    * the eigenbasis (d dot products against the solved components,
+    * exactly the `vec_pca` projection path at full rank), while the
+    * DuckDB oracle computes the right-hand norm straight from the
+    * parquet column and the micro-exact mean — the two sides share no
+    * code and no basis, so a non-orthonormal eigensolve, a dropped
+    * component, or a wrong centering shift is a hash mismatch here
+    * even though `vec_pca` itself stays rows-only. Both sides round
+    * to 4 decimals: the identity holds to ~1e-13 relative (Jacobi's
+    * off-diagonal residual), four orders below the rounding grid.
+    * Per-component variance-vs-eigenvalue and basis orthonormality
+    * are additionally pinned in-JVM by VectorOpsSpec's second
+    * implementation; this entry is the cross-engine anchor. */
+  def vecPcaCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    if (emb.isEmpty)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "dim", "recon_norm2")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val (_, basis, mu) = pcaBasis(spark, dir, d)
+    val e = asDouble(col("embedding"))
+    val z2 = basis.map { v =>
+      val vLit = typedLit(v.toSeq)
+      val shift = v.indices.map(i => v(i) * mu(i)).sum
+      val z = call_function("vec_dot", e, vLit) - lit(shift)
+      z * z
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), lit(d.toLong).as("dim"),
+        round(z2, 4).as("recon_norm2"))
+      .orderBy("vec_id")
   }
 
   /** Exact MIPS (maximum inner-product search): top-5 neighbors per

@@ -249,7 +249,7 @@ class VectorOpsSpec extends SparkSpec {
           r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
     assert(rows.keySet ==
       Set("lsh_hyperplane", "ivf_1probe", "ivf_3probe", "ivfpq_adc", "pq_adc",
-        "bq_hamming"))
+        "bq_hamming", "graph_nsw"))
     val nTruth = rows.values.head._2
     for ((m, (ret, t, hits, ppm)) <- rows) {
       assert(t == nTruth, s"$m scored against a different truth")
@@ -729,4 +729,64 @@ class VectorOpsSpec extends SparkSpec {
       assert(r._4 == s)
     }
   }
+
+  test("graph ANN: prebuilt-substrate traversal identical; recall dominates its IVF seed") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val onDemand = rows(VectorOps.annGraphNsw(spark, sfDir))
+    // 1. the on-demand edge derivation is exactly the prebuilt
+    //    vec_knn_graph substrate: traversing the full prebuilt graph
+    //    emits the identical walk, row for row
+    val prebuilt = VectorOps.vecKnnGraph(spark, sfDir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    assert(rows(VectorOps.annGraphNsw(spark, sfDir,
+      prebuiltEdges = Some(prebuilt))) == onDemand)
+    // 2. the walk never loses ground on its seed: hop candidates
+    //    always include the current beam and beam(8) > 3, so the
+    //    final exact-cos top-3 dominates the IVF-1probe top-3 hits
+    val truth = VectorOps.annBruteForce(spark, sfDir)
+      .filter(col("rank") <= 3).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seedHits = VectorOps.annIvf(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    val walkHits = onDemand.map(t => (t._1, t._3)).count(truth)
+    assert(walkHits >= seedHits,
+      s"graph walk hits $walkHits < its seed's $seedHits")
+    // per-query shape: at most 3 ranked rows, ranks contiguous from 1
+    onDemand.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.size).toSeq, s"query $q ranks")
+    }
+  }
+
+  test("vec_pca_check: engine-side Parseval sum equals the direct centered norm") {
+    import org.apache.spark.sql.functions._
+    // sequential second implementation: mean from micro-rounded sums
+    // (the engine's exact derivation), then the direct squared norm —
+    // the quantity the DuckDB oracle computes. Agreement through the
+    // eigenbasis is the orthonormality/projection proof.
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    val n = vecs.length.toDouble
+    val mu = Array.tabulate(d) { i =>
+      vecs.map(v => math.floor(v._2(i) * 1e6 + 0.5).toLong).sum.toDouble / n / 1e6
+    }
+    val expect = vecs.map { case (id, e) =>
+      val s = e.indices.map(i => (e(i) - mu(i)) * (e(i) - mu(i))).sum
+      (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = VectorOps.vecPcaCheck(spark, sfDir)
+      .select("vec_id", "recon_norm2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect.toSeq)
+    // dim column is the full embedding width (full-rank check)
+    assert(VectorOps.vecPcaCheck(spark, sfDir)
+      .select("dim").distinct().collect().map(_.getLong(0)).toSeq == Seq(d.toLong))
+  }
 }
+
