@@ -48,6 +48,38 @@ object Bench {
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    // DRIFT INDEX (r9 verdict item 3): this host's same-day full runs
+    // have disagreed 1.3-2.8x per query on identical code, which made
+    // cross-round totals adjudicable only by re-running. Fix: run a
+    // fixed 3-query touchstone set (scan+agg, windowed top-k, text
+    // hash-groupBy — cheap, plan-stable, untouched for many rounds) at
+    // protocol START and again at protocol END in this same JVM, and
+    // stamp both into the env fingerprint. end/start >> 1 says the box
+    // degraded DURING the run (alphabetically-late queries penalized);
+    // start vs a prior round's start separates machine drift from plan
+    // regressions without re-running either round. Warm-then-time
+    // median-of-3, same discipline as the measured queries. Full-
+    // surface runs only (a filtered local iteration shouldn't pay it).
+    val touchstoneNames = Seq("q1_agg", "q_topn_pergroup", "dedup_exact")
+    def touchstones(): Map[String, Double] =
+      touchstoneNames.flatMap { n =>
+        SparkEntry.queries.get(n).flatMap { fn =>
+          val ok =
+            try { force(fn(spark, sfDir)); true }
+            catch { case _: Throwable => false } // warmup
+          if (!ok) None
+          else {
+            val ts = (1 to 3).map { _ =>
+              System.gc()
+              val t0 = System.nanoTime()
+              try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            Some(n -> ts(1))
+          }
+        }
+      }.toMap
+    val driftStart = if (only.isEmpty) touchstones() else Map.empty[String, Double]
     val measured = selected.map { case (name, fn) =>
       // Per-query warmup AT THE BENCH SF, immediately before its timed
       // run (JMH style): whole-stage codegen caches on generated source,
@@ -135,6 +167,7 @@ object Bench {
       val spread = if (oks.nonEmpty) (oks.head, oks.last) else (dt, dt)
       (name, dt, spread)
     }
+    val driftEnd = if (only.isEmpty) touchstones() else Map.empty[String, Double]
     val results = measured.map { case (n, d, _) => (n, d) }
     // one shared escaper (JsonOut) for BOTH maps — the queries map used
     // to interpolate keys raw while errors escaped, so the two could
@@ -170,9 +203,22 @@ object Bench {
       gcs.forEach { g => gcCount += math.max(0L, g.getCollectionCount); gcMs += math.max(0L, g.getCollectionTime) }
       val flakyJson = flaky.map { case (k, v) => JsonOut.str(k) + ":" + v }
         .mkString("{", ",", "}")
+      // touchstone drift block: per-query start/end medians plus the
+      // end/start total ratio — 1.0 = box stable across the run
+      val driftJson =
+        if (driftStart.isEmpty) "null"
+        else {
+          def m(x: Map[String, Double]) = x.toSeq.sortBy(_._1)
+            .map { case (k, v) => JsonOut.str(k) + ":" + f3(v) }
+            .mkString("{", ",", "}")
+          val s0 = driftStart.values.sum
+          val s1 = driftEnd.values.sum
+          val idx = if (s0 > 0 && driftEnd.nonEmpty) s1 / s0 else 0.0
+          s"""{"start":${m(driftStart)},"end":${m(driftEnd)},"index":${f3(idx)}}"""
+        }
       s"""{"load_avg":${f3(os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors},""" +
         s""""heap_max_gb":${f3(Runtime.getRuntime.maxMemory / 1e9)},"gc_count":$gcCount,"gc_sec":${f3(gcMs / 1e3)},""" +
-        s""""passes_per_query":$nPasses,"warmup":$warmups,"flaky":$flakyJson}"""
+        s""""passes_per_query":$nPasses,"warmup":$warmups,"flaky":$flakyJson,"drift":$driftJson}"""
     }
     // per-query [min,max] over the successful passes: the judge's
     // drift-vs-regression separator (a wide spread says tail noise; a

@@ -13,8 +13,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * bound — a measurement of the "bounded state forever" claims, not a
   * narration. (tools/StreamSoak is the wall-clock rate-source twin for
   * longer runs; this spec is the deterministic MemoryStream version
-  * the test gate can afford.) */
+  * the test gate can afford.)
+  *
+  * The bound tests run under BOTH state-store providers — the
+  * HDFS-backed in-memory default and RocksDB (r9 verdict item 6: the
+  * 100 TB story for streaming state is RocksDB's out-of-heap store,
+  * so the row bounds must be pinned where production would run them).
+  * Row-count bounds are provider-independent metrics; the BYTES bound
+  * stays HDFS-only because RocksDB's memoryUsedBytes reports
+  * memtable/block-cache estimates plus SST bookkeeping that move with
+  * compaction timing, not logical state size. The TTL timing tests
+  * exercise timeout machinery that is provider-agnostic and keep the
+  * default store. */
 class StateSoakSpec extends SparkSpec {
+
+  private val Providers: Seq[(String, Option[String])] = Seq(
+    "hdfs" -> None,
+    "rocksdb" -> Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
+  private def withProvider(p: Option[String])(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    p.foreach(spark.conf.set(key, _))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   private def stateRows(q: StreamingQuery): Long = {
     val p = q.lastProgress
@@ -22,13 +49,15 @@ class StateSoakSpec extends SparkSpec {
     p.stateOperators.map(_.numRowsTotal).sum
   }
 
-  test("anomaly state plateaus at the number of distinct keys, whatever the volume") {
+  for ((store, prov) <- Providers)
+  test(s"anomaly state plateaus at the number of distinct keys, whatever the volume [$store]") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val types = (0 until 8).map(i => s"t$i")
     val stream = MemoryStream[ValueIn]
+    withProvider(prov) {
     val q = AnomalyStream.anomalyStream(stream.toDS())
-      .writeStream.format("memory").queryName("soak_anom")
+      .writeStream.format("memory").queryName(s"soak_anom_$store")
       .outputMode("append").start()
     try {
       var plateau = -1L
@@ -46,14 +75,17 @@ class StateSoakSpec extends SparkSpec {
       }
       assert(plateau == 8L, s"one moment cell per type expected, got $plateau")
     } finally q.stop()
+    }
   }
 
-  test("heavy-hitter state rows stay at #groups and bytes stay k-bounded") {
+  for ((store, prov) <- Providers)
+  test(s"heavy-hitter state rows stay at #groups and bytes stay k-bounded [$store]") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[ItemIn]
+    withProvider(prov) {
     val q = HeavyHittersStream.heavyHittersStream(stream.toDS(), k = 20)
-      .writeStream.format("memory").queryName("soak_hh")
+      .writeStream.format("memory").queryName(s"soak_hh_$store")
       .outputMode("update").start()
     try {
       var plateauRows = -1L
@@ -71,16 +103,21 @@ class StateSoakSpec extends SparkSpec {
             s"hh state rows grew: batch $b rows=${p.numRowsTotal}")
           // Misra-Gries caps counters at k+? per group: bytes wobble
           // with map occupancy but must stay within 2x of the plateau,
-          // never trend with the 9000-new-items-per-batch stream
-          assert(p.memoryUsedBytes <= plateauBytes * 2,
-            s"hh state bytes trend upward: batch $b bytes=${p.memoryUsedBytes} vs $plateauBytes")
+          // never trend with the 9000-new-items-per-batch stream.
+          // HDFS store only: RocksDB reports memtable/cache estimates
+          // that move with compaction timing, not logical state.
+          if (prov.isEmpty)
+            assert(p.memoryUsedBytes <= plateauBytes * 2,
+              s"hh state bytes trend upward: batch $b bytes=${p.memoryUsedBytes} vs $plateauBytes")
         }
       }
       assert(plateauRows == 4L, s"one MG sketch per group expected, got $plateauRows")
     } finally q.stop()
+    }
   }
 
-  test("neardup state grows only with ADMITTED docs; replays add nothing") {
+  for ((store, prov) <- Providers)
+  test(s"neardup state grows only with ADMITTED docs; replays add nothing [$store]") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // vocabulary-disjoint docs: each lands in 32 FRESH band buckets,
@@ -93,8 +130,9 @@ class StateSoakSpec extends SparkSpec {
     def doc(id: Long) = DocIn(id,
       (0 until 40).map(w => s"q${alpha(id)}x${alpha(w)}").mkString(" "))
     val stream = MemoryStream[DocIn]
+    withProvider(prov) {
     val q = NearDupStream.nearDupStream(stream.toDS())
-      .writeStream.format("memory").queryName("soak_neardup")
+      .writeStream.format("memory").queryName(s"soak_neardup_$store")
       .outputMode("append").start()
     try {
       stream.addData((0L until 40L).map(doc): _*)
@@ -118,6 +156,7 @@ class StateSoakSpec extends SparkSpec {
       assert(afterMore == afterAdmit + 20L * 32L,
         s"expected ${afterAdmit + 640L} bucket rows, got $afterMore")
     } finally q.stop()
+    }
   }
 
   test("neardup canonical compaction bounds hot-bucket occupancy under boilerplate") {
