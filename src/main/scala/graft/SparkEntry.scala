@@ -1012,13 +1012,35 @@ object SparkEntry {
        |$cfgCtes,
        |allc AS (SELECT * FROM cand_4 UNION ALL SELECT * FROM cand_8 UNION ALL SELECT * FROM cand_16 UNION ALL SELECT * FROM cand_32),
        |ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
+       |-- truth from the PRODUCTION union (df<=64 candidates + verbatim
+       |-- cliques, exact list-intersect verify) — the SAME construction
+       |-- the engine's jaccardPairs truth uses and dedupEvalOracleSql
+       |-- replays. r10: this oracle had been left on the fully UNCAPPED
+       |-- join while the engine moved to the production path in r9 — a
+       |-- derivation mismatch invisible at sf0.01/0.1 (the cap residual
+       |-- is 0 there) that surfaced as an sf1 hash divergence the moment
+       |-- MakeSf's reworded replica families pushed shared shingles past
+       |-- the cap (394 of 4590 exact pairs; measured, as designed, by
+       |-- dedup_truth_guard's own hash-oracled row).
+       |dftab AS MATERIALIZED (SELECT xh, count(*) AS df FROM shx GROUP BY xh),
+       |cap64 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
+       |  JOIN dftab d ON d.xh = a.xh WHERE d.df <= 64),
+       |dlst AS MATERIALIZED (SELECT doc_id, list(xh ORDER BY xh) AS lx FROM shx GROUP BY doc_id),
+       |vcand AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM dlst a JOIN dlst b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+       |candu AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand),
        |tpair AS MATERIALIZED (
-       |  SELECT ia AS a_id, ib AS b_id FROM (
-       |    SELECT ea.doc_id AS ia, eb.doc_id AS ib, count(*) AS inter
-       |    FROM shx ea JOIN shx eb ON eb.xh = ea.xh AND ea.doc_id < eb.doc_id
-       |    GROUP BY ea.doc_id, eb.doc_id) p
-       |  JOIN ns na ON na.doc_id = p.ia JOIN ns nb ON nb.doc_id = p.ib
-       |  WHERE round(p.inter / CAST(na.n_sh + nb.n_sh - p.inter AS DOUBLE), 6) >= 0.5),
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id, na.n_sh, nb.n_sh AS nb_sh,
+       |      len(list_intersect(la.lx, lb.lx)) AS inter
+       |    FROM candu c
+       |    JOIN dlst la ON la.doc_id = c.a_id JOIN dlst lb ON lb.doc_id = c.b_id
+       |    JOIN ns na ON na.doc_id = c.a_id JOIN ns nb ON nb.doc_id = c.b_id)
+       |  WHERE round(inter / CAST(n_sh + nb_sh - inter AS DOUBLE), 6) >= 0.5),
        |nt AS (SELECT count(*) AS n_truth FROM tpair),
        |scored AS (
        |  SELECT c.n_bands, c.rows_per_band, count(*) AS n_candidates,

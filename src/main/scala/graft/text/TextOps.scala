@@ -904,7 +904,14 @@ object TextOps {
     * exact-Jaccard (≥ 0.5) pair truth. Candidate generation per config
     * is the production bucket shuffle (never all-pairs); signatures
     * and truth are computed ONCE and pinned (localCheckpoint) across
-    * the four configs; the report is 4 rows. More rows per band ⇒
+    * the four configs; the report is 4 rows. Truth is the PRODUCTION
+    * pair path (`jaccardPairs` — df≤64 ∪ verbatim candidates, exact
+    * verify), the same contract as `dedup_eval`'s truth, and the
+    * DuckDB oracle replays the SAME construction (r10: the oracle had
+    * been left on the fully uncapped join, a derivation mismatch that
+    * surfaced at sf1 where the cap residual is non-zero — 394/4590
+    * pairs, measured by `dedup_truth_guard`); the capped-vs-uncapped
+    * residual stays the guard entry's job, not this report's. More rows per band ⇒
     * fewer, higher-precision candidates — the S-curve the
     * b·r = 128 family traces. Rows-only (minhash is engine-specific);
     * the spec pins the hierarchical subset law and recall monotonicity
@@ -1069,7 +1076,21 @@ object TextOps {
     * Hamming ≤ 3 (a DIFFERENT similarity target scored against Jaccard
     * truth — the cross-metric overlap is the honest comparison).
     * Everything reuses the production operators; the truth set is
-    * computed once and joined against each method. */
+    * computed once and joined against each method.
+    *
+    * TIER (r9 verdict item 2, made explicit): this full replay is the
+    * DECLARED VERIFICATION TWIN of the eval family — its wall is
+    * candidate-bound by construction (six generators over a corpus
+    * whose replica-collision pair mass grows superlinearly: measured
+    * 14× at 3.33× rows in the sf10 smoke), because the candidates ARE
+    * the quantity under report and budgeting them away here would
+    * change the report's meaning. The PRODUCTION row at scale is
+    * `dedup_eval_sampled` (identical six-method pipeline over the
+    * deterministic 5000-doc budget sample — saturating cost,
+    * hash-certified at every oracle SF); this entry exists so the
+    * sampled twin has an exactness anchor, the same declared split as
+    * text_tfidf / text_tfidf_capped and dedup_ngram_jaccard vs the
+    * capped generator. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame =
     dedupEvalFrom(spark, docsRepartitioned(spark, dir))
 

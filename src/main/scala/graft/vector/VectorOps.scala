@@ -1028,7 +1028,7 @@ object VectorOps {
     // single-action scoring + concurrent method submission, same
     // rationale as TextOps.dedupEval: truth is a distinct (query,
     // neighbor) set (rank ≤ 3 per query), so the left-join marker
-    // can't fan out, and the four independent pipelines overlap on
+    // can't fan out, and the independent method pipelines overlap on
     // the scheduler instead of serializing their idle phases
     def score(method: String, pairs: DataFrame): (String, Long, Long) = {
       val row = pairs.select("query_id", "neighbor_id")
