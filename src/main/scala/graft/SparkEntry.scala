@@ -944,11 +944,11 @@ object SparkEntry {
   /** shared prefix of the xxhash-MinHash oracles: shingles, xxh64
     * shingle hashes, the replayed LCG permutation stream, and the 128
     * signature slots (CTEs w/s/hx/shx/lcg/perms/sigs) */
-  private lazy val minhashSigsCtesSql: String = {
+  private def minhashSigsCtesSql(docsRel: String = "documents"): String = {
     val hsh = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(shingles) AS sh FROM s)", "sh", 42L)
     s"""WITH w AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-       |    x -> x <> '') AS words FROM documents),
+       |    x -> x <> '') AS words FROM $docsRel),
        |s AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
@@ -973,8 +973,56 @@ object SparkEntry {
        |  FROM shx, perms GROUP BY doc_id, i)""".stripMargin
   }
 
+
+  /** The PRODUCTION near-dup pair set replayed end to end — the shared
+    * oracle for every operator that consumes `TextOps.jaccardPairsFrom`
+    * (cluster labels, keep-best, splits, curation, source matrix,
+    * length profile, sweep, the eval truths). Candidates are the same
+    * three saturating arms as the engine: pairs sharing a df≤64
+    * shingle hash, verbatim-identical sorted shingle lists, and
+    * MinHash-LSH 32×4 banded pairs over the replayed 128-perm
+    * signatures (r10 — the arm that closes the 394/4590 sf1 residual);
+    * the exact hashed-shingle verify at `thrSql` makes looser
+    * candidates value-neutral. Emits (after [[minhashSigsCtesSql]]'s
+    * w/s/hx/shx/lcg/perms/sigs and the staged band-fold CTEs)
+    * `ppairs(a_id, b_id, jaccard, j_ppm)`. Callers needing recursion
+    * downstream prefix the whole text with WITH RECURSIVE. */
+  private def prodPairsCtesSql(docsRel: String = "documents",
+      thrSql: String = "0.5"): String =
+    minhashSigsCtesSql(docsRel) + ",\n" +
+    OracleSqlGen.murmurBandCtesSql("pb_", "sigs", 4) +
+    s""",
+       |pb_cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pb_bands a JOIN pb_bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |pp_ns AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM s),
+       |pp_dftab AS MATERIALIZED (SELECT xh, count(*) AS df FROM shx GROUP BY xh),
+       |pp_cap AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
+       |  JOIN pp_dftab d ON d.xh = a.xh WHERE d.df <= 64),
+       |pp_dlst AS MATERIALIZED (SELECT doc_id, list(xh ORDER BY xh) AS lx FROM shx GROUP BY doc_id),
+       |pp_v AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pp_dlst a JOIN pp_dlst b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+       |pp_candu AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM pp_cap UNION SELECT a_id, b_id FROM pp_v
+       |  UNION SELECT a_id, b_id FROM pb_cand),
+       |ppairs AS MATERIALIZED (
+       |  SELECT a_id, b_id,
+       |    round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) AS jaccard,
+       |    inter * 1000000 // (a_n + b_n - inter) AS j_ppm
+       |  FROM (
+       |    SELECT c.a_id, c.b_id, na.n_sh AS a_n, nb.n_sh AS b_n,
+       |      len(list_intersect(la.lx, lb.lx)) AS inter
+       |    FROM pp_candu c
+       |    JOIN pp_dlst la ON la.doc_id = c.a_id JOIN pp_dlst lb ON lb.doc_id = c.b_id
+       |    JOIN pp_ns na ON na.doc_id = c.a_id JOIN pp_ns nb ON nb.doc_id = c.b_id)
+       |  WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= $thrSql)""".stripMargin
+
   private val dedupMinhashOracleSql: String = {
-    minhashSigsCtesSql + ",\n" +
+    minhashSigsCtesSql() + ",\n" +
     OracleSqlGen.murmurBandCtesSql("mh_", "sigs", 4) +
     s""",
        |bands AS (SELECT * FROM mh_bands),
@@ -1007,7 +1055,7 @@ object SparkEntry {
          |  SELECT DISTINCT $b AS n_bands, $r AS rows_per_band, a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bb${r}_bands a JOIN bb${r}_bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
     }.mkString(",\n")
-    minhashSigsCtesSql +
+    minhashSigsCtesSql() +
     s""",
        |$cfgCtes,
        |allc AS (SELECT * FROM cand_4 UNION ALL SELECT * FROM cand_8 UNION ALL SELECT * FROM cand_16 UNION ALL SELECT * FROM cand_32),
@@ -1031,8 +1079,13 @@ object SparkEntry {
        |vcand AS MATERIALIZED (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM dlst a JOIN dlst b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+       |bcand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bb4_bands a JOIN bb4_bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |candu AS MATERIALIZED (
-       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand),
+       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand
+       |  UNION SELECT a_id, b_id FROM bcand),
        |tpair AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (
        |    SELECT c.a_id, c.b_id, na.n_sh, nb.n_sh AS nb_sh,
@@ -1078,7 +1131,7 @@ object SparkEntry {
     * the empirical-only completeness pin. */
   private val dedupEvalOracleSql: String = {
     val hw = OracleSqlGen.xxh64Sql("(SELECT DISTINCT unnest(words) AS w_ FROM w)", "w_", 42L)
-    minhashSigsCtesSql + ",\n" +
+    minhashSigsCtesSql() + ",\n" +
     // the staged band fold: the list_reduce form was 723 of this
     // statement's 871 s at sf1 (r9 verdict item 1's real residual —
     // profiled, not the winnow md5 the verdict guessed)
@@ -1099,8 +1152,13 @@ object SparkEntry {
        |  -- makes the two formulations emit identical pairs).
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM dlst a JOIN dlst b ON a.lx = b.lx AND a.doc_id < b.doc_id),
+       |bcand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM be_bands a JOIN be_bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |candu AS MATERIALIZED (
-       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand),
+       |  SELECT a_id, b_id FROM cap64 UNION SELECT a_id, b_id FROM vcand
+       |  UNION SELECT a_id, b_id FROM bcand),
        |tpair AS MATERIALIZED (
        |  SELECT a_id, b_id FROM (
        |    SELECT c.a_id, c.b_id, na.n_sh, nb.n_sh AS nb_sh,
@@ -3210,40 +3268,19 @@ object SparkEntry {
     // list-intersect verify — so a completeness miss in the shipped
     // generator shows up as a nonzero n_missed AND a hash mismatch
     "dedup_truth_guard" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
+      (prodPairsCtesSql() + """,
         |tfull AS MATERIALIZED (
         |  SELECT a_id, b_id FROM (
-        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
-        |    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
-        |  WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
-        |dftab AS MATERIALIZED (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
-        |cap AS MATERIALIZED (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  JOIN dftab d ON d.sh = a.sh WHERE d.df <= 64),
-        |dl AS MATERIALIZED (SELECT doc_id, list_sort(shingles) AS lx, len(shingles) AS n_sh FROM s),
-        |vcand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM dl a JOIN dl b ON a.lx = b.lx AND a.doc_id < b.doc_id),
-        |cu AS (SELECT a_id, b_id FROM cap UNION SELECT a_id, b_id FROM vcand),
-        |prod AS MATERIALIZED (
-        |  SELECT a_id, b_id FROM (
-        |    SELECT c.a_id, c.b_id, la.n_sh AS a_n, lb.n_sh AS b_n,
-        |      len(list_intersect(la.lx, lb.lx)) AS inter
-        |    FROM cu c JOIN dl la ON la.doc_id = c.a_id JOIN dl lb ON lb.doc_id = c.b_id) q
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, na.n_sh AS a_n, nb.n_sh AS b_n, COUNT(*) AS inter
+        |    FROM shx a JOIN shx b ON a.xh = b.xh AND a.doc_id < b.doc_id
+        |    JOIN pp_ns na ON na.doc_id = a.doc_id JOIN pp_ns nb ON nb.doc_id = b.doc_id
+        |    GROUP BY 1, 2, 3, 4)
         |  WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5)
         |SELECT
         |  (SELECT count(*) FROM tfull) AS n_exact,
-        |  (SELECT count(*) FROM prod) AS n_production,
-        |  (SELECT count(*) FROM tfull t LEFT JOIN prod p ON p.a_id = t.a_id AND p.b_id = t.b_id
-        |   WHERE p.a_id IS NULL) AS n_missed""".stripMargin,
+        |  (SELECT count(*) FROM ppairs) AS n_production,
+        |  (SELECT count(*) FROM tfull t LEFT JOIN ppairs p ON p.a_id = t.a_id AND p.b_id = t.b_id
+        |   WHERE p.a_id IS NULL) AS n_missed""".stripMargin),
 
     // the arithmetic MinHash twin is the one LSH pipeline an external
     // SQL engine can replay end to end: polynomial shingle hash, the
@@ -3333,19 +3370,8 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_cluster" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |p2 AS (SELECT a_id, b_id FROM p
-        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+      ("WITH RECURSIVE " + prodPairsCtesSql().stripPrefix("WITH ") + """,
+        |p2 AS (SELECT a_id, b_id FROM ppairs),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
         |closure(a, b) AS (
@@ -3358,22 +3384,11 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         | doc_id = cluster_id AS is_canonical
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+        |FROM lbl ORDER BY doc_id""".stripMargin),
 
     "dedup_keep_best" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |p2 AS (SELECT a_id, b_id FROM p
-        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+      ("WITH RECURSIVE " + prodPairsCtesSql().stripPrefix("WITH ") + """,
+        |p2 AS (SELECT a_id, b_id FROM ppairs),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
         |closure(a, b) AS (
@@ -3393,9 +3408,9 @@ object SparkEntry {
         |    FIRST_VALUE(l.doc_id) OVER (PARTITION BY l.cluster_id
         |      ORDER BY nw.n_words DESC, l.doc_id) AS canonical_id
         |  FROM lbl l JOIN nw USING (doc_id))
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "corpus_curate" ->
-      """WITH RECURSIVE base AS (
+      ("""WITH RECURSIVE base AS (
         |  SELECT doc_id, text, lang,
         |   list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
         |     x -> x <> '') AS words
@@ -3408,15 +3423,10 @@ object SparkEntry {
         |exm AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS exact_canonical
         |        FROM pass),
         |canon AS (SELECT * FROM exm WHERE doc_id = exact_canonical),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |        i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |      FROM canon WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |p2 AS (SELECT a_id, b_id FROM p
-        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+        |""".stripMargin +
+      prodPairsCtesSql(docsRel = "(SELECT doc_id, text FROM canon)")
+        .stripPrefix("WITH ") + """,
+        |p2 AS (SELECT a_id, b_id FROM ppairs),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
         |closure(a, b) AS (
@@ -3444,22 +3454,11 @@ object SparkEntry {
         |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
         |       ELSE 'test' END
         |FROM best WHERE doc_id = best_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     "corpus_split" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |p2 AS (SELECT a_id, b_id FROM p
-        |       WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+      ("WITH RECURSIVE " + prodPairsCtesSql().stripPrefix("WITH ") + """,
+        |p2 AS (SELECT a_id, b_id FROM ppairs),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM p2
         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM p2),
         |closure(a, b) AS (
@@ -3474,7 +3473,7 @@ object SparkEntry {
         |  CASE WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 8 * 1000003 THEN 'train'
         |       WHEN (((cluster_id % 1000003) * 2654435761) % 1000003) * 10 < 9 * 1000003 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+        |FROM lbl ORDER BY doc_id""".stripMargin),
     "corpus_shard" ->
       """WITH k AS (SELECT doc_id,
         |  CAST(((doc_id % 1000003) * 2654435761) % 1000003 AS BIGINT) AS shard_key FROM documents)
@@ -4582,22 +4581,11 @@ object SparkEntry {
     "q_dbscan_small" -> dbscanGridOracleSql(R = 200L, planeMod = 8L),
 
     "dedup_sweep" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |j AS (SELECT inter * 1000000 // (a_n + b_n - inter) AS j_ppm FROM p),
+      (prodPairsCtesSql(thrSql = "0.2999") + """,
         |t AS (SELECT i * 100000 AS thr_ppm FROM generate_series(3, 9) AS g(i))
         |SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm,
-        | CAST(COALESCE((SELECT COUNT(*) FROM j WHERE j_ppm >= thr_ppm), 0) AS BIGINT) AS n_pairs
-        |FROM t ORDER BY thr_ppm""".stripMargin,
+        | CAST(COALESCE((SELECT COUNT(*) FROM ppairs WHERE j_ppm >= thr_ppm), 0) AS BIGINT) AS n_pairs
+        |FROM t ORDER BY thr_ppm""".stripMargin),
 
     "text_filter_cascade" ->
       """WITH d AS (
@@ -5068,25 +5056,14 @@ object SparkEntry {
         |ORDER BY cohort_wk, age_wk""".stripMargin,
 
     "dedup_cross_source" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |j AS (SELECT a_id, b_id FROM p
-        |      WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+      (prodPairsCtesSql() + """,
+        |j AS (SELECT a_id, b_id FROM ppairs),
         |d AS (SELECT doc_id, source FROM documents)
         |SELECT least(da.source, db.source) AS src_lo,
         |  greatest(da.source, db.source) AS src_hi,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM j JOIN d da ON j.a_id = da.doc_id JOIN d db ON j.b_id = db.doc_id
-        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin),
 
     "mm_dedup_cluster" ->
       """WITH RECURSIVE s AS (
@@ -5554,19 +5531,8 @@ object SparkEntry {
         |ORDER BY dp.bucket""".stripMargin,
 
     "dedup_length_profile" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
-        |    x -> x <> '') AS words FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words)-2),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
-        |  FROM w WHERE len(words) >= 3),
-        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM s),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n,
-        |       COUNT(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-        |j AS (SELECT a_id, b_id FROM p
-        |      WHERE round(inter / CAST(a_n + b_n - inter AS DOUBLE), 6) >= 0.5),
+      (prodPairsCtesSql() + """,
+        |j AS (SELECT a_id, b_id FROM ppairs),
         |dup AS (SELECT DISTINCT doc_id FROM
         |        (SELECT a_id AS doc_id FROM j UNION ALL SELECT b_id FROM j)),
         |rk AS (SELECT d.doc_id, d.n_chars,
@@ -5582,7 +5548,7 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
         |    // nullif(COUNT(*), 0) AS BIGINT) AS dup_ppm
         |FROM rk LEFT JOIN dup ON rk.doc_id = dup.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_week_profile" ->
       """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS dow,

@@ -45,7 +45,7 @@ object ProdPairAB {
       val ex = if (ckpt) ex0.localCheckpoint(false) else ex0
       val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
       TextOps.verifyJaccard(
-        TextOps.productionCandidates(ex, dfTab),
+        TextOps.productionCandidates(ex, dfTab, docs),
         TextOps.hashedFrom(docs)).count()
     }
 
