@@ -48,18 +48,29 @@ object Bench {
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    // DRIFT INDEX (r9 verdict item 3): this host's same-day full runs
-    // have disagreed 1.3-2.8x per query on identical code, which made
-    // cross-round totals adjudicable only by re-running. Fix: run a
-    // fixed 3-query touchstone set (scan+agg, windowed top-k, text
-    // hash-groupBy — cheap, plan-stable, untouched for many rounds) at
-    // protocol START and again at protocol END in this same JVM, and
-    // stamp both into the env fingerprint. end/start >> 1 says the box
-    // degraded DURING the run (alphabetically-late queries penalized);
-    // start vs a prior round's start separates machine drift from plan
-    // regressions without re-running either round. Warm-then-time
-    // median-of-3, same discipline as the measured queries. Full-
-    // surface runs only (a filtered local iteration shouldn't pay it).
+    // DRIFT INDEX (r9 verdict item 3, protocol fixed r11): this host's
+    // same-day full runs have disagreed 1.3-2.8x per query on identical
+    // code, which made cross-round totals adjudicable only by
+    // re-running. Fix: run a fixed 3-query touchstone set (scan+agg,
+    // windowed top-k, text hash-groupBy — cheap, plan-stable, untouched
+    // for many rounds) at three points of the SAME JVM and stamp all of
+    // them into the env fingerprint:
+    //   cold — protocol start. Pays whole-JVM warm-up (Spark-internal
+    //          JIT, page cache) on top of box state, so it reads HIGH
+    //          on a healthy box; cross-round cold-vs-cold comparisons
+    //          only (r10's 0.439 "index" was this conflation — the
+    //          start trio measured warm-up, not drift).
+    //   mid  — after half the measured queries, fully warm.
+    //   end  — after the last measured query, fully warm.
+    // index = end/mid is warm-vs-warm: ≈ 1.0 on a stable box, > 1 says
+    // the box degraded DURING the run's second half (alphabetically-
+    // late queries penalized). mid/end are also the cross-round
+    // steady-state reference (SURVEY §6.7's table). Warm-then-time
+    // median-of-3, same discipline as the measured queries; a pass
+    // that THROWS is excluded from the median (and the query dropped
+    // if no pass succeeds) instead of timing the failure path — a
+    // fast-fail must not pose as a fast box. Full-surface runs only
+    // (a filtered local iteration shouldn't pay it).
     val touchstoneNames = Seq("q1_agg", "q_topn_pergroup", "dedup_exact")
     def touchstones(): Map[String, Double] =
       touchstoneNames.flatMap { n =>
@@ -69,18 +80,23 @@ object Bench {
             catch { case _: Throwable => false } // warmup
           if (!ok) None
           else {
-            val ts = (1 to 3).map { _ =>
+            val ts = (1 to 3).flatMap { _ =>
               System.gc()
               val t0 = System.nanoTime()
-              try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-              (System.nanoTime() - t0) / 1e9
+              val passed =
+                try { force(fn(spark, sfDir)); true }
+                catch { case _: Throwable => false }
+              if (passed) Some((System.nanoTime() - t0) / 1e9) else None
             }.sorted
-            Some(n -> ts(1))
+            if (ts.isEmpty) None else Some(n -> ts((ts.size - 1) / 2))
           }
         }
       }.toMap
-    val driftStart = if (only.isEmpty) touchstones() else Map.empty[String, Double]
-    val measured = selected.map { case (name, fn) =>
+    val driftCold = if (only.isEmpty) touchstones() else Map.empty[String, Double]
+    var driftMid = Map.empty[String, Double]
+    val midPoint = selected.size / 2
+    val measured = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (only.isEmpty && qIdx == midPoint) driftMid = touchstones()
       // Per-query warmup AT THE BENCH SF, immediately before its timed
       // run (JMH style): whole-stage codegen caches on generated source,
       // so the timed run measures execution, not the codegen
@@ -203,18 +219,25 @@ object Bench {
       gcs.forEach { g => gcCount += math.max(0L, g.getCollectionCount); gcMs += math.max(0L, g.getCollectionTime) }
       val flakyJson = flaky.map { case (k, v) => JsonOut.str(k) + ":" + v }
         .mkString("{", ",", "}")
-      // touchstone drift block: per-query start/end medians plus the
-      // end/start total ratio — 1.0 = box stable across the run
+      // touchstone drift block: cold (start-of-JVM — warm-up-laden,
+      // cross-round cold reference only), mid and end (both fully
+      // warm). index = end/mid is the warm-vs-warm stability read:
+      // ≈ 1.0 = box stable through the run's second half. index_cold
+      // = end/cold kept for continuity with the r10 artifact (reads
+      // ≪ 1 on a healthy box — that's warm-up, not speedup).
       val driftJson =
-        if (driftStart.isEmpty) "null"
+        if (driftCold.isEmpty) "null"
         else {
           def m(x: Map[String, Double]) = x.toSeq.sortBy(_._1)
             .map { case (k, v) => JsonOut.str(k) + ":" + f3(v) }
             .mkString("{", ",", "}")
-          val s0 = driftStart.values.sum
+          val sc = driftCold.values.sum
+          val sm = driftMid.values.sum
           val s1 = driftEnd.values.sum
-          val idx = if (s0 > 0 && driftEnd.nonEmpty) s1 / s0 else 0.0
-          s"""{"start":${m(driftStart)},"end":${m(driftEnd)},"index":${f3(idx)}}"""
+          val idx = if (sm > 0 && driftEnd.nonEmpty) s1 / sm else 0.0
+          val idxCold = if (sc > 0 && driftEnd.nonEmpty) s1 / sc else 0.0
+          s"""{"cold":${m(driftCold)},"mid":${m(driftMid)},"end":${m(driftEnd)},""" +
+            s""""index":${f3(idx)},"index_cold":${f3(idxCold)}}"""
         }
       s"""{"load_avg":${f3(os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors},""" +
         s""""heap_max_gb":${f3(Runtime.getRuntime.maxMemory / 1e9)},"gc_count":$gcCount,"gc_sec":${f3(gcMs / 1e3)},""" +

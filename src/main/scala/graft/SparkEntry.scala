@@ -101,6 +101,7 @@ object SparkEntry {
     "q_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q_basket_lift" -> ((s, d) => graft.ops.Baskets.basketLift(s, d)),
     "q_sketch_rollup" -> ((s, d) => Analytics.sketchRollup(s, d)),
+    "q_sketch_rollup_check" -> ((s, d) => Analytics.sketchRollupCheck(s, d)),
     "q_asof_nearest" -> ((s, d) => Analytics.asofNearest(s, d)),
     "q_anomaly_mad" -> ((s, d) => Analytics.anomalyMad(s, d)),
     "etl_incremental_agg" -> ((s, d) => EventsEtl.incrementalAgg(s, d)),
@@ -651,81 +652,91 @@ object SparkEntry {
         |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id, kk
         |ORDER BY a.query_id, a.rank""".stripMargin
 
-  /** The NSW-lite graph traversal replayed end to end: IVF seeding
-    * (same trainer/assignment CTEs as the IVF oracles), then each
-    * bounded-beam hop as a CTE pair — `ed{h}` derives the exact top-5
-    * neighbor rows for the nodes the walk touched (vec_knn_graph's
-    * rows for those sources, computed on demand: the touched set is
-    * ≤ queries·beam, so this is a bounded scan, never the n² graph),
+  /** The NSW-lite graph traversal replayed end to end, parameterized
+    * exactly like the engine walk (r11 — the (probes, beam, hops, k)
+    * default moved to the AnnSweep-measured point): MULTI-probe IVF
+    * seeding when `probes` > 1 (the annIvfProbe CTEs — each query's
+    * top-3 over its `probes` nearest cells), then each bounded-beam
+    * hop as a CTE pair — `ed{h}` derives the exact top-`k` neighbor
+    * rows for the nodes the walk touched (vec_knn_graph's rows for
+    * those sources, computed on demand: the touched set is ≤
+    * queries·beam, so this is a bounded scan, never the n² graph),
     * `beam{h}` reranks beam ∪ neighbors by exact cosine and prunes to
-    * 8. Deterministic rounding/tie-breaks make the whole walk — not
-    * just its output shape — hash-checked. */
+    * `beam`. Deterministic rounding/tie-breaks make the whole walk —
+    * not just its output shape — hash-checked. */
+  private def annGraphOracleSqlFor(probes: Int, beam: Int, hops: Int,
+      k: Int): String = {
+    val seed =
+      if (probes <= 1)
+        """qrs AS MATERIALIZED (
+          |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nv
+          |  WHERE vec_id < 10 AND nrm > 0),
+          |ent AS MATERIALIZED (
+          |  SELECT query_id, neighbor_id AS node FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+          |    FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+          |    WHERE q.vec_id < 10) WHERE rk <= 3)""".stripMargin
+      else
+        s"""qrs AS MATERIALIZED (
+           |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nv
+           |  WHERE vec_id < 10 AND nrm > 0),
+           |gqp AS MATERIALIZED (
+           |  SELECT vec_id AS query_id, e AS qe, nrm AS qn, c AS cell FROM (
+           |    SELECT nv.vec_id, nv.e, nv.nrm, t10.c,
+           |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+           |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cl)), ix -> (e[ix]-cl[ix])*(e[ix]-cl[ix]))), (x,y) -> x+y) ASC, t10.c ASC) AS rn
+           |    FROM nv, t10 WHERE nv.vec_id < 10 AND nv.nrm > 0) WHERE rn <= $probes),
+           |ent AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id AS node FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM (SELECT query_id, neighbor_id,
+           |            round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos
+           |          FROM (SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id,
+           |                  c.e AS ce, c.nrm AS cn
+           |                FROM gqp q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.query_id)))
+           |  WHERE rk <= 3)""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      val src = if (h == 1) "ent" else s"beam${h - 1}"
+      s"""ed$h AS MATERIALIZED (
+         |  SELECT node AS src, vid AS dst FROM (
+         |    SELECT t.node, v.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY t.node ORDER BY
+         |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
+         |    FROM (SELECT DISTINCT node FROM $src) t
+         |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
+         |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
+         |  WHERE rk <= $k),
+         |cand$h AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT query_id, node FROM $src
+         |    UNION ALL
+         |    SELECT e.query_id, d.dst AS node FROM $src e JOIN ed$h d ON d.src = e.node)
+         |  WHERE node <> query_id),
+         |beam$h AS MATERIALIZED (
+         |  SELECT query_id, node, cos FROM (
+         |    SELECT c.query_id, c.node,
+         |      round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) AS cos,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |        round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) DESC, c.node) AS rk
+         |    FROM cand$h c JOIN qrs q ON q.query_id = c.query_id
+         |    JOIN nv v ON v.vec_id = c.node)
+         |  WHERE rk <= $beam)""".stripMargin
+    }
+    (Seq(lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql, seed) ++ hopCtes)
+      .mkString(",\n") +
+      s"""
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id, cos FROM (
+         |  SELECT query_id, node, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+         |  FROM beam$hops)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val annGraphOracleSql: String =
-    lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql +
-      """,
-        |qrs AS MATERIALIZED (
-        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nv
-        |  WHERE vec_id < 10 AND nrm > 0),
-        |ent AS MATERIALIZED (
-        |  SELECT query_id, neighbor_id AS node FROM (
-        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-        |    FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-        |    WHERE q.vec_id < 10) WHERE rk <= 3),
-        |ed1 AS MATERIALIZED (
-        |  SELECT node AS src, vid AS dst FROM (
-        |    SELECT t.node, v.vec_id AS vid,
-        |      row_number() OVER (PARTITION BY t.node ORDER BY
-        |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
-        |    FROM (SELECT DISTINCT node FROM ent) t
-        |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
-        |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
-        |  WHERE rk <= 5),
-        |cand1 AS (
-        |  SELECT DISTINCT query_id, node FROM (
-        |    SELECT query_id, node FROM ent
-        |    UNION ALL
-        |    SELECT e.query_id, d.dst AS node FROM ent e JOIN ed1 d ON d.src = e.node)
-        |  WHERE node <> query_id),
-        |beam1 AS MATERIALIZED (
-        |  SELECT query_id, node, cos FROM (
-        |    SELECT c.query_id, c.node,
-        |      round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) AS cos,
-        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-        |        round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) DESC, c.node) AS rk
-        |    FROM cand1 c JOIN qrs q ON q.query_id = c.query_id
-        |    JOIN nv v ON v.vec_id = c.node)
-        |  WHERE rk <= 8),
-        |ed2 AS MATERIALIZED (
-        |  SELECT node AS src, vid AS dst FROM (
-        |    SELECT t.node, v.vec_id AS vid,
-        |      row_number() OVER (PARTITION BY t.node ORDER BY
-        |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
-        |    FROM (SELECT DISTINCT node FROM beam1) t
-        |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
-        |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
-        |  WHERE rk <= 5),
-        |cand2 AS (
-        |  SELECT DISTINCT query_id, node FROM (
-        |    SELECT query_id, node FROM beam1
-        |    UNION ALL
-        |    SELECT b.query_id, d.dst AS node FROM beam1 b JOIN ed2 d ON d.src = b.node)
-        |  WHERE node <> query_id),
-        |beam2 AS MATERIALIZED (
-        |  SELECT query_id, node, cos FROM (
-        |    SELECT c.query_id, c.node,
-        |      round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) AS cos,
-        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-        |        round(list_dot_product(q.qe, v.e) / (q.qn * v.nrm), 6) DESC, c.node) AS rk
-        |    FROM cand2 c JOIN qrs q ON q.query_id = c.query_id
-        |    JOIN nv v ON v.vec_id = c.node)
-        |  WHERE rk <= 8)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id, cos FROM (
-        |  SELECT query_id, node, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rank
-        |  FROM beam2)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    annGraphOracleSqlFor(probes = 3, beam = 24, hops = 3, k = 12)
 
   /** The PQ codebook trainer (8 subspaces × 16 Lloyd centroids over
     * the unit-normalized sample) replayed as ONE 10-round chain keyed
@@ -4362,6 +4373,17 @@ object SparkEntry {
         | CAST(SUM(lr_milli) AS BIGINT) // COUNT(*) AS avg_milli
         |FROM t JOIN r USING (w) WHERE NOT is_t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_sketch_rollup's cross-engine anchor (the HLL registers have no
+    // SQL replay): the oracle recomputes the EXACT distincts from
+    // parquet and emits literal TRUE for the two engine-checked
+    // contracts (union-of-daily == one-shot; estimate within 5% of
+    // exact) — a broken merge or a blown envelope flips an engine
+    // boolean and fails the hash.
+    "q_sketch_rollup_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS identity_ok, TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // KLL quantiles: the sketch is exact (true order statistics) while
     // n <= k = 32768 — the test-SF regime — and its INCLUSIVE-rank rule

@@ -1078,6 +1078,42 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Hash-oracled companion of `q_sketch_rollup` (r10 verdict item 7,
+    * the `vec_pca_check` pattern): the HLL registers themselves have
+    * no SQL replay, but the two contracts the rows-only entry leans on
+    * are SQL-expressible as a bounded boolean row per type —
+    *  - mergeability: union-of-daily-sketches == one-shot sketch
+    *    (registers take pairwise max, so the union is associative /
+    *    commutative / idempotent; both sides computed in-engine
+    *    through DIFFERENT aggregation trees);
+    *  - the ≤5% error envelope vs the EXACT distinct count, where the
+    *    exact count is genuinely cross-engine (DuckDB recomputes it
+    *    from parquet).
+    * The oracle emits the exact counts plus literal TRUE for both
+    * booleans: a broken merge or a blown envelope flips an engine
+    * boolean and fails the hash, while `n_exact` anchors the row to
+    * real data — so the sketch path gains a cross-engine anchor even
+    * though its estimates stay engine-specific. lgK = 12 matches the
+    * production entry. */
+  def sketchRollupCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"), col("user_id"))
+    val unioned = ev.groupBy("event_type", "d")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_union"))
+    val oneshot = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_oneshot"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    unioned.join(oneshot, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (col("est_union") === col("est_oneshot")).as("identity_ok"),
+        (abs(col("est_union") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("within_5pct"))
+      .orderBy("event_type")
+  }
+
   /** Per-(vehicle, service-day) trip summary — the reference's
     * trip-dimension report shape (trip duration, meter delta, event
     * count, mean headway between breadcrumbs) as ONE map-side-

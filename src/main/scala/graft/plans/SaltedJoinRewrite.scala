@@ -93,6 +93,29 @@ object SaltedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     try math.max(1, conf.getConfString(BucketsConf, "8").toInt)
     catch { case _: NumberFormatException => 8 }
 
+  /** Migration aid for the r10 exact-set tightening (a bare configured
+    * name used to salt ANY join containing the column; now it fires
+    * only on single-key joins): when a compound join's key set covers
+    * a configured single-column entry but matches no tuple entry, the
+    * join silently stops salting vs r9 behavior — log that once per
+    * (entry, key set) so the operator knows to add the `a+b` tuple if
+    * the compound join was intentionally opted in. Bounded: the set
+    * holds only distinct warned combinations. */
+  private val warnedCombos =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Set[String])]()
+
+  private def warnBareNameInCompound(keySets: Set[Set[String]],
+      factKeys: Set[String]): Unit =
+    if (factKeys.size > 1 && !keySets.contains(factKeys))
+      for (s <- keySets if s.size == 1 && s.subsetOf(factKeys)) {
+        val entry = s.head
+        if (warnedCombos.add((entry, factKeys)))
+          logWarning(s"$KeysConf entry '$entry' matches a column of a " +
+            s"compound join on ${factKeys.toSeq.sorted.mkString("+")} but " +
+            "salting now requires the exact key set; add the tuple entry " +
+            s"'${factKeys.toSeq.sorted.mkString("+")}' to opt that join in")
+      }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val keySets = hotKeySets
     if (keySets.isEmpty) plan
@@ -126,6 +149,7 @@ object SaltedJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case _ => None
         }
         val factKeys = oriented.map(_._1.name).toSet
+        warnBareNameInCompound(keySets, factKeys)
         if (factKeys.nonEmpty && keySets.contains(factKeys)) {
           val nB = buckets
           // fact side: per-row routing salt (any value is correct —

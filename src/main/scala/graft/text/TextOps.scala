@@ -127,24 +127,102 @@ object TextOps {
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(shingledDocs(spark, dir))
 
+  /** Session-scoped cache of GENERATED pair tables (r10 verdict item
+    * 2): the three-arm candidate generation + exact verify is the
+    * dominant cost of every `jaccardPairsFrom` consumer, and a
+    * pipeline session runs several of them over the SAME doc snapshot
+    * (cluster → keep-best → split → curate ran four full generations —
+    * ~+0.8 s/op at sf0.1, worse at scale). Entries are keyed by
+    * (session identity, canonicalized logical plan of the shingled
+    * input — `semanticHash`, so the whole-corpus consumers collide on
+    * purpose and a FILTERED input like curate's keys separately) and
+    * hold the lazily-localCheckpointed pair table plus its checkpoint
+    * RDD id. A hit is only served while that RDD is still registered
+    * persistent — Bench/ProdPairAB blanket-unpersist between timed
+    * passes, which invalidates the entry and keeps every benched pass
+    * a full standalone generation (the cache can never make a bench
+    * number lie), and a recompute of an unpersisted local checkpoint
+    * would throw rather than silently rebuild. Values are identical
+    * with or without the cache (the generation is deterministic), so
+    * every consumer hash is unchanged by construction — spec-pinned
+    * in SubstrateCacheSpec, and the in-JVM A/B lives in
+    * tools/SubstrateAB. Bounded at `PairCacheMax` entries, oldest
+    * evicted (and its pin released) first. */
+  private val PairCacheMax = 4
+  private val pairCache = new java.util.LinkedHashMap[(Int, Int), (DataFrame, Int)]()
+  private[graft] val pairCacheHits = new java.util.concurrent.atomic.AtomicLong
+
+  /** test/AB hook: drop every cached pair table (pins released by the
+    * caller's blanket unpersist or left to GC — entries are lazy
+    * checkpoints, so an unmaterialized drop costs nothing). */
+  private[graft] def clearPairCache(): Unit = pairCache.synchronized {
+    pairCache.clear()
+  }
+
+  private def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
+  private def cachedPairs(docs: DataFrame)(gen: => DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val key = (System.identityHashCode(spark), docs.semanticHash())
+    pairCache.synchronized {
+      pairCache.get(key) match {
+        case (df, rddId) if spark.sparkContext.getPersistentRDDs.contains(rddId) =>
+          pairCacheHits.incrementAndGet()
+          return df
+        case null => ()
+        case _ => pairCache.remove(key) // pin gone — stale entry
+      }
+    }
+    val pairs = gen.localCheckpoint(false)
+    checkpointRddId(pairs).foreach { id =>
+      pairCache.synchronized {
+        pairCache.put(key, (pairs, id))
+        while (pairCache.size > PairCacheMax) {
+          val eldest = pairCache.keySet.iterator.next()
+          val (_, oldId) = pairCache.remove(eldest)
+          // release the evicted entry's pin (no-op if already swept)
+          spark.sparkContext.getPersistentRDDs.get(oldId)
+            .foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
+    pairs
+  }
+
   /** Jaccard ≥ 0.5 pairs over an arbitrary pre-shingled doc set (see
     * `shingledFrom`); the dir-based `jaccardPairs` is the whole-corpus
     * instantiation. PRODUCTION PATH (see `PairDfCap`): df-capped
     * candidates UNIONED with the verbatim-duplicate pass
     * (`verbatimCandidates`), then the exact full-array verify, so
-    * emitted jaccard values never depend on either generator. */
-  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
-    // LAZY localCheckpoint on the index substrate: it feeds the df
-    // table + both join sides + the rarity count + the verbatim
-    // signature (5 reads) — without the pin, every read re-runs the
-    // regex shingling scan. Lazy (eager=false), so the operator stays
-    // a plain DataFrame; the first action materializes once and every
-    // downstream stage reads blocks. (The hashed verify arrays stay
-    // unpinned — 2 reads, and pinning them measured net-negative in
-    // ProdPairAB.)
-    val ex = invertedIndex(docs).localCheckpoint(false)
+    * emitted jaccard values never depend on either generator. The
+    * result is served through the session-scoped [[cachedPairs]]
+    * cache, so consecutive consumers of the same doc snapshot reuse
+    * ONE generation. */
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame =
+    cachedPairs(docs) {
+    // TWO lazy localCheckpoint pins on the substrate (r10 ADVICE — the
+    // banded arm had been reading the shingled frame outside the pin,
+    // so each consumer action re-ran the regex shingling scan for the
+    // minhash pass):
+    //  - the SHINGLED frame: feeds the index build (once, at `ex`
+    //    materialization), both hashed verify sides, and the banded
+    //    arm's minhash pass — 4 regex shingling scans collapse to 1.
+    //    (This pins the shingle ARRAYS; the earlier "net-negative"
+    //    ProdPairAB reading was about pinning the post-sort HASHED
+    //    arrays, a different, larger frame.)
+    //  - the inverted-index `ex`: feeds the df table + both capped
+    //    join sides + the rarity count + the verbatim signature (5
+    //    reads of the exploded relation).
+    // Lazy (eager=false), so the operator stays a plain DataFrame;
+    // the first action materializes once and every downstream stage
+    // reads blocks.
+    val sh = docs.localCheckpoint(false)
+    val ex = invertedIndex(sh).localCheckpoint(false)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    verifyJaccard(productionCandidates(ex, dfTab, docs), hashedFrom(docs))
+    verifyJaccard(productionCandidates(ex, dfTab, sh), hashedFrom(sh))
   }
 
   /** Verbatim-duplicate candidate pairs: documents whose ENTIRE
@@ -1275,7 +1353,9 @@ object TextOps {
     * entry is the verification twin, not a production operator. */
   def dedupTruthGuard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = shingledDocs(spark, dir)
+    // pin the shingled frame (r10 ADVICE): the banded arm + both
+    // hashed verify sides otherwise re-run the shingling scan
+    val docs = shingledDocs(spark, dir).localCheckpoint(false)
     val ex = invertedIndex(docs).persist()
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val hashed = hashedFrom(docs)
@@ -1991,8 +2071,9 @@ object TextOps {
     * the 0.30 cut reports), then exact full-array verify, so reported
     * counts never depend on the cap. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(spark, dir)
-    // same lazy index pin as jaccardPairsFrom (5 reads)
+    // same two lazy substrate pins as jaccardPairsFrom (shingled: 4
+    // reads incl. the banded arm's minhash pass; index: 5 reads)
+    val docs = shingledDocs(spark, dir).localCheckpoint(false)
     val ex = invertedIndex(docs).localCheckpoint(false)
     val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val hashed = hashedFrom(docs)

@@ -929,14 +929,20 @@ object VectorOps {
   /** Graph-traversal ANN (NSW-lite — Malkov & Yashunin's navigable
     * small-world search reduced to its bounded-beam core): greedy
     * best-first over the k-NN graph from IVF-seeded entry points.
-    * Per query: seed with the 1-probe IVF top-3 (the coarse index
-    * drops the walk inside the right region), then `hops` rounds of
-    * expand-and-prune — candidates = beam ∪ top-`k` graph neighbors
-    * of every beam node, scored by exact cosine against the query,
-    * kept to the best `beam` (cos desc, id tie-break) — and emit the
-    * final top-3. Deterministic end to end (rounded-6 scores, id
-    * tie-breaks), so unlike classic NSW this walk is hash-oracled:
-    * DuckDB replays seeding, both hops, and the pruning exactly.
+    * Per query: seed with the multi-probe IVF top-3 (`probes` nearest
+    * cells — the coarse index drops the walk inside the right region;
+    * 1-probe seeding put it across a Voronoi boundary often enough to
+    * cost 0.13 recall), then `hops` rounds of expand-and-prune —
+    * candidates = beam ∪ top-`k` graph neighbors of every beam node,
+    * scored by exact cosine against the query, kept to the best
+    * `beam` (cos desc, id tie-break) — and emit the final top-3.
+    * Deterministic end to end (rounded-6 scores, id tie-breaks), so
+    * unlike classic NSW this walk is hash-oracled: DuckDB replays
+    * seeding, every hop, and the pruning exactly. The (probes=3,
+    * beam=24, hops=3, k=12) default is the AnnSweep-measured knee —
+    * recall@3 0.767 vs ivf_3probe's 0.500 at sf0.1, from 0.40 under
+    * the r10 (1, 8, 2, 5) point (SURVEY §6); cost stays
+    * Θ(hops·touched·n·d) with touched ≤ queries·beam.
     *
     * Graph substrate: the neighbor lists are exactly
     * [[vecKnnGraph]]'s rows (same rounding, same tie-break — the spec
@@ -952,8 +958,8 @@ object VectorOps {
     * full graph build per call. Recall is measured, not assumed: the
     * `graph_nsw` row of `ann_eval` scores this walk against the
     * brute-force truth. */
-  def annGraphNsw(spark: SparkSession, dir: String, k: Int = 5,
-      beam: Int = 8, hops: Int = 2,
+  def annGraphNsw(spark: SparkSession, dir: String, k: Int = 12,
+      beam: Int = 24, hops: Int = 3, probes: Int = 3,
       prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.embeddings(spark, dir)
@@ -965,9 +971,19 @@ object VectorOps {
         col("nrm").as("qn"))
     // beam state: (query_id, node[, cos]) — entries start unscored;
     // the first hop's candidate union includes the beam itself, so
-    // every surviving node carries an exact score from then on
-    var beamDf: DataFrame = annIvf(spark, dir)
-      .select(col("query_id"), col("neighbor_id").as("node"))
+    // every surviving node carries an exact score from then on.
+    // Seeding is the MULTI-probe IVF top-3 by default (r10 verdict
+    // item 3: the 1-probe seed dropped the walk in the wrong Voronoi
+    // region often enough that graph_nsw recall@3 was 0.40 vs
+    // ivf_3probe's higher row — and the walk's final top-3 keeps any
+    // exact-scored seed it can't beat, so the traversal is a
+    // structural ≥ on its own seed generator's recall; the AnnSweep
+    // measurement behind the (probes, beam, hops, k) default is in
+    // SURVEY §6).
+    var beamDf: DataFrame =
+      (if (probes <= 1) annIvf(spark, dir)
+       else annIvfProbe(spark, dir, probes))
+        .select(col("query_id"), col("neighbor_id").as("node"))
     for (_ <- 1 to hops) {
       val touched = beamDf.select("node").distinct()
       // exact top-k neighbors of each touched node — vecKnnGraph's
@@ -1403,6 +1419,19 @@ object VectorOps {
     * even though `vec_pca` itself stays rows-only. Both sides round
     * to 4 decimals: the identity holds to ~1e-13 relative (Jacobi's
     * off-diagonal residual), four orders below the rounding grid.
+    * KNOWN FLAKE MODE (r10 ADVICE, documented by decision): the two
+    * sides compute through DIFFERENT arithmetic, so a recon_norm2
+    * landing within ~1e-13 of a 0.00005 grid boundary can round to
+    * different 4-decimal cells and fail the hash without any
+    * orthonormality defect. Odds per value ≈ 2e-13/5e-5 ≈ 4e-9 —
+    * ~2e-6 per 500-row run — so a single isolated mismatch on this
+    * entry is first re-read as a grid-edge draw (diff the two parquet
+    * dumps: a boundary flake differs by exactly one grid step on one
+    * row; a real defect moves many rows or moves one row far).
+    * Coarsening the grid only rescales the same odds, and an
+    * epsilon-tolerant compare can't be expressed in the driver's
+    * hash-equality gate, so the mode is documented instead of
+    * engineered away.
     * Per-component variance-vs-eigenvalue and basis orthonormality
     * are additionally pinned in-JVM by VectorOpsSpec's second
     * implementation; this entry is the cross-engine anchor. */

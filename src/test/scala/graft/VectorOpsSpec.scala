@@ -737,19 +737,20 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val onDemand = rows(VectorOps.annGraphNsw(spark, sfDir))
     // 1. the on-demand edge derivation is exactly the prebuilt
-    //    vec_knn_graph substrate: traversing the full prebuilt graph
-    //    emits the identical walk, row for row
-    val prebuilt = VectorOps.vecKnnGraph(spark, sfDir)
+    //    vec_knn_graph substrate: traversing a prebuilt graph of the
+    //    SAME density (k = the walk's k) emits the identical walk,
+    //    row for row — the generator-agnostic serving contract
+    val prebuilt = VectorOps.vecKnnGraph(spark, sfDir, k = 12)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     assert(rows(VectorOps.annGraphNsw(spark, sfDir,
       prebuiltEdges = Some(prebuilt))) == onDemand)
     // 2. the walk never loses ground on its seed: hop candidates
-    //    always include the current beam and beam(8) > 3, so the
-    //    final exact-cos top-3 dominates the IVF-1probe top-3 hits
+    //    always include the current beam and beam(24) > 3, so the
+    //    final exact-cos top-3 dominates its 3-probe seed's top-3 hits
     val truth = VectorOps.annBruteForce(spark, sfDir)
       .filter(col("rank") <= 3).select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val seedHits = VectorOps.annIvf(spark, sfDir)
+    val seedHits = VectorOps.annIvfProbe(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).count(truth)
     val walkHits = onDemand.map(t => (t._1, t._3)).count(truth)
