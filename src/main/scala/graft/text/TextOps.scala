@@ -317,11 +317,20 @@ object TextOps {
   private[graft] def productionCandidates(ex: DataFrame, dfTab: DataFrame,
       shingled: DataFrame, thr: Double = 0.4999): DataFrame = {
     graft.functions.GraftFunctions.register(shingled.sparkSession)
-    cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", thr)
-      .union(verbatimCandidatesFromIndex(ex))
-      .union(bandedPairsConf(minhashSigsFrom(shingled), 32, 4))
-      .distinct()
+    productionUnion(
+      cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen", thr),
+      verbatimCandidatesFromIndex(ex),
+      bandedPairsConf(minhashSigsFrom(shingled), 32, 4))
   }
+
+  /** The three-arm union+distinct, factored so `dedupEval` can feed
+    * PINNED arm frames (it scores two of the arms as methods — one
+    * shared generation instead of recomputing each pipeline twice)
+    * while staying structurally tied to `productionCandidates`: both
+    * build the identical candidate set through this one combiner. */
+  private[graft] def productionUnion(capped: DataFrame, verbatim: DataFrame,
+      banded: DataFrame): DataFrame =
+    capped.union(verbatim).union(banded).distinct()
 
   /** (doc_id, n_sh, sh): the exploded hashed-shingle inverted index —
     * join on the 64-bit shingle hash, not the string: the self-join
@@ -1013,9 +1022,22 @@ object TextOps {
     * against the exact pair oracle. */
   def bandingEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSigs(spark, dir).localCheckpoint(true)
-    val truth = jaccardPairs(spark, dir).select("a_id", "b_id").localCheckpoint(true)
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // ONE shared substrate (r11): the truth's production pair path and
+    // the 4-config scoring both consume the shingled corpus and the
+    // 128-slot signatures — the old form built the truth through
+    // `jaccardPairs`, paying a SECOND shingling + minhash pass and a
+    // second (32,4) bucket shuffle for the banded arm it had already
+    // computed as a config. Shingles/index pin lazily, sigs eagerly
+    // (four config reads), and the truth's banded arm is the (32,4)
+    // SLICE of the one tagged candidate table — the identical pair set
+    // to `bandedPairsConf(sigs, 32, 4)` (same bandSlots generator,
+    // same in-bucket expansion, distinct per config), fed through
+    // `productionUnion` so the truth stays the production three-arm
+    // construction the oracle replays.
+    val sh = shingledDocs(spark, dir).localCheckpoint(false)
+    val sigs = minhashSigsFrom(sh).localCheckpoint(true)
+    val ex = invertedIndex(sh).localCheckpoint(false)
+    val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val configs = Seq((32, 4), (16, 8), (8, 16), (4, 32))
     // ONE config-tagged bucket shuffle for all four configs (the old
     // per-config formulation paid 4 bucket shuffles + 4 semi-joins over
@@ -1028,6 +1050,7 @@ object TextOps {
       bandSlots(sigs, b, r).select(lit(b).as("n_bands"),
         lit(r).as("rows_per_band"), col("doc_id"), col("band_id"), col("band_hash"))
     }.reduce(_ unionAll _)
+    // pinned: read by the truth's banded arm AND the per-config scoring
     val cand = slots
       .groupBy("n_bands", "rows_per_band", "band_id", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
@@ -1039,6 +1062,16 @@ object TextOps {
       .select(col("n_bands"), col("rows_per_band"),
         col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
+      .localCheckpoint(true)
+    val banded32 = cand
+      .filter(col("n_bands") === 32 && col("rows_per_band") === 4)
+      .select("a_id", "b_id")
+    val truth = verifyJaccard(
+        productionUnion(cappedCandidatesVariant(ex, dfTab, PairDfCap, "foldlen"),
+          verbatimCandidatesFromIndex(ex), banded32),
+        hashedFrom(sh))
+      .select("a_id", "b_id").localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val scored = cand
       .join(truth.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
       .groupBy("n_bands", "rows_per_band")
@@ -1251,8 +1284,18 @@ object TextOps {
     // and the verbatim arm closes the duplicated-past-the-cap blind
     // spot). The capped-vs-uncapped residual is independently oracled
     // by `dedup_truth_guard` at every hash-checked SF.
+    // The df≤64 and banded arms are ALSO two of the scored methods —
+    // pin each arm once and feed BOTH the truth union (through
+    // productionUnion, the same combiner productionCandidates uses)
+    // and the method scoring, instead of running each candidate
+    // pipeline twice per report (r11: the two arm pipelines were the
+    // report's heaviest stages after the substrate — measured 3.2 s +
+    // 2.8 s per extra run at sf0.1).
+    val capped64 = cappedCandidatesFromIndex(ex, dfTab, 64L).persist()
+    val banded32x4 = bandedPairsConf(minhashSigsFrom(shingled), 32, 4).persist()
     val truth = verifyJaccard(
-        productionCandidates(ex, dfTab, shingled), hashed)
+        productionUnion(capped64, verbatimCandidatesFromIndex(ex), banded32x4),
+        hashed)
       .select("a_id", "b_id")
       .persist()
     val nTruth = truth.count()
@@ -1296,10 +1339,8 @@ object TextOps {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val rows = try {
       val verified = Seq(
-        "minhash_lsh_32x4" -> (() =>
-          bandedPairsConf(minhashSigsFrom(shingled), 32, 4)),
-        "jaccard_dfcap_64" -> (() =>
-          cappedCandidatesFromIndex(ex, dfTab, 64L)),
+        "minhash_lsh_32x4" -> (() => banded32x4),
+        "jaccard_dfcap_64" -> (() => capped64),
         "jaccard_dfcap_8" -> (() =>
           cappedCandidatesFromIndex(ex, dfTab, 8L)),
         // exact by the prefix-filter lemma: its 1.0/1.0 row is the
@@ -1323,9 +1364,9 @@ object TextOps {
       // blocked collect) before the caches go away.
       pool.shutdownNow()
       // unpersist in finally: a method-pipeline failure or the Await
-      // timeout must not leave six cached frames pinned for the rest
+      // timeout must not leave the cached frames pinned for the rest
       // of the session
-      Seq(truth, dfTab, ex, hashed, shingled, docs)
+      Seq(truth, banded32x4, capped64, dfTab, ex, hashed, shingled, docs)
         .foreach(_.unpersist(blocking = false))
     }
     rows.map { case (m, nPairs, nHit) =>

@@ -980,10 +980,21 @@ object VectorOps {
     // structural ≥ on its own seed generator's recall; the AnnSweep
     // measurement behind the (probes, beam, hops, k) default is in
     // SURVEY §6).
+    // LAZY localCheckpoint on the beam state, seed included (r11): the
+    // loop body reads beamDf THREE times per hop (touched set, the
+    // candidate union's both branches) and each hop's output feeds the
+    // next, so without lineage truncation the physical plan re-executes
+    // the whole upstream subtree ~3^hops times — measured at the
+    // (3-probe, beam 24, 3 hops) default as a 7,169-line plan with 212
+    // parquet scans, 15.5 s at sf0.1. One pin per hop collapses it to a
+    // linear chain (3.9 s at sf0.1; ann_eval's graph_nsw row rides the
+    // same fix, 28.0 → 7.5 s); each hop's computation — and so every
+    // emitted row — is unchanged, only materialized once.
     var beamDf: DataFrame =
       (if (probes <= 1) annIvf(spark, dir)
        else annIvfProbe(spark, dir, probes))
         .select(col("query_id"), col("neighbor_id").as("node"))
+        .localCheckpoint(false)
     for (_ <- 1 to hops) {
       val touched = beamDf.select("node").distinct()
       // exact top-k neighbors of each touched node — vecKnnGraph's
@@ -1018,6 +1029,7 @@ object VectorOps {
           Window.partitionBy("query_id").orderBy(col("cos").desc, col("node"))))
         .filter(col("rk") <= beam)
         .select("query_id", "node", "cos")
+        .localCheckpoint(false)
     }
     beamDf
       .withColumn("rank", row_number().over(
