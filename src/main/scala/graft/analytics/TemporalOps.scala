@@ -176,12 +176,16 @@ object TemporalOps {
     // value non-null too: otherwise an all-null hour desynchronizes
     // the (c, n) neighbor pair — last-ignoreNulls skips the null c but
     // picks up that hour's n, corrupting the interpolated mean
+    // LAZY localCheckpoint (r11): the hourly rollup feeds BOTH the
+    // per-user spine aggregate and the join's right side — unpinned,
+    // the events scan + hour groupBy executed twice (guide §2.4).
     val hourly = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .groupBy(col("user_id"),
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"),
         count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val spine = hourly.groupBy("user_id")
       .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
       .select(col("user_id"),

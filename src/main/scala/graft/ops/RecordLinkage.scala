@@ -81,12 +81,18 @@ object RecordLinkage {
     * output-bound (a pair per emitted row — irreducible). */
   private[graft] def editDistancePairsFromNames(sup: DataFrame): DataFrame = {
     val names = sup.select("name").distinct()
+    // LAZY localCheckpoint on the variant index: it feeds BOTH sides of
+    // the blocking self-join, and without the pin the D≤2 deletion
+    // neighborhood (~1+n+C(n,2) substring concats per name) is expanded
+    // twice (r11 — guide §2.4: two consumers of one subtree should share
+    // one materialization). Same rows either way.
     val ex = names
       .select(col("name"), explode(deletionNeighborhood(col("name"), 2)).as("v"))
       // hash the variant: the self-join shuffles 8-byte longs instead of
       // ~17-char strings (same trick as the shingle index); collisions
       // only ADD candidates, which the exact verify then rejects
       .select(col("name"), xxhash64(col("v")).as("v"))
+      .localCheckpoint(false)
     val a = ex.toDF("a_name", "v")
     val b = ex.toDF("b_name", "v")
     // shuffled-hash: the variant index is large and uniformly keyed —
@@ -156,9 +162,12 @@ object RecordLinkage {
     // a part's member names, deduplicated per part (hashed variants —
     // the join ships longs; collisions only add candidates, which the
     // levenshtein verify rejects)
+    // same two-consumer pin as editDistancePairsFromNames (r11): the
+    // part-level variant index feeds both self-join sides
     val px = parts
       .select(col("part"), explode(deletionNeighborhood(col("name"), 2)).as("v"))
       .select(col("part"), xxhash64(col("v")).as("v")).distinct()
+      .localCheckpoint(false)
     val candPP = px.toDF("pa", "v")
       .join(px.toDF("pb", "v").hint("shuffle_hash"), Seq("v"))
       .filter(col("pa") < col("pb"))

@@ -89,7 +89,11 @@ object SpatialJoin {
 
   def spatialNeighbors(spark: SparkSession, dir: String,
       rCents: Long = 200L): DataFrame =
-    spatialNeighborsCore(points(spark, dir), rCents)
+    // LAZY localCheckpoint (r11, guide §2.4): the point set feeds both
+    // ballPairs sides AND the left-join spine — unpinned, the events
+    // scan + props JSON parse ran once per consumer (3×/query here;
+    // at 100 TB each re-scan is a full pass over the base table).
+    spatialNeighborsCore(points(spark, dir).localCheckpoint(false), rCents)
 
   private def spatialNeighborsCore(pts: DataFrame, rCents: Long): DataFrame = {
     val neigh = ballPairs(pts, rCents)
@@ -117,7 +121,10 @@ object SpatialJoin {
     * sqrt), not just the counts computed from it. */
   def spatialNeighborsAuto(spark: SparkSession, dir: String,
       targetOcc: Long = 2L): DataFrame = {
-    val pts = points(spark, dir)
+    // pinned BEFORE autoR (r11): the derivation's 3 profiling actions
+    // (bbox + two Σocc² refinements) plus the core's 3 reads otherwise
+    // each re-run the events scan + JSON parse (guide §2.4)
+    val pts = points(spark, dir).localCheckpoint(false)
     val r = autoR(pts, targetOcc)
     spatialNeighborsCore(pts, r).withColumn("r_cents", lit(r))
   }
@@ -144,7 +151,10 @@ object SpatialJoin {
     * spec-verified; the full-plane entry stays rows-only. */
   def dbscan(spark: SparkSession, dir: String,
       rCents: Long = 200L, minPts: Long = 4L, sampleMod: Long = 1L): DataFrame =
-    dbscanCore(spark, thinned(spark, dir, sampleMod), rCents, minPts)
+    // same point-set pin as spatialNeighbors (r11): dbscanCore reads
+    // pts inside ballPairs (×2), the core cell map, and the final spine
+    dbscanCore(spark, thinned(spark, dir, sampleMod).localCheckpoint(false),
+      rCents, minPts)
 
   private def thinned(spark: SparkSession, dir: String, sampleMod: Long): DataFrame =
     if (sampleMod == 1L) points(spark, dir)
@@ -204,7 +214,8 @@ object SpatialJoin {
     * oracle hash pins the derivation, not just the labels. */
   def dbscanAuto(spark: SparkSession, dir: String, targetOcc: Long = 2L,
       minPts: Long = 4L, sampleMod: Long = 1L): DataFrame = {
-    val pts = thinned(spark, dir, sampleMod)
+    // pinned BEFORE autoR — same rationale as spatialNeighborsAuto
+    val pts = thinned(spark, dir, sampleMod).localCheckpoint(false)
     val r = autoR(pts, targetOcc)
     dbscanCore(spark, pts, r, minPts).withColumn("r_cents", lit(r))
   }
