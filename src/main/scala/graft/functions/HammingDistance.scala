@@ -80,6 +80,10 @@ object GraftFunctions {
       exprs => WordTokens(exprs.head)),
     ("vec_dot", "vec_dot(a, b) - sequential double dot product of two vectors",
       exprs => VecDot(exprs(0), exprs(1))),
+    ("vec_l2sq_long", "vec_l2sq_long(a, b) - exact Σ(a_i − b_i)² over two bigint arrays",
+      exprs => VecL2SqLong(exprs(0), exprs(1))),
+    ("vec_dot_long", "vec_dot_long(a, b) - exact Σ a_i·b_i over two bigint arrays",
+      exprs => VecDotLong(exprs(0), exprs(1))),
     ("vec_norm", "vec_norm(a) - L2 norm of a vector",
       exprs => VecNorm(exprs.head)),
     ("rolling_hash", "rolling_hash(text) - Karp-Rabin fingerprint of normalized text",

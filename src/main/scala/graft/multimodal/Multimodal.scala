@@ -801,6 +801,7 @@ object Multimodal {
     * replays training, captioning, and retrieval end to end. */
   def crossModalSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val media = mediaImages(spark, dir)
       .mapPartitions { rows =>
         rows.map(r => MediaEmbRow(r.doc_id, pixelEmbed(readImage(r.media)).toSeq))
@@ -850,10 +851,11 @@ object Multimodal {
     media.join(broadcast(q))
       .withColumn("ec", zip_with(col("emb"), sumAllLit,
         (e, sa) => lit(tower.nTr) * e - sa))
-      .withColumn("score", expr(
-        "aggregate(zip_with(ec, q_emb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("ss", expr(
-        "aggregate(ec, 0L, (acc, x) -> acc + x * x)"))
+      // codegen'd exact integer dot (vec_dot_long) for both the score
+      // and the self-dot Σec² — same sequential long sums as the
+      // interpreted lambdas they replace, bit-identical (guide §4)
+      .withColumn("score", expr("vec_dot_long(ec, q_emb)"))
+      .withColumn("ss", expr("vec_dot_long(ec, ec)"))
       .withColumn("t", expr("CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT)"))
       .withColumn("den", expr(
         "GREATEST(1L, CASE WHEN (t+1)*(t+1) <= ss THEN t+1 WHEN t*t > ss THEN t-1 ELSE t END)"))

@@ -533,8 +533,10 @@ object VectorOps {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("qv"))
 
-  /** The k projected components of `qv` as ±-signed integer sums. */
-  private def rpCompCols(k: Int, dim: Int): Seq[Column] =
+  /** The k projected components of `qv` as ±-signed integer sums —
+    * retained (spec-only consumer) as the executable definition the
+    * fused RpProject kernel is pinned against. */
+  private[graft] def rpCompCols(k: Int, dim: Int): Seq[Column] =
     (0 until k).map { i =>
       (0 until dim).map { j =>
         val e = element_at(col("qv"), j + 1)
@@ -542,25 +544,42 @@ object VectorOps {
       }.reduce(_ + _).as(s"c$i")
     }
 
+  /** All k projected components in ONE codegen'd expression
+    * ([[graft.functions.RpProject]]) instead of the k×dim column
+    * expansion above: the expanded tree is ~17k Catalyst nodes that
+    * the optimizer re-walks on every pass (measured ~3.5 s of
+    * planning per vec_rp_eval pass at sf0.1 vs ~0.1 s of execution).
+    * Same md5-parity sign matrix, same sequential signed integer
+    * sums — component values are bit-identical (spec-pinned against
+    * rpCompCols). */
+  private[graft] def rpProjectCol(in: Column, k: Int, dim: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.RpProject(
+        org.apache.spark.sql.GraftPlanBridge.expression(in), k, dim))
+
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val dim = 64
     val q = microVecs(spark, dir)
-    val comps = rpCompCols(k, dim)
-    val projected = q.select((col("vec_id") +: col("qv").as("qv") +: comps): _*)
+    // one fused rp_project node + codegen'd self-dots (see
+    // rpProjectCol) — the column-expanded form re-planned a k×dim
+    // expression tree per pass; values are identical by integer
+    // associativity (digest string, sums, c0 all unchanged)
+    val projected = q.select(col("vec_id"), col("qv"),
+      rpProjectCol(col("qv"), k, dim).as("rp"))
     // both sums fit BIGINT (|comp| ≤ dim·1e6 ⇒ rp_sq ≤ k·(dim·1e6)² ≈
     // 6.6e16; src_sq ≤ dim·1e12); only the ×1e6 ppm cross-multiply
     // needs DECIMAL(38,0) — the q8_mktshare discipline
-    val rpSq = (0 until k).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _)
-    val srcSq = aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v)
     projected
       .withColumn("rp_digest",
-        md5(concat_ws(",", (0 until k).map(i => col(s"c$i").cast("string")): _*)))
-      .withColumn("rp_sq", rpSq)
-      .withColumn("src_sq", srcSq)
+        md5(concat_ws(",", (0 until k).map(i =>
+          element_at(col("rp"), i + 1).cast("string")): _*)))
+      .withColumn("rp_sq", expr("vec_dot_long(rp, rp)"))
+      .withColumn("src_sq", expr("vec_dot_long(qv, qv)"))
       .withColumn("norm_ratio_ppm",
         expr("CAST((CAST(rp_sq AS DECIMAL(38,0)) * 1000000)" +
           s" div nullif(CAST($k AS BIGINT) * src_sq, 0) AS BIGINT)"))
-      .select(col("vec_id"), col("c0").as("c0_micro"),
+      .select(col("vec_id"), element_at(col("rp"), 1).as("c0_micro"),
         col("rp_digest"), col("norm_ratio_ppm"))
       .orderBy("vec_id")
   }
@@ -580,33 +599,38 @@ object VectorOps {
     * discipline — with both distance columns computed in the same
     * pass (no second scan for the projected side). */
   def rpRetrievalEval(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val base = microVecs(spark, dir)
       .select(col("vec_id"), col("qv"),
-        array(rpCompCols(k, 64): _*).as("rp"))
+        rpProjectCol(col("qv"), k, 64).as("rp"))
     val q = base.toDF("query_id", "q_qv", "q_rp").filter(col("query_id") < 10)
     val c = base.toDF("neighbor_id", "c_qv", "c_rp")
+    // codegen'd exact integer L2² (vec_l2sq_long) instead of the
+    // interpreted aggregate/zip_with lambda pair — same sequential long
+    // sum, bit-identical, ~an order of magnitude cheaper per joined row
+    // (guide §4: no interpreted expressions on the per-pair hot path)
     val joined = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("d_true", aggregate(
-        zip_with(col("q_qv"), col("c_qv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v))
-      .withColumn("d_rp", aggregate(
-        zip_with(col("q_rp"), col("c_rp"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d_true", expr("vec_l2sq_long(q_qv, c_qv)"))
+      .withColumn("d_rp", expr("vec_l2sq_long(q_rp, c_rp)"))
     val wTrue = Window.partitionBy("query_id")
       .orderBy(col("d_true"), col("neighbor_id"))
     val wRp = Window.partitionBy("query_id")
       .orderBy(col("d_rp"), col("neighbor_id"))
-    val ranked = joined
+    // ONE pass (r11, guide §2.4): both ranks ride the same query_id
+    // exchange, and the overlap |top10_true ∩ top10_rp| is a
+    // conditional count over the true-top-10 rows — the old
+    // top10 ⋈ rp10 left join consumed `ranked` twice, duplicating the
+    // whole scan → projection(16×64-term rp comps) → broadcast-join →
+    // window subtree (2 parquet scans, 2 joins in the committed before
+    // plan). Row-for-row identical: a neighbor is in both top-10s
+    // exactly when r_true ≤ 10 ∧ r_rp ≤ 10.
+    joined
       .withColumn("r_true", row_number().over(wTrue))
       .withColumn("r_rp", row_number().over(wRp))
-    val top10 = ranked.filter(col("r_true") <= 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val rp10 = ranked.filter(col("r_rp") <= 10)
-      .select(col("query_id"), col("neighbor_id"))
-    top10
-      .join(rp10.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .filter(col("r_true") <= 10)
       .groupBy("query_id")
-      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_overlap"))
+      .agg(count(lit(1)).as("n_true"),
+        count(when(col("r_rp") <= 10, 1)).as("n_overlap"))
       .withColumn("recall_ppm",
         expr("n_overlap * 1000000 div nullif(n_true, 0)"))
       .orderBy("query_id")
@@ -1689,6 +1713,7 @@ object VectorOps {
     * corpus, no second shuffle); the top-5-per-label tail is the heap
     * operator. The corpus is scanned twice and shuffled never. */
   def vecOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val micro = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
@@ -1705,9 +1730,10 @@ object VectorOps {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), expr("transform(pc, p -> p.c)").as("cvec"))
+    // codegen'd exact integer L2² — bit-identical to the lambda fold
+    // it replaces (sequential long sum), guide §4
     val d2 = micro.join(broadcast(cent), Seq("label"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(m, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d2", expr("vec_l2sq_long(m, cvec)"))
       .select(col("label"), col("vec_id"), col("d2"))
     graft.plans.TopK.perKey(d2, k, Seq("label"), "d2", "vec_id")
       .withColumn("rank", row_number().over(
@@ -1734,6 +1760,7 @@ object VectorOps {
     * scan is |labels|² on the bounded table. The corpus is scanned
     * twice and shuffled never. */
   def clusterEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val micro = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
@@ -1746,17 +1773,16 @@ object VectorOps {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), expr("transform(pc, p -> p.c)").as("cvec"))
+    // codegen'd exact integer L2² (see vecOutliers) — guide §4
     val coh = micro.join(broadcast(cent), Seq("label"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(m, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d2", expr("vec_l2sq_long(m, cvec)"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         expr("CAST(SUM(CAST(d2 AS DECIMAL(38,0))) div COUNT(1) AS BIGINT)")
           .as("mean_d2"))
     val sep = cent.toDF("label", "ca").crossJoin(cent.toDF("lb", "cb"))
       .filter(col("label") =!= col("lb"))
-      .withColumn("cd2", expr(
-        "aggregate(zip_with(ca, cb, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cd2", expr("vec_l2sq_long(ca, cb)"))
       .groupBy("label")
       .agg(min(struct(col("cd2"), col("lb"))).as("m"))
       .select(col("label"), col("m.lb").as("nearest_label"),

@@ -8,7 +8,8 @@ class ExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects all graft SQL functions") {
     val names = GraftExtensionsProbe.injectedFunctionNames(new GraftExtensions)
     assert(names == Set("hamming64", "word_shingles3", "word_shingles2",
-      "word_tokens", "vec_dot", "vec_norm", "rolling_hash", "winnow_fps",
+      "word_tokens", "vec_dot", "vec_norm", "vec_l2sq_long", "vec_dot_long",
+      "rolling_hash", "winnow_fps",
       "sorted_intersect_count", "sorted_dot", "minhash128",
       "minhash_affine128", "simhash_roll64",
       "simhash64", "simhash128", "text_profile", "token_profile", "zorder2",
