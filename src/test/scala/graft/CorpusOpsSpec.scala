@@ -261,6 +261,33 @@ class CorpusOpsSpec extends SparkSpec {
       ("lower", 2L, 3L, "low e r")), s"BPE encoding diverged: $got")
   }
 
+  test("BpeApply kernel is row-identical to the nested-fold lambda chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, filter, split, concat_ws}
+    // overlap-heavy symbol streams: 'aaa' under (a,a) must collapse
+    // left-to-right non-overlapping to [aa, a]; merge ORDER matters
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "d"))
+    val words = Seq("aaa", "aaaa", "aab", "aaab", "abcd", "cdcd", "", "x",
+      "aabaab", "ccdd", "banana").toDF("word")
+      .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))
+    val kernel = org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.BpeApply(
+        org.apache.spark.sql.GraftPlanBridge.expression(col("s")), merges))
+    val bad = words
+      .withColumn("k", concat_ws("|", kernel))
+      .withColumn("f", concat_ws("|", CorpusOps.bpeFoldMerges(col("s"), merges)))
+      .filter(col("k") =!= col("f")).count()
+    assert(bad == 0)
+  }
+
+  test("BPE bounded-driver learn branch is row-identical to the distributed loop") {
+    // vocabCap = 0 forces the distributed argmax rounds; the default
+    // takes the collected driver path — same merges, same encodings
+    val driver = CorpusOps.bpeEncode(spark, sfDir).collect().toSeq
+    val dist = CorpusOps.bpeEncode(spark, sfDir, vocabCap = 0L).collect().toSeq
+    assert(driver == dist)
+  }
+
   test("BPE detokenization round-trips: token concat rebuilds every word") {
     val rows = CorpusOps.bpeEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
