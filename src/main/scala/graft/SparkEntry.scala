@@ -164,6 +164,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, d) => VectorOps.annIvfPq(s, d)),
     "ann_eval" -> ((s, d) => VectorOps.annEval(s, d)),
     "ann_graph" -> ((s, d) => VectorOps.annGraphNsw(s, d)),
+    "ann_graph_prebuilt" -> ((s, d) => VectorOps.annGraphNswPrebuilt(s, d)),
     "q_rfm" -> ((s, d) => Analytics.rfmSegmentation(s, d)),
     "vec_stats" -> ((s, d) => VectorOps.vecStats(s, d)),
     "vec_quantize" -> ((s, d) => VectorOps.vecQuantize(s, d)),
@@ -665,7 +666,7 @@ object SparkEntry {
     * `beam`. Deterministic rounding/tie-breaks make the whole walk —
     * not just its output shape — hash-checked. */
   private def annGraphOracleSqlFor(probes: Int, beam: Int, hops: Int,
-      k: Int): String = {
+      k: Int, edgesFrom: Option[String] = None, pre: String = ""): String = {
     val seed =
       if (probes <= 1)
         """qrs AS MATERIALIZED (
@@ -700,15 +701,27 @@ object SparkEntry {
            |  WHERE rk <= 3)""".stripMargin
     val hopCtes = (1 to hops).map { h =>
       val src = if (h == 1) "ent" else s"beam${h - 1}"
-      s"""ed$h AS MATERIALIZED (
-         |  SELECT node AS src, vid AS dst FROM (
-         |    SELECT t.node, v.vec_id AS vid,
-         |      row_number() OVER (PARTITION BY t.node ORDER BY
-         |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
-         |    FROM (SELECT DISTINCT node FROM $src) t
-         |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
-         |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
-         |  WHERE rk <= $k),
+      // ed{h}: the touched nodes' neighbor lists — derived on demand
+      // (exact top-k over nv, the self-contained entry) or read from a
+      // caller-supplied prebuilt edge CTE (the serving shape), exactly
+      // mirroring annGraphNsw's prebuiltEdges branch
+      val edgeCte = edgesFrom match {
+        case Some(e) =>
+          s"""ed$h AS MATERIALIZED (
+             |  SELECT g.src, g.dst FROM $e g
+             |  JOIN (SELECT DISTINCT node FROM $src) t ON g.src = t.node),""".stripMargin
+        case None =>
+          s"""ed$h AS MATERIALIZED (
+             |  SELECT node AS src, vid AS dst FROM (
+             |    SELECT t.node, v.vec_id AS vid,
+             |      row_number() OVER (PARTITION BY t.node ORDER BY
+             |        round(list_dot_product(u.e, v.e) / (u.nrm * v.nrm), 6) DESC, v.vec_id) AS rk
+             |    FROM (SELECT DISTINCT node FROM $src) t
+             |    JOIN nv u ON u.vec_id = t.node AND u.nrm > 0
+             |    JOIN nv v ON v.vec_id <> t.node AND v.nrm > 0)
+             |  WHERE rk <= $k),""".stripMargin
+      }
+      s"""$edgeCte
          |cand$h AS (
          |  SELECT DISTINCT query_id, node FROM (
          |    SELECT query_id, node FROM $src
@@ -725,8 +738,17 @@ object SparkEntry {
          |    JOIN nv v ON v.vec_id = c.node)
          |  WHERE rk <= $beam)""".stripMargin
     }
-    (Seq(lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql, seed) ++ hopCtes)
-      .mkString(",\n") +
+    // `pre` (prebuilt mode): a self-contained CTE chain — e.g. the
+    // pb-prefixed ann-auto graph build — spliced in FRONT of the walk's
+    // own chain, directly after WITH (its names are prefixed to avoid
+    // colliding with the trainer/seed CTEs here)
+    val walkChain =
+      (Seq(lloydCtesSql(iters = 10, k = 16) + ",\n" + ivfAssignSql, seed) ++ hopCtes)
+        .mkString(",\n")
+    val chain =
+      if (pre.isEmpty) walkChain
+      else "WITH " + pre + ",\n" + walkChain.stripPrefix("WITH ")
+    chain +
       s"""
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id, cos FROM (
          |  SELECT query_id, node, cos,
@@ -737,6 +759,46 @@ object SparkEntry {
 
   private val annGraphOracleSql: String =
     annGraphOracleSqlFor(probes = 3, beam = 24, hops = 3, k = 12)
+
+  /** Prefix every CTE name of the variable-k trainer + two-level
+    * assignment chain so it can be spliced next to the walk's own
+    * (fixed-k) trainer chain without name collisions. The rename list
+    * is exactly the CTE names those two fragments define; \b keeps
+    * t1/t10 and sa1/sa10 distinct, and no column name in the fragments
+    * collides with the list. */
+  private def prefixCtes(sql: String, prefix: String): String = {
+    val names = Seq("ev", "kk", "smp", "sp", "nv", "gg", "sup", "cnear",
+      "cgrp", "pc", "cand", "fine", "asg", "qp") ++
+      (0 to 10).map("t" + _) ++ (0 until 10).map("sa" + _) ++
+      (0 until 10).map("sn" + _)
+    names.foldLeft(sql)((s, n) => s.replaceAll("\\b" + n + "\\b", prefix + n))
+  }
+
+  /** `ann_graph_prebuilt` replayed end to end: the ann-auto k = 12
+    * graph build (variable-k trainer + two-level routed assignment +
+    * every-vector 3-probe scoring, exactly `vecKnnGraphAnnAutoOracleSql`
+    * with rank ≤ 12 and only (src, dst) kept), pb-prefixed so it
+    * coexists with the walk's own fixed-k seeding chain, then the
+    * identical NSW walk whose per-hop `ed{h}` reads the prebuilt edge
+    * table instead of deriving exact neighbors — mirroring
+    * VectorOps.annGraphNswPrebuilt operator for operator. */
+  private val annGraphPrebuiltOracleSql: String = {
+    val graphChain = prefixCtes(
+      lloydCtesVarKSql(iters = 10, targetOcc = 128L).stripPrefix("WITH ") +
+        ",\n" + ivfAssignTlSql, "pb")
+    val edgeTail =
+      """pbsc AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, round(list_dot_product(qe, ce) / (qn * cn), 6) AS cos FROM (
+        |    SELECT DISTINCT q.query_id, q.qe, q.qn, c.vec_id AS neighbor_id, c.e AS ce, c.nrm AS cn
+        |    FROM pbqp q JOIN pbasg c ON q.cell = c.cell AND c.vec_id <> q.query_id)),
+        |pbedges AS MATERIALIZED (
+        |  SELECT query_id AS src, neighbor_id AS dst FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM pbsc) WHERE rank <= 12)""".stripMargin
+    annGraphOracleSqlFor(probes = 3, beam = 24, hops = 3, k = 12,
+      edgesFrom = Some("pbedges"), pre = graphChain + ",\n" + edgeTail)
+  }
 
   /** The PQ codebook trainer (8 subspaces × 16 Lloyd centroids over
     * the unit-normalized sample) replayed as ONE 10-round chain keyed
@@ -1744,6 +1806,7 @@ object SparkEntry {
     "ann_pq" -> annPqOracleSql,
     "ann_ivfpq" -> annIvfPqOracleSql,
     "ann_graph" -> annGraphOracleSql,
+    "ann_graph_prebuilt" -> annGraphPrebuiltOracleSql,
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_probe" -> annIvfProbeOracleSql,
     "vec_knn_graph_ann" -> vecKnnGraphAnnOracleSql,

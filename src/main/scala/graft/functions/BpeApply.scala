@@ -61,7 +61,15 @@ object BpeKernels {
     var cur = new Array[UTF8String](n)
     var curLen = n
     var i = 0
-    while (i < n) { cur(i) = in.getUTF8String(i); i += 1 }
+    // isNullAt BEFORE getUTF8String: UnsafeArrayData surfaces a null
+    // element as a non-null empty string while GenericArrayData yields
+    // null — reading through isNullAt makes both representations carry
+    // null, matching the lambda chain (a null symbol is appended and
+    // never merges: a/b are non-null, so equals(null) is false below).
+    while (i < n) {
+      cur(i) = if (in.isNullAt(i)) null else in.getUTF8String(i)
+      i += 1
+    }
     var m = 0
     while (m < merges.length) {
       val a = merges(m)(0); val b = merges(m)(1); val ab = merges(m)(2)

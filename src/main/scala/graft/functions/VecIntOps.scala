@@ -88,7 +88,15 @@ case class VecDotLong(left: Expression, right: Expression)
 
 object VecIntKernels {
   /** boxed Long so a null ELEMENT can yield SQL NULL exactly like the
-    * interpreted lambda fold it replaces (null + x = null). */
+    * interpreted lambda fold it replaces (null + x = null).
+    *
+    * DECLARED divergence from the lambda form (r11 ADVICE): on a
+    * LENGTH MISMATCH the replaced zip_with/aggregate fold padded with
+    * null and yielded a silently-NULL score; these kernels throw —
+    * the repo's fail-loud contract for degenerate data (a ragged
+    * embedding row is corrupt input, not a missing value). Every
+    * production caller feeds fixed-dimension arrays, so the branch is
+    * unreachable on well-formed corpora. */
   def l2sq(a: ArrayData, b: ArrayData): java.lang.Long = {
     if (a.numElements() != b.numElements())
       throw new IllegalArgumentException(

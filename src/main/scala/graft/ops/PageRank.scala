@@ -76,18 +76,37 @@ object PageRank {
     // because their edges don't exist)
     var reached = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
     var frontier = reached
-    for (hop <- 1 to BfsMaxHops) {
+    var hop = 1
+    var saturated = false
+    while (hop <= BfsMaxHops && !saturated) {
       val next = edges.join(frontier.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
         .join(reached.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint() // frontier is reused twice (union + next expansion)
-      reached = reached.unionByName(next)
-      frontier = next
+      // EARLY EXIT (r12): an empty frontier is the BFS fixed point —
+      // every later hop expands nothing, so skipping the remaining
+      // rounds is provably output-identical (the dense bipartite graph
+      // saturates in ~3 hops, and each skipped hop is a full
+      // join+distinct+anti-join job over an empty frontier). isEmpty
+      // is a limit-1 read of the just-checkpointed blocks.
+      if (next.isEmpty) saturated = true
+      else {
+        reached = reached.unionByName(next)
+        frontier = next
+      }
+      hop += 1
     }
+    bfsRoundsRan = hop - 1
     edges.unpersist(blocking = false)
     reached.orderBy("node")
   }
+
+  /** Rounds the last bfsHops / shortestPath call actually executed —
+    * spec hook pinning that the early exit fires (never part of any
+    * query's output). */
+  private[graft] var bfsRoundsRan: Int = 0
+  private[graft] var spRoundsRan: Int = 0
 
   // Measured tuning note (sf0.1, local[32]): disabling AQE for the
   // round loop was tried and is ~25% SLOWER at 32 shuffle partitions —
@@ -242,13 +261,35 @@ object PageRank {
       .select((col("c_custkey") * 2).as("node"))
       .distinct()
     var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint(true)
-    for (_ <- 1 to SpRounds) {
+    // EARLY EXIT (r12): the Bellman-Ford vector is MONOTONE — the node
+    // set only grows (the union keeps every prior node) and each dist
+    // only decreases (min-aggregate) — so an unchanged (count, Σdist)
+    // fingerprint proves the vector itself is unchanged, and an
+    // unchanged vector is the fixed point: every later round recomputes
+    // it bit-for-bit. Each fingerprint is one tiny aggregate over the
+    // just-checkpointed vertex-sized blocks; each SKIPPED round is a
+    // full edge-relaxation shuffle. Σdist stays far inside BIGINT
+    // (dist ≤ rounds · max-weight ≈ 6·10⁶; even 10⁹ nodes keep the sum
+    // under 10¹⁶).
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum("dist")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevFp = fingerprint(dist)
+    var round = 1
+    var fixed = false
+    while (round <= SpRounds && !fixed) {
       dist = edges.join(dist.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
+      val fp = fingerprint(dist)
+      if (fp == prevFp) fixed = true
+      prevFp = fp
+      round += 1
     }
+    spRoundsRan = round - 1
     edges.unpersist(blocking = false)
     dist.orderBy("node")
   }

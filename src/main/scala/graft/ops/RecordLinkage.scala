@@ -81,18 +81,24 @@ object RecordLinkage {
     * output-bound (a pair per emitted row — irreducible). */
   private[graft] def editDistancePairsFromNames(sup: DataFrame): DataFrame = {
     val names = sup.select("name").distinct()
-    // LAZY localCheckpoint on the variant index: it feeds BOTH sides of
-    // the blocking self-join, and without the pin the D≤2 deletion
-    // neighborhood (~1+n+C(n,2) substring concats per name) is expanded
-    // twice (r11 — guide §2.4: two consumers of one subtree should share
-    // one materialization). Same rows either way.
+    // UNPINNED self-join (r12 — reverts the r11 lazy-localCheckpoint
+    // pin): the pin shared one D≤2 neighborhood expansion across the
+    // join's two sides, but the driver measured it SLOWER on two
+    // independent runs (3.28 → 4.48 s at sf0.1) — the materialize/read
+    // round-trip costs more than re-running the substring concats,
+    // which are codegen'd and stream straight into each side's shuffle
+    // write. A groupBy(v)+collect_list in-bucket expansion was also
+    // tried this round and measured slower still (5.35 s solo vs 4.0 —
+    // the interpreted HOF pair fold loses to the codegen'd hash join).
+    // Both sides expanding independently is the measured winner; the
+    // expansion is CPU over a tiny supplier scan, not a table pass, so
+    // there is no at-scale double-read to gate on.
     val ex = names
       .select(col("name"), explode(deletionNeighborhood(col("name"), 2)).as("v"))
       // hash the variant: the self-join shuffles 8-byte longs instead of
       // ~17-char strings (same trick as the shingle index); collisions
       // only ADD candidates, which the exact verify then rejects
       .select(col("name"), xxhash64(col("v")).as("v"))
-      .localCheckpoint(false)
     val a = ex.toDF("a_name", "v")
     val b = ex.toDF("b_name", "v")
     // shuffled-hash: the variant index is large and uniformly keyed —
@@ -162,12 +168,12 @@ object RecordLinkage {
     // a part's member names, deduplicated per part (hashed variants —
     // the join ships longs; collisions only add candidates, which the
     // levenshtein verify rejects)
-    // same two-consumer pin as editDistancePairsFromNames (r11): the
-    // part-level variant index feeds both self-join sides
+    // UNPINNED self-join, same r12 revert as editDistancePairsFromNames:
+    // the codegen'd expansion re-running per side beats both the pin's
+    // materialize/read round-trip and the interpreted in-bucket fold
     val px = parts
       .select(col("part"), explode(deletionNeighborhood(col("name"), 2)).as("v"))
       .select(col("part"), xxhash64(col("v")).as("v")).distinct()
-      .localCheckpoint(false)
     val candPP = px.toDF("pa", "v")
       .join(px.toDF("pb", "v").hint("shuffle_hash"), Seq("v"))
       .filter(col("pa") < col("pb"))

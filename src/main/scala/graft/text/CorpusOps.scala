@@ -526,6 +526,14 @@ object CorpusOps {
     // spec-pinned on the hand-derived corpus.
     if (vocab.count() <= vocabCap) {
       val rows = vocab.collect()
+      // tie-break guard (r11 ADVICE): the driver argmax orders (a, b)
+      // in Scala's UTF-16 string order, the distributed branch in
+      // Spark's UTF-8 binary order — the two coincide only on ASCII.
+      // wordsCol strips text to [a-z ] so this cannot fire today; the
+      // assertion turns a future tokenization change into a loud
+      // failure instead of silently learning a different merge table.
+      require(rows.forall(r => r.getString(0).forall(_ < 0x80)),
+        "bounded-driver BPE needs ASCII symbols (UTF-16 vs UTF-8 tie-break)")
       var syms: Array[(Array[String], Long)] = rows.map { r =>
         (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1))
       }

@@ -45,6 +45,7 @@ object AnnServeAB {
       .filter(col("rank") <= 3).select("query_id", "neighbor_id").persist()
     val nTruth = truth.count()
     def recall(df: DataFrame): Double = {
+      if (nTruth == 0) return 0.0 // empty truth: report 0, not NaN
       val h = df.select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id")).count()
       h.toDouble / nTruth
@@ -85,7 +86,10 @@ object AnnServeAB {
           VectorOps.annGraphNsw(spark, dir, prebuiltEdges = Some(annEdges))))
     for ((name, f) <- cells) {
       val out = f()
-      println(f"[serve] $name recall@3=${recall(out)}%.3f (warmup)")
+      // recall measured on the warmup materialization only — the walk
+      // is deterministic, so the timed runs return the same rows; the
+      // label says so in case a future variant isn't
+      println(f"[serve] $name recall@3=${recall(out)}%.3f (warmup pass)")
       val walls = (1 to reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

@@ -10,13 +10,20 @@ import org.apache.spark.sql.SparkSession
   * pairs: `runMain graft.tools.PlanCost <name...> [--sf dir] [--reps n]`. */
 object PlanCost {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.sliding(2).collectFirst { case Array("--sf", d) => d }
-      .getOrElse("/root/testdata/sf0.1")
-    val reps = args.sliding(2).collectFirst { case Array("--reps", n) => n.toInt }
-      .getOrElse(3)
-    val names = args.filter(!_.startsWith("--"))
-      .sliding(1).flatten.toSeq
-      .filterNot(a => Seq(sfDir, reps.toString).contains(a))
+    // consume --flag value pairs positionally (r11 ADVICE: filtering
+    // positionals by VALUE dropped a query that happened to equal the
+    // sf dir or the rep count)
+    var sfDir = "/root/testdata/sf0.1"
+    var reps = 3
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sf" if i + 1 < args.length => sfDir = args(i + 1); i += 2
+        case "--reps" if i + 1 < args.length => reps = args(i + 1).toInt; i += 2
+        case a => names += a; i += 1
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

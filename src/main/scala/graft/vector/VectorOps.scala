@@ -404,6 +404,9 @@ object VectorOps {
     * argmin, probe set — SparkEntry.ivfAssignTlSql). */
   def vecKnnGraphAnnAuto(spark: SparkSession, dir: String, k: Int = 5,
       probes: Int = 3, targetOcc: Long = 128L): DataFrame = {
+    // register BEFORE the derive-n count: sessions without the
+    // GraftExtensions config (plan-audit tools) reach vec_norm here
+    graft.functions.GraftFunctions.register(spark)
     val corpusN = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .filter(expr("vec_norm(e)") > 0).count()
@@ -1063,6 +1066,32 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         col("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The SERVING shape of the NSW walk (r11 verdict item 6): the
+    * bounded-beam traversal over a PREBUILT production substrate —
+    * `vecKnnGraphAnnAuto`'s IVF-derived k = 12 edge table (linear to
+    * build; the exact graph is quadratic) — instead of deriving each
+    * hop's neighbor lists on demand. AnnServeAB measured this shape
+    * 17× at sf10 (walk 5.8 s vs 97.3 s on-demand, substrate growth
+    * 1.3× per 10× rows vs 8.6×): at serving scale the graph is built
+    * once and amortized across every query batch, and each hop is an
+    * edge-table semi-join instead of a Θ(touched·n·d) broadcast scan.
+    * This entry stays standalone by contract — every invocation builds
+    * the substrate from the parquet inputs (one lazy pin shares it
+    * across the walk's hops inside a single materialization; Bench's
+    * blanket unpersist retires it after every pass) — so its bench row
+    * prices build + walk, the worst case for the serving claim.
+    * Edges are approximate (IVF cell-mates), so rows may differ from
+    * `ann_graph`'s exact-substrate walk; the DuckDB oracle replays the
+    * ann-auto graph construction AND the walk over it end to end, and
+    * `ann_eval`'s truth machinery prices the recall of the underlying
+    * generator. */
+  def annGraphNswPrebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val edges = vecKnnGraphAnnAuto(spark, dir, k = 12)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(false)
+    annGraphNsw(spark, dir, prebuiltEdges = Some(edges))
   }
 
   /** ANN-method quality report — the vector twin of `dedup_eval`: each

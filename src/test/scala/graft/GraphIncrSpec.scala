@@ -51,6 +51,16 @@ class GraphIncrSpec extends SparkSpec {
       .view.mapValues(_.map(_._2).toSet).toMap
     for ((n, d) <- dist if d > 0 && d < PageRank.BfsMaxHops.toLong)
       assert(nbrs(n).exists(m => dist.get(m).contains(d - 1)), s"node $n orphan at $d")
+    // r12 early exit: the dense bipartite graph saturates well inside
+    // the hop budget, so the loop must have stopped at the first empty
+    // frontier (max observed dist + the one probe round that found it
+    // empty) instead of running all BfsMaxHops rounds. The distance
+    // assertions above pin that stopping early changed nothing.
+    val maxD = rows.map(_.getAs[Long]("dist")).max
+    assert(PageRank.bfsRoundsRan == maxD + 1 || PageRank.bfsRoundsRan == PageRank.BfsMaxHops,
+      s"ran ${PageRank.bfsRoundsRan} rounds, max dist $maxD")
+    assert(maxD < PageRank.BfsMaxHops, "fixture graph should saturate early")
+    assert(PageRank.bfsRoundsRan < PageRank.BfsMaxHops, "early exit never fired")
   }
 
   test("weighted shortest path equals sequential Bellman-Ford at 6 rounds") {
@@ -66,18 +76,26 @@ class GraphIncrSpec extends SparkSpec {
       .select((col("c_custkey") * 2).as("node")).collect()
       .map(_.getLong(0)).toSet
     var dist = seeds.map(_ -> 0L).toMap
-    for (_ <- 1 to PageRank.SpRounds) {
+    // sequential reference runs ALL SpRounds unconditionally; the round
+    // where it first stops changing is the fixed point the engine's r12
+    // early exit must detect (and stopping there is provably the same
+    // answer — that is what the equality assertion below pins)
+    var seqConverge = PageRank.SpRounds
+    for (k <- 1 to PageRank.SpRounds) {
       val next = scala.collection.mutable.Map(dist.toSeq: _*)
       for ((u, v, w) <- edges; du <- dist.get(u)) {
         val cand = du + w
         if (!next.contains(v) || next(v) > cand) next(v) = cand
       }
+      if (next.toMap == dist && k < seqConverge) seqConverge = k
       dist = next.toMap
     }
     val exp = dist.toSeq.sortBy(_._1)
     val got = PageRank.shortestPath(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == exp)
+    assert(PageRank.spRoundsRan == seqConverge,
+      s"engine ran ${PageRank.spRoundsRan} rounds, sequential fixed point at $seqConverge")
     assert(exp.exists(_._2 > 0), "never left the seeds")
     // weighted distances refine hops: any reached node is BFS-reachable
     val hops = PageRank.bfsHops(spark, sfDir).collect()
