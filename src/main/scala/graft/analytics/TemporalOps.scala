@@ -176,29 +176,22 @@ object TemporalOps {
     // value non-null too: otherwise an all-null hour desynchronizes
     // the (c, n) neighbor pair — last-ignoreNulls skips the null c but
     // picks up that hour's n, corrupting the interpolated mean
-    // SIZE-GATED lazy localCheckpoint (r12): the hourly rollup feeds
-    // BOTH the per-user spine aggregate and the join's right side.
-    // r11 pinned it unconditionally; the driver measured the pin
-    // SLOWER at sf0.1 on two independent runs (3.38 → 6.56 s at 32c /
-    // 5.40 at 8c — materializing ~1M rollup rows costs more than the
-    // duplicate 2 MB scan+aggregate it removes). The trade flips with
-    // input volume (each recompute is a FULL events pass), so the pin
-    // keys on the events input size: below GRAFT_INTERP_PIN_MIN_MB
-    // (default 64 — sf0.1's 2 MB recomputes, a 100 TB events table
-    // pins) the rollup recomputes. Same rows either way; r12 sf10 A/B
-    // in OPTIMIZATION_r12.md.
-    val pinMinBytes = sys.env.get("GRAFT_INTERP_PIN_MIN_MB")
-      .map(_.toLong).getOrElse(64L) * (1L << 20)
-    val hourly0 = Tables.events(spark, dir)
+    // UNPINNED (r12 — reverts the r11 lazy localCheckpoint on the
+    // hourly rollup, which feeds both the per-user spine aggregate and
+    // the join's right side). The pin was measured SLOWER at BOTH
+    // probed scales: driver sf0.1 3.38 → 6.56 s (two independent
+    // runs), and the r12 sf10 A/B read 33.2 s unpinned vs 72.3 s
+    // pinned (3-pass medians) — serializing the user×hour rollup to
+    // block storage and reading it twice costs more than re-running a
+    // pushdown parquet scan + map-side-combinable aggregate, at 2 MB
+    // and at 200 MB alike. The duplicate subtree is the measured
+    // winner; evidence in OPTIMIZATION_r12.md.
+    val hourly = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .groupBy(col("user_id"),
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"),
         count(lit(1)).as("n"))
-    val hourly =
-      if (Tables.tableBytes(spark, dir, "events") >= pinMinBytes)
-        hourly0.localCheckpoint(false)
-      else hourly0
     val spine = hourly.groupBy("user_id")
       .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
       .select(col("user_id"),

@@ -55,18 +55,4 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
-
-  /** On-disk bytes of `<dir>/<name>.parquet` — the cheap scale signal
-    * size-gated plan choices key on (a pin-vs-recompute trade flips
-    * with input volume; a constant choice tuned at one SF misprices
-    * the others). Filesystem listing only: no data read, no Spark job.
-    * Unreadable paths report 0 (callers fall back to their small-input
-    * branch, which is also the safe one). */
-  def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength
-    } catch { case _: Throwable => 0L }
-  }
 }
